@@ -1,0 +1,60 @@
+"""Fixture-table catalog: parquet directories -> DataFrames.
+
+This models the reference's post-load world (SURVEY.md §1.2): the loader
+lands Kafka topics as time-bucketed files; analytics read them back as
+columnar tables.  Here the tables are the driver-generated fixtures at
+``/root/testdata/sf*/{name}.parquet`` (TESTDATA.md).
+
+The one schema quirk is ``events.ts``: INT64 TIMESTAMP(NANOS) in parquet,
+which Spark cannot read natively.  We read it as a long (ns) via
+``spark.sql.legacy.parquet.nanosAsLong`` and derive:
+
+- ``ts``     TIMESTAMP_NTZ, microsecond precision (``ns DIV 1000`` —
+             identical to DuckDB's own ns->us truncation, so oracle
+             comparisons on ``ts``/``date_trunc(ts)`` are exact);
+- ``ts_us``  LONG, epoch microseconds (integer-exact arithmetic for
+             session/gap logic; DuckDB side: ``epoch_us(ts)``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.session import configure_runtime
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing the events timestamp."""
+    configure_runtime(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns -> us truncation, then NTZ so outputs match DuckDB's naive
+        # timestamps (session zone is UTC, so the cast is wall-clock id).
+        df = (
+            df.withColumn("ts_us", F.expr("ts DIV 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All fixture tables as a dict (convenience for composites/tests)."""
+    return {name: table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,78 @@
+"""SparkSession construction + runtime configuration.
+
+The driver supplies its own SparkSession to ``queries()`` callables, so
+everything the engine *needs* must be settable at runtime on an existing
+session (``configure_runtime``).  ``get_spark`` is used by tests/bench.
+
+Scale notes (100 TB posture):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting
+  and dynamic join-strategy switching replace any hand-tuned plan.
+- shuffle partitions default small for local test scale; on a real
+  cluster set ``spark.sql.shuffle.partitions`` ~ 2-3x total cores and
+  let AQE coalesce down.
+- Arrow enabled for any Pandas-UDF path (vectorized transfer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs: safe to apply to a driver-provided session.
+RUNTIME_CONFS: dict[str, str] = {
+    # Determinism vs the DuckDB oracle: DuckDB timestamps are naive; with a
+    # UTC session zone, LTZ<->NTZ casts are wall-clock identity.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark cannot read
+    # natively (PARQUET_TYPE_ILLEGAL); read as long ns and convert ourselves
+    # (catalog.events does `ts DIV 1000` -> microseconds, matching DuckDB's
+    # own ns->us truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow-batched transfer for every Pandas UDF / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE: coalesce post-shuffle partitions, split skewed joins.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session.
+
+    Idempotent and cheap; called from catalog loading so the engine works
+    on the driver's session, not only on ``get_spark()``'s.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf may be rejected on exotic builds; engine degrades
+            # gracefully (only nanosAsLong is load-bearing, and only for
+            # the events table).
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "kafka-hadoop-loader-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build the engine's own session (tests, bench, CLI loader)."""
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
+        os.environ.get("SPARK_GRAFT_CPUS", "*")
+    )
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,168 @@
+"""Batch analogues of the loader's time-bucketing + streaming windows.
+
+The reference's one "analytical" behavior is organizing a Kafka topic by
+event time (MultiOutputFormat time-bucketed directories — SURVEY.md §2.A
+R6/R7).  These queries are the DataFrame-native generalization: event-time
+extraction + tumbling/sliding/session windows, run in batch form so the
+DuckDB oracle can verify them.  The true streaming forms (watermarks,
+availableNow) live in ``streaming/loader.py`` / ``streaming/jobs.py`` and
+are covered by pytest.
+
+Scale notes: all of these are single-shuffle hash aggregations on
+(time-bucket, key); at 100 TB the time-bucketed parquet layout written by
+the loader makes the scan partition-prunable by date, and AQE coalesces
+the post-shuffle partitions.  No Python runs anywhere in these plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.functions.exact import exact_sum
+from kafka_hadoop_loader_spark.registry import register
+
+
+@register(
+    "events_hourly",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour,
+               event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY hour, event_type
+    """,
+    doc="""Flagship: hourly event-load report (tumbling window, batch form).
+
+    Reference parity: this is the query the loader exists to enable —
+    messages bucketed by extracted event time (R6/R7), counted per bucket.
+    Spark: date_trunc + hash agg; partial aggregation map-side, one
+    shuffle on (hour, event_type).
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            exact_sum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "window_sliding_batch",
+    oracle="""
+        WITH slid AS (
+            SELECT time_bucket(INTERVAL '15 minutes', ts)
+                       - i * INTERVAL '15 minutes' AS window_start,
+                   event_type, value
+            FROM events, unnest([0, 1, 2, 3]) AS t(i)
+        )
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        FROM slid
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    doc="""Sliding window agg (1h window, 15min slide), batch form.
+
+    Spark's ``window()`` assigns each event to windowDuration/slideDuration
+    overlapping epoch-aligned windows — the oracle reproduces the
+    assignment with time_bucket minus i*slide.  Streaming form in
+    streaming/jobs.py.
+    """,
+)
+def window_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), exact_sum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "window_session_batch",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > 30 * 60 * 1000000
+                        OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               date_trunc('second', MIN(ts)) AS session_start,
+               date_trunc('second', MAX(ts)) AS session_end,
+               CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    doc="""Session windows (30 min inactivity gap), batch gaps-and-islands.
+
+    Spark ``session_window`` is the streaming primitive; the batch
+    equivalent is lag + cumulative-sum session ids — two window passes on
+    the same (user_id, ts) sort order, so a single shuffle + sort serves
+    both (Catalyst reuses the exchange).  Integer-µs arithmetic keeps the
+    gap test exact on both sides.
+    """,
+)
+def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > F.lit(gap_us), 1
+        ).when(F.lag("ts_us").over(w).isNull(), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_trunc("second", F.min("ts")).cast("timestamp_ntz").alias("session_start"),
+            F.date_trunc("second", F.max("ts")).cast("timestamp_ntz").alias("session_end"),
+            exact_sum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -1,0 +1,100 @@
+"""Simulate the grading driver exactly: vanilla SparkSession (no engine
+confs), import ``__spark_entry__``, run t1 smoke (entry at sf0.001) and
+t2 correctness (queries vs oracle_sql via DuckDB at sf0.01, comparing
+row count + column names + order-insensitive value hash).
+
+Usage: python tools/driver_sim.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def vhash(rows, cols) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(repr(tuple(r[i] for i in order)) for r in rows)
+    return hashlib.sha256("\n".join(canon).encode()).hexdigest()[:12]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    n = df.count()
+    print(f"T1 SMOKE: rows={n} schema={df.schema.simpleString()}")
+    assert n > 0, "entry() returned no rows"
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    qs, osql = E.queries(), E.oracle_sql()
+    names = args.names or sorted(qs)
+    print(f"T2: {len(names)} queries, {sum(1 for q in names if q in osql)} with oracles")
+    failures = []
+    for name in names:
+        try:
+            sdf = qs[name](spark, args.sf)
+            srows = [tuple(r) for r in sdf.collect()]
+            if name not in osql:
+                status = f"rows-only, {len(srows)} rows"
+                if len(srows) == 0:
+                    failures.append(name)
+                    status += "  !! 0 ROWS"
+                print(f"  {name}: {status}")
+                continue
+            res = con.execute(osql[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+            sh, oh = vhash(srows, sdf.columns), vhash(orows, ocols)
+            match = (
+                len(srows) == len(orows)
+                and sorted(sdf.columns) == sorted(ocols)
+                and sh == oh
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"  {name}: EXCEPTION {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        if not match:
+            failures.append(name)
+        print(
+            f"  {name}: rows {len(srows)}/{len(orows)} "
+            f"cols={'ok' if sorted(sdf.columns) == sorted(ocols) else 'MISMATCH'} "
+            f"hash {sh}/{oh} -> {'MATCH' if match else 'MISMATCH'}"
+        )
+    print("T2 RESULT:", "ALL MATCH" if not failures else f"FAILURES: {failures}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
