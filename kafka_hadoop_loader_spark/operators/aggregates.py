@@ -1,1 +1,320 @@
-"""placeholder — filled in as operators land."""
+"""Aggregation operators (SURVEY.md §2.B Aggregations).
+
+All sums/averages over decimal-valued doubles use the exact scaled-BIGINT
+convention (functions/exact.py) so results are bit-identical to the
+DuckDB oracle.  Variance/stddev are computed from exact integer moment
+sums (quantities are integral) rather than the engines' streaming
+estimators, which differ in floating-point merge order.
+
+Scale notes: every query here is a single-shuffle hash aggregate with
+map-side partial aggregation (Spark plans HashAggregate(partial) ->
+Exchange -> HashAggregate(final) automatically); integer partial sums
+also make the combine exact across any number of tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.functions.exact import exact_avg, exact_sum
+from kafka_hadoop_loader_spark.registry import register
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_base_price,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                             AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 1000000) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(l_extendedprice) AS DOUBLE) * 100.0) AS avg_price,
+               CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(l_discount) AS DOUBLE) * 100.0) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="""TPC-H Q1 pricing summary adapted to fixture schema: the
+    canonical multi-measure hash aggregate.  Six measures over one scan;
+    whole-stage codegen keeps it one pass.""",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+            exact_sum(disc_price, 10000).alias("sum_disc_price"),
+            exact_sum(charge, 1000000).alias("sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice"), 100).alias("avg_price"),
+            exact_avg(F.col("l_discount"), 100).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_custs,
+               COUNT(DISTINCT o_orderstatus) AS n_statuses
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="""COUNT(DISTINCT) — Spark plans expand + two-phase aggregation;
+    at scale prefer approx_count_distinct (see approx_distinct, rows-only)
+    when exactness isn't required.""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "approx_distinct",
+    oracle=None,  # approximate by design: driver records rows-only
+    doc="""approx_count_distinct (HyperLogLog++): the scale path for
+    distinct counts — no expand, mergeable sketches.  Tested in pytest
+    against exact counts with rsd tolerance.""",
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="ROLLUP: hierarchical subtotals + grand total (null-keyed rows).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT c_mktsegment, c_nationkey,
+               COUNT(*) AS n_cust,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS total_bal
+        FROM customer
+        GROUP BY CUBE (c_mktsegment, c_nationkey)
+        ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+    """,
+    doc="CUBE: all grouping-set combinations across two dimensions.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.cube("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            exact_sum(F.col("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("c_nationkey").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+        SELECT l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                             AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) > 50000000000
+        ORDER BY l_suppkey
+    """,
+    doc="""HAVING = post-aggregation filter; the predicate compares exact
+    scaled integers so the cut is engine-independent even at the
+    threshold boundary.""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    scaled = F.sum(F.round(rev * 10000).cast("long"))
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            scaled.alias("rev_scaled"),
+            F.count("*").alias("n_items"),
+        )
+        # HAVING on the exact scaled integer, not the derived double
+        .where(F.col("rev_scaled") > 5000000 * 10000)
+        .select(
+            "l_suppkey",
+            (F.col("rev_scaled").cast("double") / 10000.0).alias("revenue"),
+            "n_items",
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+@register(
+    "agg_stats_exact",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+                   MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n, min_qty, max_qty,
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_qty,
+               sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS stddev_qty
+        FROM m
+        ORDER BY l_returnflag
+    """,
+    doc="""Sample variance/stddev from exact integer moments (sum, sum of
+    squares) — unlike the engines' built-in streaming estimators, this is
+    bit-reproducible across engines AND across cluster sizes (integer
+    partials merge exactly; sqrt is IEEE-correctly-rounded).  The built-in
+    stddev_samp/var_samp path is exercised rows-only in pytest.""",
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    var = (
+        m.s2.cast("double")
+        - m.s1.cast("double") * m.s1.cast("double") / m.n.cast("double")
+    ) / (m.n - 1).cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        "min_qty",
+        "max_qty",
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_median",
+    oracle="""
+        SELECT o_orderpriority,
+               median(o_totalprice) AS median_price,
+               median(CAST(o_custkey AS BIGINT)) AS median_cust
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="""Exact median (interpolating): both engines average the two
+    middle elements for even counts — (a+b)/2 on identical doubles is
+    bit-identical.  At 100 TB prefer percentile_approx (mergeable
+    KLL/GK sketch); exercised in pytest.""",
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.median("o_totalprice").alias("median_price"),
+            F.median(F.col("o_custkey").cast("bigint")).alias("median_cust"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+        SELECT c_nationkey,
+               string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+                   AS segments,
+               COUNT(*) AS n_cust
+        FROM customer
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    doc="""collect_set equivalent, made deterministic: the set is sorted
+    then joined to a string (hash-stable across engines and shuffles).""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.count("*").alias("n_cust"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -1,1 +1,341 @@
-"""placeholder — filled in as operators land."""
+"""Join operators (SURVEY.md §2.B Joins): inner/outer/semi/anti/broadcast/
+cross/range/as-of.
+
+The reference has no joins at all (map-only job); this is the engine's
+new relational surface.  Every join is declared via the DataFrame API so
+Catalyst picks the physical strategy (broadcast-hash for small dims,
+sort-merge otherwise, AQE switching at runtime).
+
+Scale notes per query in the docstrings; the general posture:
+- dimensions (region/nation/part/supplier) are broadcast — zero shuffle
+  of the fact side;
+- fact-fact joins shuffle on the join key; AQE handles skew;
+- the as-of join deliberately avoids a range join: it's a union +
+  last-non-null window, one shuffle + one sort, linear at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.functions.exact import exact_avg, exact_sum
+from kafka_hadoop_loader_spark.registry import register
+
+
+@register(
+    "join_inner",
+    oracle="""
+        SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'O'
+        ORDER BY o_orderkey
+    """,
+    doc="""Inner equi-join fact->dim. customer is small relative to
+    orders: Catalyst/AQE picks broadcast-hash below the 10MB threshold;
+    at 100 TB, customer stays broadcastable far longer than orders.""",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer")
+    return (
+        o.where(F.col("o_orderstatus") == "O")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT c_custkey,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_open_orders,
+               COALESCE(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                             AS DOUBLE) / 100.0, 0.0) AS open_total
+        FROM customer
+        LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+          ON c_custkey = o_custkey
+        GROUP BY c_custkey
+        ORDER BY c_custkey
+    """,
+    doc="""Left outer join + aggregation: customers keep a row even with
+    zero matching open orders (count=0, total=0).""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_open_orders"),
+            F.coalesce(exact_sum(F.col("o_totalprice")), F.lit(0.0)).alias("open_total"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+        SELECT p_partkey,
+               CAST(COUNT(l_orderkey) AS BIGINT) AS n_lineitems,
+               COALESCE(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT), 0)
+                   AS total_qty
+        FROM (SELECT * FROM lineitem WHERE l_returnflag = 'R') l
+        RIGHT JOIN part ON l_partkey = p_partkey
+        GROUP BY p_partkey
+        ORDER BY p_partkey
+    """,
+    doc="Right outer join: every part appears, matched or not.",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "right")
+        .groupBy("p_partkey")
+        .agg(
+            F.count("l_orderkey").alias("n_lineitems"),
+            F.coalesce(F.sum(F.col("l_quantity").cast("bigint")), F.lit(0)).alias(
+                "total_qty"
+            ),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        WITH cust AS (
+            SELECT c_nationkey AS nationkey, COUNT(*) AS n_rich_cust
+            FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+        ),
+        supp AS (
+            SELECT s_nationkey AS nationkey, COUNT(*) AS n_rich_supp
+            FROM supplier WHERE s_acctbal > 5000 GROUP BY 1
+        )
+        SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
+               CAST(COALESCE(n_rich_cust, 0) AS BIGINT) AS n_rich_cust,
+               CAST(COALESCE(n_rich_supp, 0) AS BIGINT) AS n_rich_supp
+        FROM cust FULL OUTER JOIN supp USING (nationkey)
+        ORDER BY nationkey
+    """,
+    doc="""Full outer join of two filtered aggregates; both sides have
+    keys the other lacks, so both null-extension paths execute.""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cust = (
+        c.where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_rich_cust"))
+    )
+    supp = (
+        s.where(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_rich_supp"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full")
+        .select(
+            "nationkey",
+            F.coalesce("n_rich_cust", F.lit(0)).alias("n_rich_cust"),
+            F.coalesce("n_rich_supp", F.lit(0)).alias("n_rich_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 400000)
+        ORDER BY c_custkey
+    """,
+    doc="""Left semi join (EXISTS): no duplication of the left side, right
+    side reduced to its keys — at scale this beats join+distinct.""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+    """,
+    doc="""Left anti join (NOT IN over a non-null key): customers who never
+    placed an URGENT order.""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                             AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    doc="""Explicit broadcast-hash join: part is a dimension (20k rows at
+    sf0.1, ~2M at sf100) — broadcast() pins the zero-shuffle plan so the
+    600M-row fact side never moves.  tests/test_plans.py asserts
+    BroadcastHashJoin in the physical plan.""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            exact_sum(rev, 10000).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+        SELECT r.r_name, n.n_name
+        FROM region r CROSS JOIN nation n
+        ORDER BY r.r_name, n.n_name
+    """,
+    doc="Cartesian product of two tiny dims (5 x 25): BroadcastNestedLoop.",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@register(
+    "join_range",
+    oracle="""
+        SELECT band,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CAST(ROUND(p_retailprice * 10) AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(p_retailprice) AS DOUBLE) * 10.0)
+                   AS avg_price
+        FROM part
+        JOIN (VALUES ('budget', 0.0, 930.0),
+                     ('mid',    930.0, 970.0),
+                     ('premium', 970.0, 10000.0))
+             AS bands(band, lo, hi)
+          ON p_retailprice >= lo::DOUBLE AND p_retailprice < hi::DOUBLE
+        GROUP BY band
+        ORDER BY band
+    """,
+    doc="""Theta/range join against a literal band table (non-equi
+    predicates only -> BroadcastNestedLoopJoin; the band side is 3 rows so
+    the nested loop is effectively a broadcast map).  This is the banding
+    pattern used at scale instead of per-row CASE pyramids.""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 10000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            exact_avg(F.col("p_retailprice"), 10).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                   CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                       AS click_ts
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+        )
+        SELECT event_id, user_id, ts_us AS purchase_ts_us,
+               last_value(click_ts IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_click_ts_us
+        FROM tagged
+        QUALIFY event_type = 'purchase'
+        ORDER BY event_id
+    """,
+    doc="""As-of join: for each purchase, the most recent click at-or-before
+    it by the same user.
+
+    Spark-first construction: instead of a range join (quadratic blowup,
+    BroadcastNestedLoop at scale) the two event sets are unioned and a
+    single `last(click_ts, ignorenulls=True)` running window computes the
+    as-of match — one shuffle on user_id + one sort, linear in input.
+    This is the pattern that survives 100 TB; the oracle mirrors it with
+    last_value IGNORE NULLS.""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.when(F.col("event_type") == "click", F.col("ts_us")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_ts_us", F.last("click_ts", ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            "last_click_ts_us",
+        )
+        .orderBy("event_id")
+    )

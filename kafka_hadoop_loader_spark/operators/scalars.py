@@ -1,1 +1,246 @@
-"""placeholder — filled in as operators land."""
+"""Scalar function families (SURVEY.md §2.B Scalar functions).
+
+String / date / math / array / map / JSON — all built-in
+``pyspark.sql.functions`` (JVM expressions inside whole-stage codegen;
+no Python anywhere).  JSON extraction is the one scalar capability the
+reference itself has (R6: event-time from a JSON payload field).
+
+Cross-engine notes encoded here:
+- DuckDB regexp_replace needs the 'g' flag to match Spark's
+  replace-all default;
+- DuckDB dayofweek is 0-based (Sunday=0), Spark 1-based (Sunday=1);
+- transcendental fns (ln/exp) are NOT correctly-rounded and may differ
+  by 1 ulp between libm implementations — only IEEE-exact math (sqrt,
+  floor/ceil/abs/mod/x*x) appears in oracle-checked outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.functions.exact import exact_sum
+from kafka_hadoop_loader_spark.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_name) AS name_upper,
+               lower(c_mktsegment) AS seg_lower,
+               substr(c_name, 1, 8) AS name_prefix,
+               length(c_name) AS name_len,
+               concat(c_mktsegment, ':', c_name) AS tagged,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+               regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+               regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+               CAST(len(string_split(c_name, '#')) AS BIGINT) AS n_parts
+        FROM customer
+        WHERE c_custkey < 500
+        ORDER BY c_custkey
+    """,
+    doc="String family: case, substr, length, concat, lpad, regexp, split.",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.where(F.col("c_custkey") < 500)
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.lower("c_mktsegment").alias("seg_lower"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.length("c_name").cast("bigint").alias("name_len"),
+            F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("tagged"),
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+            F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+            F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
+            F.size(F.split("c_name", "#")).cast("bigint").alias("n_parts"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               CAST(day(o_orderdate) AS INTEGER) AS dy,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+        FROM orders
+        WHERE o_orderkey < 1000
+        ORDER BY o_orderkey
+    """,
+    doc="""Date/time family: extract fields, truncate, format, diff,
+    add_months (month-end clamped identically in both engines), last_day.
+    This generalizes the reference's R6 event-time bucketing.""",
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.where(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.year(d).alias("yr"),
+            F.month(d).alias("mo"),
+            F.dayofmonth(d).alias("dy"),
+            F.quarter(d).alias("qtr"),
+            F.dayofweek(d).alias("dow"),
+            F.date_trunc("month", d).cast("date").alias("month_start"),
+            F.date_format(d, "yyyy-MM").alias("ym"),
+            F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias(
+                "days_to_y2k"
+            ),
+            F.add_months(d.cast("date"), 3).alias("plus_3mo"),
+            F.last_day(d.cast("date")).alias("month_end"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               floor(l_extendedprice) AS price_floor,
+               ceil(l_extendedprice) AS price_ceil,
+               abs(l_discount - 0.05) AS disc_dev,
+               CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+               l_quantity * l_quantity AS qty_sq,
+               sqrt(l_extendedprice) AS price_sqrt,
+               CAST(round(l_quantity) AS BIGINT) AS qty_round,
+               CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+        FROM lineitem
+        WHERE l_orderkey < 500
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="""Math family over IEEE-exact ops (floor/ceil/abs/mod/square/
+    sqrt/sign — sqrt is correctly-rounded by IEEE-754 so it's portable;
+    ln/exp are not and stay out of oracle-checked outputs).""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor("l_extendedprice").cast("double").alias("price_floor"),
+            F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            (F.col("l_orderkey") % 7).alias("key_mod"),
+            (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+            F.sqrt("l_extendedprice").alias("price_sqrt"),
+            F.round("l_quantity").cast("bigint").alias("qty_round"),
+            F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS words
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(len(words) AS INTEGER) AS n_tokens,
+               words[1] AS first_token,
+               list_contains(words, 'spark') AS has_spark,
+               array_to_string(list_sort(words)[1:3], ',') AS first3_sorted,
+               CAST(len(list_distinct(words)) AS INTEGER) AS n_distinct_tokens
+        FROM toks
+        ORDER BY doc_id
+    """,
+    doc="""Array family: split, size, element_at, array_contains,
+    sort_array+slice+array_join, array_distinct — the building blocks the
+    text-analysis operators compose.""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(words).alias("n_tokens"),
+            F.element_at(words, 1).alias("first_token"),
+            F.array_contains(words, "spark").alias("has_spark"),
+            F.array_join(F.slice(F.sort_array(words), 1, 3), ",").alias("first3_sorted"),
+            F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="""JSON extraction — the reference's only scalar function (R6:
+    read a field out of a JSON payload).  get_json_object pushes into
+    codegen; no Python JSON parsing.""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+               array_to_string(json_keys(props), ',') AS prop_keys
+        FROM events
+        WHERE event_id < 200
+        ORDER BY event_id
+    """,
+    doc="""Map family via from_json: payload JSON -> MapType, then
+    element_at + map_keys (R5/R6 deserialization-hook parity, typed).""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.where(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.element_at(m, "k").cast("bigint").alias("k_value"),
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys"),
+        )
+        .orderBy("event_id")
+    )

@@ -1,1 +1,199 @@
-"""placeholder — filled in as operators land."""
+"""Window functions (SURVEY.md §2.B Window functions).
+
+Every window here rides one shuffle on its partition key + one sort;
+multiple functions over the same (partitionBy, orderBy) share a single
+Window exec.  Order-by keys always include a unique tie-break column so
+ranking is total and engine-independent.
+
+Scale note: window partitions must fit per-task memory; partition keys
+here (mktsegment+..., user_id, custkey) are low-skew.  For heavy keys at
+100 TB, pre-aggregate or bucket the partition column first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.registry import register
+
+
+@register(
+    "window_rank",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_mktsegment, rn
+    """,
+    doc="Ranking family: row_number / rank / dense_rank / ntile.",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+        SELECT event_id, user_id, value,
+               lag(value) OVER w AS prev_value,
+               lead(value) OVER w AS next_value,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+               first_value(value) OVER w AS first_val,
+               last_value(value) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS last_val
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ORDER BY event_id
+    """,
+    doc="Analytic family: lag / lead / first_value / last_value.",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+            F.first("value").over(w).alias("first_val"),
+            F.last("value").over(w_all).alias("last_val"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "window_running",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(COUNT(*) OVER w AS BIGINT) AS running_n,
+               CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+                         AS DOUBLE) / 100.0 AS DOUBLE) AS running_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey
+    """,
+    doc="""Cumulative frame (UNBOUNDED PRECEDING..CURRENT ROW): running
+    count + running exact sum per customer ordered by order date.""",
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.count("*").over(w).cast("bigint").alias("running_n"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w)
+                .cast("double")
+                / 100.0
+            ).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+                   / (CAST(COUNT(value) OVER w AS DOUBLE) * 100.0)
+                   AS moving_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+    doc="""Sliding row frame (2 PRECEDING..CURRENT): 3-event moving
+    average, exact scaled arithmetic so partition-start short frames
+    match too.""",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).over(w).cast("double")
+                / (F.count("value").over(w).cast("double") * 100.0)
+            ).alias("moving_avg"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                       AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn
+    """,
+    doc="""Top-K per group via row_number()<=K — the scalable pattern
+    (no per-group collect; Spark pushes a per-partition top-K before the
+    shuffle via WindowGroupLimit).""",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
