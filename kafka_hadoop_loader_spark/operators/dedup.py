@@ -1,1 +1,339 @@
-"""placeholder — filled in as operators land."""
+"""Deduplication operators for LLM-training-data pipelines
+(mandated beyond the reference's surface by BASELINE.json:6).
+
+Four tiers, cheapest first — the order a 100 TB pipeline applies them:
+
+1. exact dedup: sha256(text) hash group-by; one shuffle on the hash,
+   map-side partial agg; text never shuffled, only the 32-byte digest +
+   representative id.
+2. prefix blocking: group on a cheap key (first-40-chars) to find
+   candidate groups; linear.
+3. MinHash-LSH: 3-gram shingles -> 64 independent minhashes
+   (xxhash64(k, shingle); see _minhash_signatures for why cheaper hash
+   families fail) -> 16 bands x 4 rows -> band-bucket self-join ->
+   exact-Jaccard verification of candidates only.  Never O(n^2): the
+   only join is on band buckets.
+4. SimHash: 64-bit signature, 8x8-bit chunk blocking, hamming<=7
+   verification via bit_count(xor) — rows-only (hash constants aren't
+   portable to SQL), recall-checked in pytest against ground truth.
+
+Determinism: everything oracle-checked uses integer arithmetic or exact
+division; the LSH parameters (r=4, b=16) give >0.999999 catch
+probability at j>=0.9 (fixture near-dups) and ~3e-4 false-candidate
+rate at j<=0.067 (fixture non-dups), and the result is deterministic
+for fixed seeds — verified equal to the exhaustive-scan oracle at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.registry import register
+
+# LSH parameters: 64 hashes = 16 bands x 4 rows.
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = 4
+
+
+def _shingles(text_col):
+    """Distinct word 3-gram shingles of a text column (empty if <3 words)."""
+    w = F.split(text_col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+        ),
+    )
+    return F.when(F.size(w) >= 3, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """doc_id -> 64 minhash columns mh0..mh63, via explode + min-agg.
+
+    Each h_k(s) = xxhash64(k, s): genuinely independent hash functions.
+    Two cheaper constructions measurably broke recall on the fixtures:
+    affine transforms of ONE base hash, and double-hashing h1 + k*h2
+    with a range-limited h2 (k*h2 must not overflow int64, which forces
+    h2 << modulus, so the h1-minimal element still wins for every k).
+    Missed true pairs at j~0.9 both times — independence is load-bearing.
+
+    Shape: explode shingles -> one hash-aggregate computing 64 mins in a
+    single codegen'd pass with map-side partials (faster than 64
+    array_min(transform(...)) passes, and it distributes: the shuffle
+    carries 64 longs per doc).
+    """
+    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh{k}")
+            for k in range(N_HASHES)
+        ]
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        WITH doubled AS (
+            SELECT * FROM documents UNION ALL SELECT * FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_input,
+               COUNT(DISTINCT sha256(text)) AS n_unique,
+               COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_dups_removed,
+               MIN(doc_id) AS min_doc_id
+        FROM doubled
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="""Exact dedup via sha256(text) — run on documents UNION ALL
+    documents so every text is a duplicate and the removal path is
+    actually exercised.  At 100 TB: shuffle carries only digests, and
+    dropDuplicates(hash) keeps one representative per digest.""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    doubled = d.unionAll(d)
+    return (
+        doubled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_input"),
+            F.countDistinct(F.sha2("text", 256)).alias("n_unique"),
+            (F.count("*") - F.countDistinct(F.sha2("text", 256))).alias(
+                "n_dups_removed"
+            ),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "dedup_keep_first",
+    oracle="""
+        WITH doubled AS (
+            SELECT doc_id + 100000 AS doc_id, text FROM documents
+            UNION ALL SELECT doc_id, text FROM documents
+        )
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM doubled
+        GROUP BY sha256(text)
+        ORDER BY keeper_id
+    """,
+    doc="""Exact dedup keeping the first (min-id) representative per
+    content hash — the canonical keep-one policy, as a group-by (no
+    window needed: min(id) per digest).""",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).unionAll(d)
+    return (
+        doubled.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+        .select("keeper_id", "n_copies")
+        .orderBy("keeper_id")
+    )
+
+
+@register(
+    "dedup_near_prefix",
+    oracle="""
+        WITH blocked AS (
+            SELECT doc_id, substr(text, 1, 40) AS pfx FROM documents
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.pfx AS shared_prefix
+        FROM blocked a JOIN blocked b
+          ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        ORDER BY doc_id_a, doc_id_b
+    """,
+    doc="""Prefix-blocking near-dup candidates: equi-join on a cheap
+    blocking key (first 40 chars).  Linear + one shuffle on the block
+    key; the blocking pattern LSH generalizes.""",
+)
+def dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    blocked = d.select("doc_id", F.substring("text", 1, 40).alias("pfx"))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.pfx") == F.col("b.pfx")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.pfx").alias("shared_prefix"),
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in generate_series(1, len(w) - 2)]) AS s
+            FROM t WHERE len(w) >= 3
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5
+        ORDER BY doc_id_a, doc_id_b
+    """,
+    doc="""MinHash-LSH near-duplicate pairs (3-gram Jaccard >= 0.5).
+
+    Spark plan: shingle -> 64 minhashes -> 16 band keys -> explode ->
+    self-join on (band, key) -> distinct candidates -> exact-Jaccard
+    verify (array_intersect/union on the two shingle sets) -> filter.
+    Candidates only ever come from band buckets, so the join is linear
+    in practice; the oracle is the exhaustive O(n^2) scan, feasible at
+    sf0.01 (125k pairs) — equality verified, since LSH at r=4,b=16 has
+    ~1e-6 miss probability at the fixture's j>=0.9 and the run is
+    deterministic for fixed seeds.  At 100 TB only the LSH side scales;
+    the oracle obviously doesn't (that's the point).""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles(F.col("text")).alias("s")).where(F.size("s") > 0)
+    mh = _minhash_signatures(sh)
+
+    # band key = xxhash64 over the band's 4 minhash values (+ band idx)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                    F.lit(b),
+                ).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb"))
+    jac = (
+        F.size(F.array_intersect("sa", "sb")).cast("double")
+        / F.size(F.array_union("sa", "sb")).cast("double")
+    )
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # hash constants aren't expressible in portable SQL
+    doc="""SimHash near-dup candidates: 64-bit signature = sign-aggregate
+    of per-shingle xxhash64 bits; blocking on 8x8-bit chunks guarantees
+    recall for hamming distance <= 7; verification via
+    bit_count(xor) <= 7.  SimHash is the tight-similarity detector
+    (exact-ish dups); MinHash-LSH is the primary near-dup operator at
+    j>=0.5.  Rows-only (pytest checks recall vs ground-truth pairs).""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    # 3-gram shingle features (unigrams over the fixtures' small shared
+    # vocabulary make every doc-pair near-identical; shingles are
+    # discriminative).  For each of 64 bits: sum(+-1 per feature) > 0 ->
+    # bit set; 64 aggregate folds over one xxhash64 per feature.
+    th = d.select(
+        "doc_id",
+        F.transform(_shingles(F.col("text")), lambda t: F.xxhash64(t)).alias("h"),
+    ).where(F.size("h") > 0)
+    # explode + one hash aggregate with 64 conditional sums: one pass over
+    # (doc, shingle) pairs with map-side partial aggregation -- much faster
+    # than 64 sequential array folds (measured ~20s -> ~2s at sf0.1), and
+    # the shape that distributes: the shuffle carries 64 ints per doc.
+    ex = th.select("doc_id", F.explode("h").alias("hv"))
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("hv", bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{bit}")
+            for bit in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for bit in range(64):
+        # shiftleft on the JVM handles bit 63 (sign bit) correctly;
+        # a Python literal 1<<63 would overflow signed long
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)
+            ).otherwise(0)
+        )
+    sigs = votes.select("doc_id", sig.alias("sig"))
+
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sig", c * 8).bitwiseAND(F.lit(0xFF)).alias("ckey"),
+                    )
+                    for c in range(8)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 7)
+        .orderBy("doc_id_a", "doc_id_b")
+    )

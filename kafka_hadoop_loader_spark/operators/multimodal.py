@@ -1,1 +1,185 @@
-"""placeholder — filled in as operators land."""
+"""Multimodal column handling (BASELINE.json:6): opaque binary payloads
++ typed metadata, with decode/feature-extraction as Arrow-batched
+mapInPandas.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked deterministic stub (`_fake_decode`) — but everything
+Spark-side is real and tested: BinaryType columns, schema declaration,
+Arrow batch shapes, partition-preserving mapInPandas plumbing, and the
+metadata path in pure built-ins.
+
+Scale notes: binary payloads stay opaque bytes end-to-end (never cast
+to string); mapInPandas streams Arrow batches so one task never holds
+its partition's payloads as Python objects all at once; feature columns
+come back as typed arrays ready for the similarity operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.registry import register
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS payload_bytes,
+               CASE CAST(octet_length(encode(text)) % 3 AS INTEGER)
+                    WHEN 0 THEN 'image/png'
+                    WHEN 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime_guess,
+               (octet_length(encode(text)) > 256) AS is_large
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="""Typed metadata over an opaque binary column: documents' text
+    re-encoded as a BinaryType payload (stand-in for image/audio bytes),
+    metadata derived without ever decoding — length, mime bucketing,
+    size flags.  The pattern: keep payloads opaque, compute on metadata.""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    blen = F.length(payload).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            blen.alias("payload_bytes"),
+            F.when((blen % 3).cast("int") == 0, "image/png")
+            .when((blen % 3).cast("int") == 1, "audio/wav")
+            .otherwise("video/mp4")
+            .alias("mime_guess"),
+            (blen > 256).alias("is_large"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload_bytes", LongType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("fake_width", LongType()),
+        StructField("fake_height", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def _fake_decode_batches(batches):
+    """DECODE STUB — deterministic fake decoder.
+
+    A real deployment would decode image/audio bytes here (PIL/ffmpeg
+    are not in this container).  The stub derives stable pseudo-features
+    from the bytes so the Spark-side plumbing (Arrow batches, schema,
+    array columns) is fully exercised and testable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(payload, dtype=np.uint8)
+            mean = float(b.mean()) if b.size else 0.0
+            # fake dims: deterministic function of content length/sum
+            w = int(b.size % 640) + 1
+            h = int(b.sum() % 480) + 1
+            feat = (b[:8].astype(np.float64) / 255.0) if b.size >= 8 else np.zeros(8)
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "payload_bytes": int(b.size),
+                    "mean_byte": mean,
+                    "fake_width": w,
+                    "fake_height": h,
+                    "feature": feat.tolist(),
+                    "decoder": "stub-v1",
+                }
+            )
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_decode",
+    oracle=None,  # decoder is a stub; plumbing checked rows-only + pytest
+    doc="""Decode / feature-extract via mapInPandas over binary payloads:
+    Arrow-batched, schema-declared, returns typed feature vectors.  The
+    decoder itself is a deterministic stub (no codecs in container, see
+    _fake_decode_batches); the distributed plumbing is real.""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return (
+        payloads.mapInPandas(_fake_decode_batches, schema=_DECODE_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+def _frame_sample_batches(batches: "Iterator") -> "Iterator":
+    """FRAME-SAMPLE STUB: emit one row per sampled 'frame' (every 64th
+    byte window) — the explode-shaped UDTF pattern for video."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            for off in range(0, n, 64):
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "frame_no": off // 64,
+                        "frame_bytes": int(min(64, n - off)),
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+               CAST(least(64, n - i * 64) AS BIGINT) AS frame_bytes
+        FROM t, unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1))
+                    AS u(i)
+        ORDER BY doc_id, frame_no
+    """,
+    doc="""Frame sampling over binary payloads (video pattern): one output
+    row per fixed-size window — implemented as a Pandas-batched UDTF via
+    mapInPandas; the oracle reproduces the windowing arithmetic in SQL.
+    Verifies the Python plumbing produces exactly the declared rows.""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_no", LongType()),
+            StructField("frame_bytes", LongType()),
+        ]
+    )
+    return payloads.mapInPandas(_frame_sample_batches, schema=schema).orderBy(
+        "doc_id", "frame_no"
+    )

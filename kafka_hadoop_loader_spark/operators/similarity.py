@@ -1,1 +1,276 @@
-"""placeholder — filled in as operators land."""
+"""Similarity search over embedding vectors (BASELINE.json:6 mandate;
+``embeddings`` fixture: 64-dim float vectors + cluster-ish labels).
+
+Two paths:
+
+- brute-force top-k cosine: the exactness baseline.  Query side is tiny
+  and broadcast; dot products are JVM higher-order-function folds
+  (zip_with + aggregate in whole-stage codegen — no Python, no UDF).
+  Cross-engine bitwise determinism verified: Spark's sequential fold ==
+  DuckDB's list_cosine_similarity on double-cast lists.
+- LSH-bucketed ANN (random hyperplanes): the scale path — candidates
+  share >=1 of `n_tables` sign-pattern buckets, exact cosine re-rank on
+  candidates only.  Rows-only (bucket membership depends on engine hash
+  constants); pytest measures recall vs brute force.
+
+Scale notes: brute force is O(Q*N) — fine for Q small (broadcast); for
+N x N all-pairs use the LSH path, whose cost is sum of bucket sizes
+squared, controlled by hyperplane count.  Both avoid any driver-side
+collect; vectors stay in arrays end-to-end.  At 100 TB, replace the
+random-hyperplane table with IVF centroids learned offline and
+partition by centroid id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.registry import register
+
+K = 10
+N_QUERIES = 20
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision fold — bitwise equal to DuckDB's
+    list_cosine_similarity numerator on the same inputs."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@register(
+    "knn_cosine_bruteforce",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   c.label AS neighbor_label,
+                   list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]) AS cos_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id)
+                          AS rnk
+            FROM pairs
+        )
+        WHERE rnk <= {K}
+        ORDER BY query_id, rnk
+    """,
+    doc=f"""Exact top-{K} cosine neighbors for the first {N_QUERIES} query
+    vectors: broadcast queries x all candidates, JVM fold dot products,
+    row_number re-rank.  The correctness baseline for the ANN path.""",
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= K)
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+        SELECT vec_id, label,
+               sqrt(list_reduce(list_prepend(0.0,
+                   [embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                    for i in generate_series(1, len(embedding))]),
+                   (x, y) -> x + y)) AS l2_norm,
+               CAST(len(embedding) AS INTEGER) AS dim
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+    doc="""Vector norms: per-row sequential fold (deterministic) + sqrt
+    (IEEE-correctly-rounded) — the normalize step of any embedding
+    pipeline, bit-identical across engines.""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.sqrt(dot(e, e)).alias("l2_norm"),
+        F.size(e).alias("dim"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "knn_cosine_lsh",
+    oracle=None,  # bucket membership depends on engine hash constants
+    doc=f"""ANN top-{K} via random-hyperplane LSH: 8 tables x 4-bit
+    sign-pattern bucket keys; candidates = pairs sharing a bucket in any
+    table; exact cosine re-rank on candidates only.  Parameters chosen
+    by measured sweep on the fixtures: recall@10 ~0.65 while scanning
+    ~40% of candidates — the fixture vectors are near-random (weak
+    angular structure), which bounds any ANN method's recall; pytest
+    asserts recall >= 0.5 vs knn_cosine_bruteforce.  Hyperplanes are
+    pseudo-random from fixed integer seeds (sha256 of (table, bit, dim)
+    scaled to [-1,1]) so the run is deterministic.""",
+)
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    dim = 64
+    n_tables, n_bits = 8, 4
+
+    # Deterministic pseudo-random hyperplanes: component h[t][b][d] from a
+    # fixed integer hash, scaled to [-1, 1].  Built as literal arrays —
+    # no RNG at runtime, no driver collect.
+    import hashlib
+
+    def coef(t: int, bbit: int, d: int) -> float:
+        h = int.from_bytes(
+            hashlib.sha256(f"{t}:{bbit}:{d}".encode()).digest()[:8], "big"
+        )
+        return (h / float(1 << 63)) - 1.0
+
+    e = F.col("embedding")
+
+    def bucket_key(t: int) -> Column:
+        key = F.lit(0).cast("long")
+        for bbit in range(n_bits):
+            proj = F.lit(0.0)
+            # unrolled dot with literal coefficients (JVM constant-folded)
+            proj = F.aggregate(
+                F.zip_with(
+                    e,
+                    F.array(*[F.lit(coef(t, bbit, d)) for d in range(dim)]),
+                    lambda x, c: x.cast("double") * c,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            key = key.bitwiseOR(
+                F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), bbit)).otherwise(0)
+            )
+        return key
+
+    sigs = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        *[bucket_key(t).alias(f"bk{t}") for t in range(n_tables)],
+    )
+    buckets = sigs.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"bk{t}").alias("key"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "label", "embedding", F.col("b.t").alias("t"), F.col("b.key").alias("key"))
+
+    q = buckets.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "t", "key"
+    )
+    c = buckets.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+        "t",
+        "key",
+    )
+    cand = (
+        q.join(c, ["t", "key"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "neighbor_label", "q_emb", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= K)
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "embedding_label_centroid_dist",
+    oracle=None,  # group-sum of irrational doubles: order-dependent
+    doc="""Per-label centroid + mean distance-to-centroid (cluster
+    compactness) — grouped vector average via per-dimension explode, a
+    pattern for embedding-quality monitoring.  Rows-only: centroid sums
+    over doubles are shuffle-order-dependent; pytest checks invariants
+    (one row per label, distances positive and bounded).""",
+)
+def embedding_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    # explode to (label, dim, value), average per (label, dim), re-assemble
+    pos = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("d", "v")
+    )
+    cent = (
+        pos.groupBy("label", "d")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+        .select("label", F.transform("dc", lambda s: s.getField("c")).alias("centroid"))
+    )
+    joined = emb.join(cent, "label")
+    diff = F.zip_with(
+        F.col("embedding"),
+        F.col("centroid"),
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda a, v: a + v))
+    return (
+        joined.select("label", dist.alias("dist"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.avg("dist").alias("mean_dist"),
+            F.max("dist").alias("max_dist"),
+        )
+        .orderBy("label")
+    )

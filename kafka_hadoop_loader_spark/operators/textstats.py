@@ -1,1 +1,257 @@
-"""placeholder — filled in as operators land."""
+"""Text analysis operators for LLM-data pipelines (BASELINE.json:6):
+language/source stats, token counting, TF-IDF, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+Everything is built-in expressions (split/explode/groupBy/window) —
+no Python in any hot path.  Determinism: counts are integers; ratios
+are single exact divisions; the fingerprint is an integer polynomial
+fold; ln() never appears in oracle-checked outputs (not correctly
+rounded across libms — measured unequal on this machine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.registry import register
+
+# Small fixed stopword list for quality scoring (fixture vocabulary).
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS avg_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM documents
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+    doc="""Per-language/source corpus stats — the first report of any
+    training-data pipeline (coverage + length distributions).""",
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*").cast("double")).alias(
+                "avg_chars"
+            ),
+            F.sum(n_tok).alias("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "text_token_freq",
+    oracle="""
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+        ORDER BY cnt DESC, tok
+        LIMIT 20
+    """,
+    doc="""Global token frequency top-20 (explode -> count -> ordered
+    limit).  At scale: partial aggregation makes the explode safe — the
+    shuffle carries (token, partial_count), not tokens.""",
+)
+def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY tok
+        ),
+        df AS (
+            SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks GROUP BY tok
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        SELECT tf.tok AS tok, tf.tf AS tf, df.df AS df, n.n_docs AS n_docs,
+               CAST(tf.tf AS DOUBLE)
+                   * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+                   AS tfidf_linear
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        ORDER BY tfidf_linear DESC, tok
+        LIMIT 50
+    """,
+    doc="""TF-IDF scoring (linear-idf variant: tf * N/df — exact rational
+    arithmetic; the classic log-idf is a monotone-in-idf variant whose
+    ln() is not bit-portable across engines, so the ranking key stays
+    exact).  Corpus-level: term counts join document frequencies join
+    the doc count — three aggregates + one broadcast-able join.""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar dimension; a literal, not a collect loop
+    return (
+        tf.join(df, "tok")
+        .select(
+            "tok",
+            "tf",
+            "df",
+            F.lit(n_docs).cast("bigint").alias("n_docs"),
+            (
+                F.col("tf").cast("double")
+                * (F.lit(float(n_docs)) / F.col("df").cast("double"))
+            ).alias("tfidf_linear"),
+        )
+        .orderBy(F.col("tfidf_linear").desc(), "tok")
+        .limit(50)
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+               CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+                   AS type_token_ratio,
+               CAST(n_chars AS DOUBLE) / CAST(len(w) AS DOUBLE)
+                   AS avg_token_len,
+               CAST(len(list_filter(w, x -> x IN {STOPWORDS!r})) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE) AS stopword_ratio
+        FROM t
+        ORDER BY doc_id
+    """,
+    doc="""Per-document quality signals: token count, type/token ratio,
+    average token length, stopword ratio — the standard cheap filters
+    before expensive dedup/model scoring.  All exact single divisions.""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_tok = F.size(w).cast("bigint")
+    n_dis = F.size(F.array_distinct(w)).cast("bigint")
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_tok.alias("n_tokens"),
+            n_dis.alias("n_distinct"),
+            (n_dis.cast("double") / n_tok.cast("double")).alias("type_token_ratio"),
+            (F.col("n_chars").cast("double") / n_tok.cast("double")).alias(
+                "avg_token_len"
+            ),
+            (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(w, x -> x IN ('the','a','of','to','in')))
+                        AS DOUBLE) / CAST(len(w) AS DOUBLE) AS en_score
+            FROM t
+        )
+        SELECT doc_id, lang,
+               en_score,
+               (en_score >= 0.05) AS pred_en,
+               (lang = 'en') = (en_score >= 0.05) AS agree
+        FROM scored
+        ORDER BY doc_id
+    """,
+    doc="""Language-ID heuristic (stopword-density n-gram scoring): a
+    deterministic stand-in for a real langid model — demonstrates the
+    scoring-UDF shape with pure built-ins.  Accuracy vs the fixture's
+    lang column is measured in pytest (word-salad text, so agreement is
+    informative, not perfect).""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    en_markers = ("the", "a", "of", "to", "in")
+    score = (
+        F.size(F.filter(w, lambda x: x.isin(*en_markers))).cast("double")
+        / F.size(w).cast("double")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            score.alias("en_score"),
+            (score >= 0.05).alias("pred_en"),
+            ((F.col("lang") == "en") == (score >= 0.05)).alias("agree"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       [length(t)::BIGINT * 31 + unicode(t)
+                        for t in string_split(text, ' ')]),
+                   (acc, x) -> (acc * 131 + x) % 1000000007
+               ) AS fingerprint,
+               CAST(length(text) AS BIGINT) AS n_chars_check
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="""Rolling polynomial fingerprint over the token stream
+    (acc*131 + token_code mod 1e9+7): order-sensitive content signature
+    in pure integer arithmetic — bit-identical across engines and
+    cluster layouts, unlike float hashes.  The shape of Rabin-Karp /
+    content-defined chunking used for incremental dedup.""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    codes = F.transform(
+        F.split("text", " "),
+        lambda t: F.length(t).cast("long") * 31 + F.ascii(t),
+    )
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 131 + x) % 1000000007
+    )
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.length("text").cast("bigint").alias("n_chars_check"),
+    ).orderBy("doc_id")

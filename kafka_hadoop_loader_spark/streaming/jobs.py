@@ -1,0 +1,63 @@
+"""Streaming analytics jobs over the loader's stream: watermarked
+windowed aggregation, streaming dedup, session windows.
+
+These are the true-streaming counterparts of streaming/batch_windows.py
+(whose batch forms carry the DuckDB oracles).  Covered by pytest with
+file-stream sources — no broker in this environment; the queries are
+source-agnostic DataFrames so the Kafka path is the same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1h window + watermark: late events beyond the watermark
+    are dropped; state is bounded by (watermark / window) windows/key."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding 1h/15min window + watermark (4 state entries per event)."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (30min inactivity gap) — the streaming
+    form of window_session_batch."""
+    return (
+        events.withWatermark("event_ts", "1 hour")
+        .groupBy(F.session_window("event_ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the loader's at-least-once replay protection done in-stream."""
+    return events.withWatermark("event_ts", watermark).dropDuplicates(
+        ["event_id", "event_ts"]
+    )

@@ -1,0 +1,156 @@
+"""The loader: incremental stream -> time-bucketed partitioned parquet.
+
+This is the engine's parity surface for the reference's whole purpose
+(SURVEY.md §2.A R1-R10): an incremental Kafka->HDFS loader that
+
+- reads each topic-partition from the last committed offset   (R1, R2)
+- applies an offset-reset policy on first run / data loss     (R3)
+- passes payloads through, optionally extracting an event
+  timestamp from a JSON field                                 (R4-R6)
+- writes records into {topic}/d=YYYY-MM-DD/h=HH directories   (R7)
+- compresses output                                           (R8)
+- commits consumed offsets only after a successful run        (R9)
+
+Spark-first mapping: Structured Streaming owns R1-R3 and R9 — the
+checkpoint's offsets/commit logs replace the reference's ZooKeeper
+watermarks, and the parquet file-sink's transactional log upgrades the
+reference's at-least-once to exactly-once.  `trigger(availableNow=True)`
+reproduces the reference's bounded per-run semantics ("load what exists
+now, then stop").  R7's MultiOutputFormat is exactly Spark's dynamic
+partitioned write (`partitionBy("d", "h")`).
+
+Sources are pluggable (R5's deserializer hook, generalized):
+- "kafka": real Kafka source — the production path (no broker in this
+  container, so covered by config plumbing only);
+- "files": JSON-lines directory stream standing in for a topic; each
+  file plays the role of a batch of Kafka messages.
+
+Scale notes: one streaming micro-batch is a normal Spark job — the
+partitioned write shuffles nothing (dynamic partition overwrite off,
+append only); with maxFilesPerTrigger/maxOffsetsPerTrigger the loader
+backfills unbounded history in bounded-memory increments.  The d=/h=
+layout is what makes every downstream query partition-prunable.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.session import configure_runtime
+
+
+@dataclass
+class LoaderConfig:
+    """Configuration surface mirroring the reference's CLI/job conf (R10)."""
+
+    source: str = "files"  # "files" | "kafka"
+    input_path: str = ""  # files: directory of JSON-lines
+    kafka_bootstrap: str = ""  # kafka: bootstrap servers
+    topics: str = "events"  # kafka: comma-separated topic list
+    target_path: str = ""  # output root (the reference's HDFS target)
+    checkpoint_path: str = ""  # offsets+commit log (replaces ZK watermarks)
+    timestamp_field: str = "ts"  # JSON field holding event time (R6)
+    timestamp_unit: str = "us"  # s | ms | us
+    offset_reset: str = "earliest"  # R3: earliest | latest
+    compression: str = "snappy"  # R8
+    payload_schema: str = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    max_files_per_trigger: int | None = None
+    extra_partition_cols: tuple = field(default_factory=tuple)
+
+
+def _read_stream(spark: SparkSession, cfg: LoaderConfig) -> DataFrame:
+    if cfg.source == "kafka":
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", cfg.kafka_bootstrap)
+            .option("subscribe", cfg.topics)
+            .option("startingOffsets", cfg.offset_reset)
+            .option("failOnDataLoss", "false")
+        )
+        raw = reader.load()
+        # Kafka source fixed schema: key/value binary + metadata.  The
+        # payload stays bytes until the JSON extraction below (R4).
+        return raw.select(
+            F.col("topic"),
+            F.col("partition").alias("kafka_partition"),
+            F.col("offset"),
+            F.col("value").cast("string").alias("payload"),
+        )
+    reader = spark.readStream.format("text")
+    if cfg.max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(cfg.max_files_per_trigger))
+    raw = reader.load(cfg.input_path)
+    return raw.select(
+        F.lit(cfg.topics).alias("topic"),
+        F.lit(0).alias("kafka_partition"),
+        # synthetic offset: content hash (monotonic ids aren't allowed on
+        # streaming relations; the file source has no native offsets)
+        F.xxhash64("value").alias("offset"),
+        F.col("value").alias("payload"),
+    )
+
+
+def transform(cfg: LoaderConfig, raw: DataFrame) -> DataFrame:
+    """R5/R6/R7: parse payload, extract event time, derive d/h buckets."""
+    parsed = raw.withColumn("rec", F.from_json("payload", cfg.payload_schema))
+    ts_raw = F.col("rec").getField(cfg.timestamp_field).cast("bigint")
+    divisor = {"s": 1, "ms": 1, "us": 1}[cfg.timestamp_unit]
+    to_ts = {
+        "s": lambda c: F.timestamp_seconds(c),
+        "ms": lambda c: F.timestamp_millis(c),
+        "us": lambda c: F.timestamp_micros(c),
+    }[cfg.timestamp_unit]
+    _ = divisor
+    ts = to_ts(ts_raw)
+    return parsed.select(
+        "topic",
+        "kafka_partition",
+        "offset",
+        "payload",
+        ts.alias("event_ts"),
+        F.date_format(ts, "yyyy-MM-dd").alias("d"),
+        F.date_format(ts, "HH").alias("h"),
+    )
+
+
+def run_loader(spark: SparkSession, cfg: LoaderConfig) -> dict:
+    """One bounded incremental run (the reference's `hadoop jar ... run`).
+
+    Returns run metrics.  Re-running with the same checkpoint picks up
+    only data that arrived since the last run (R2/R9 parity, but
+    exactly-once thanks to the file sink's transaction log).
+    """
+    configure_runtime(spark)
+    out = transform(cfg, _read_stream(spark, cfg))
+    query = (
+        out.writeStream.format("parquet")
+        .option("path", cfg.target_path)
+        .option("checkpointLocation", cfg.checkpoint_path)
+        .option("compression", cfg.compression)
+        .partitionBy("d", "h", *cfg.extra_partition_cols)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # aggregate across this run's micro-batches (lastProgress alone can be
+    # a terminal empty batch with no sink rows)
+    rows = 0
+    batches = 0
+    for p in query.recentProgress:
+        batches += 1
+        rows += int(p.get("sink", {}).get("numOutputRows", 0) or 0)
+    return {"batches": batches, "rows_written": rows, "target": cfg.target_path}
+
+
+def read_loaded(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read the loader's output back as a partition-pruned table."""
+    if not os.path.isdir(target_path):
+        raise FileNotFoundError(target_path)
+    return spark.read.option("basePath", target_path).parquet(target_path)

@@ -1,0 +1,106 @@
+"""Loader parity tests (SURVEY.md §2.A R1-R10): incremental bounded
+load, offset resume via checkpoint, time-bucketed partitioned layout,
+exactly-once on replay."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from kafka_hadoop_loader_spark.streaming.loader import (
+    LoaderConfig,
+    read_loaded,
+    run_loader,
+)
+
+
+def _write_jsonl(path: str, records: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+def _mk_events(start_id: int, n: int, base_us: int) -> list[dict]:
+    return [
+        {
+            "event_id": start_id + i,
+            "ts": base_us + i * 60_000_000,  # 1 min apart, microseconds
+            "user_id": i % 5,
+            "event_type": "click",
+            "value": float(i),
+            "props": json.dumps({"k": i}),
+        }
+        for i in range(n)
+    ]
+
+
+BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+@pytest.fixture()
+def loader_dirs(tmp_path):
+    return {
+        "input": str(tmp_path / "in"),
+        "target": str(tmp_path / "out"),
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+
+
+def test_incremental_load_and_layout(spark, loader_dirs):
+    cfg = LoaderConfig(
+        input_path=loader_dirs["input"],
+        target_path=loader_dirs["target"],
+        checkpoint_path=loader_dirs["checkpoint"],
+    )
+    # run 1: 120 events spanning 2 hours
+    _write_jsonl(loader_dirs["input"] + "/batch1.jsonl", _mk_events(0, 120, BASE_US))
+    run_loader(spark, cfg)
+    out1 = read_loaded(spark, cfg.target_path)
+    assert out1.count() == 120
+
+    # R7: time-bucketed hive layout d=YYYY-MM-DD/h=HH
+    d_dirs = [p for p in os.listdir(cfg.target_path) if p.startswith("d=")]
+    assert d_dirs == ["d=2024-01-01"]
+    h_dirs = sorted(os.listdir(os.path.join(cfg.target_path, "d=2024-01-01")))
+    assert h_dirs == ["h=00", "h=01"]
+
+    # run 2 with NO new input: exactly-once — nothing duplicated (R9)
+    run_loader(spark, cfg)
+    assert read_loaded(spark, cfg.target_path).count() == 120
+
+    # run 3: new file arrives; only it is picked up (R2 watermark resume)
+    _write_jsonl(
+        loader_dirs["input"] + "/batch2.jsonl",
+        _mk_events(1000, 30, BASE_US + 86_400_000_000),  # next day
+    )
+    run_loader(spark, cfg)
+    out3 = read_loaded(spark, cfg.target_path)
+    assert out3.count() == 150
+    assert sorted(p for p in os.listdir(cfg.target_path) if p.startswith("d=")) == [
+        "d=2024-01-01",
+        "d=2024-01-02",
+    ]
+
+    # payload fidelity (R4 passthrough): ids survive the round trip
+    ids = {r.event_id for r in out3.selectExpr(
+        "from_json(payload, 'event_id bigint').event_id AS event_id"
+    ).collect()}
+    assert ids == set(range(120)) | set(range(1000, 1030))
+
+
+def test_partition_pruning_on_loaded_data(spark, loader_dirs):
+    cfg = LoaderConfig(
+        input_path=loader_dirs["input"],
+        target_path=loader_dirs["target"],
+        checkpoint_path=loader_dirs["checkpoint"],
+    )
+    _write_jsonl(loader_dirs["input"] + "/b.jsonl", _mk_events(0, 120, BASE_US))
+    run_loader(spark, cfg)
+    df = read_loaded(spark, cfg.target_path).where("d = '2024-01-01' AND h = '00'")
+    assert df.count() == 60
+    # the physical scan must prune to the one matching partition
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

@@ -1,0 +1,90 @@
+"""True-streaming jobs: watermarked tumbling/sliding/session windows and
+streaming dedup over a file-stream source (no broker in env; the plans
+are source-agnostic so the Kafka path is identical)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from kafka_hadoop_loader_spark.streaming import jobs
+from kafka_hadoop_loader_spark.streaming.loader import LoaderConfig, _read_stream, transform
+
+BASE_US = 1_704_067_200_000_000
+
+
+def _write_events(path: str, recs: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+
+def _stream(spark, tmp_path):
+    cfg = LoaderConfig(input_path=str(tmp_path / "in"))
+    raw = transform(cfg, _read_stream(spark, cfg))
+    rec = raw.selectExpr(
+        "from_json(payload, 'event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string') AS r",
+        "event_ts",
+    ).select("r.event_id", "r.user_id", "r.event_type", "r.value", "event_ts")
+    return rec
+
+
+def _run_to_memory(df, name: str, output_mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def test_tumbling_window_stream(spark, tmp_path):
+    recs = [
+        {"event_id": i, "ts": BASE_US + i * 600_000_000, "user_id": i % 3,
+         "event_type": "click" if i % 2 else "view", "value": 1.0, "props": "{}"}
+        for i in range(12)  # 2 hours of events, 10 min apart
+    ]
+    _write_events(str(tmp_path / "in" / "a.jsonl"), recs)
+    df = jobs.hourly_counts_stream(_stream(spark, tmp_path))
+    _run_to_memory(df, "tumbling_t", "complete")
+    rows = spark.sql("SELECT * FROM tumbling_t ORDER BY window_start, event_type").collect()
+    # 12 events over 2 hours -> 2 windows x 2 types
+    assert len(rows) == 4
+    assert sum(r.n_events for r in rows) == 12
+
+
+def test_session_window_stream(spark, tmp_path):
+    # two sessions per user separated by > 30min gap
+    recs = []
+    for u in range(2):
+        for s in range(2):
+            for i in range(3):
+                recs.append(
+                    {"event_id": len(recs), "ts": BASE_US + s * 3_600_000_000 + i * 60_000_000 + u * 7_000_000,
+                     "user_id": u, "event_type": "click", "value": 1.0, "props": "{}"}
+                )
+    _write_events(str(tmp_path / "in" / "a.jsonl"), recs)
+    df = jobs.session_counts_stream(_stream(spark, tmp_path))
+    _run_to_memory(df, "session_t", "complete")
+    rows = spark.sql("SELECT * FROM session_t").collect()
+    assert len(rows) == 4  # 2 users x 2 sessions
+    assert all(r.n_events == 3 for r in rows)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    recs = [
+        {"event_id": i % 5, "ts": BASE_US + (i % 5) * 1_000_000, "user_id": 0,
+         "event_type": "click", "value": 1.0, "props": "{}"}
+        for i in range(15)  # every event duplicated 3x
+    ]
+    _write_events(str(tmp_path / "in" / "a.jsonl"), recs)
+    df = jobs.dedup_stream(_stream(spark, tmp_path))
+    _run_to_memory(df, "dedup_t", "append")
+    rows = spark.sql("SELECT DISTINCT event_id FROM dedup_t").collect()
+    assert spark.sql("SELECT COUNT(*) c FROM dedup_t").first().c == 5
+    assert len(rows) == 5
