@@ -55,6 +55,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Ensure at least defaultParallelism partitions for CPU-heavy operators.
+
+    Small-SF fixture tables arrive as a single parquet file -> a single
+    input partition, which would serialize expensive per-row work (shingle
+    hashing, vector math) onto one core.  At 100 TB the scan already has
+    thousands of partitions and this is a no-op; the repartition only
+    fires when the scan is narrower than the cluster.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *cols) if cols else df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All fixture tables as a dict (convenience for composites/tests)."""
     return {name: table(spark, sf_dir, name) for name in TABLES}

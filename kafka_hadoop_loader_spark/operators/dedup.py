@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.catalog import spread, table
 from kafka_hadoop_loader_spark.registry import register
 
 # LSH parameters: 64 hashes = 16 bands x 4 rows.
@@ -38,17 +38,27 @@ N_BANDS = 16
 ROWS_PER_BAND = 4
 
 
-def _shingles(text_col):
-    """Distinct word 3-gram shingles of a text column (empty if <3 words)."""
+def _shingle_hashes(text_col):
+    """Distinct word 3-gram shingles of a text column, each hashed to a
+    64-bit long (empty array if <3 words).
+
+    Shape matters for speed: ``slice + arrays_zip + transform`` evaluates
+    ``split`` ONCE per row.  The naive ``transform(sequence(...), i ->
+    concat(element_at(w, i)...))`` form re-evaluates the ``split``
+    subtree inside every lambda invocation (no common-subexpression
+    elimination across higher-order-function calls), which measured ~7x
+    slower at sf0.1.  Hashing each gram to a long immediately (one
+    xxhash64 over the 3 words, no string concat) makes every downstream
+    set operation (min-hash, array_intersect) long-typed and cheap; a
+    64-bit collision among ~1e6 distinct shingles has p ~ 3e-8 and only
+    perturbs the fourth decimal of a Jaccard estimate if it ever fires.
+    """
     w = F.split(text_col, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
-        ),
-    )
-    return F.when(F.size(w) >= 3, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
+    n = F.size(w)
+    z = F.arrays_zip(F.slice(w, 1, n - 2), F.slice(w, 2, n - 2), F.slice(w, 3, n - 2))
+    grams = F.transform(z, lambda s: F.xxhash64(s["0"], s["1"], s["2"]))
+    return F.when(n >= 3, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
     )
 
 
@@ -207,8 +217,15 @@ def dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle obviously doesn't (that's the point).""",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", _shingles(F.col("text")).alias("s")).where(F.size("s") > 0)
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    # persisted: the shingle set feeds the signature pass AND both sides
+    # of candidate verification; at scale this is the table you'd
+    # checkpoint once per pipeline run rather than recompute 3x.
+    sh = (
+        d.select("doc_id", _shingle_hashes(F.col("text")).alias("s"))
+        .where(F.size("s") > 0)
+        .persist()
+    )
     mh = _minhash_signatures(sh)
 
     # band key = xxhash64 over the band's 4 minhash values (+ band idx)
@@ -269,14 +286,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     j>=0.5.  Rows-only (pytest checks recall vs ground-truth pairs).""",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     # 3-gram shingle features (unigrams over the fixtures' small shared
     # vocabulary make every doc-pair near-identical; shingles are
     # discriminative).  For each of 64 bits: sum(+-1 per feature) > 0 ->
     # bit set; 64 aggregate folds over one xxhash64 per feature.
     th = d.select(
-        "doc_id",
-        F.transform(_shingles(F.col("text")), lambda t: F.xxhash64(t)).alias("h"),
+        "doc_id", _shingle_hashes(F.col("text")).alias("h")
     ).where(F.size("h") > 0)
     # explode + one hash aggregate with 64 conditional sums: one pass over
     # (doc, shingle) pairs with map-side partial aggregation -- much faster

@@ -29,7 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.catalog import spread, table
 from kafka_hadoop_loader_spark.registry import register
 
 
@@ -125,7 +125,7 @@ def _fake_decode_batches(batches):
     _fake_decode_batches); the distributed plumbing is real.""",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return (
         payloads.mapInPandas(_fake_decode_batches, schema=_DECODE_SCHEMA)
@@ -171,7 +171,7 @@ def _frame_sample_batches(batches: "Iterator") -> "Iterator":
     Verifies the Python plumbing produces exactly the declared rows.""",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     schema = StructType(
         [

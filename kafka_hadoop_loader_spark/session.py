@@ -35,6 +35,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Wide sketch aggregates (64 minhash mins, simhash bit votes) exceed
+    # the default 100-field cap and silently lose whole-stage codegen —
+    # measured ~1.5x slower.  Raise the cap; the generated methods stay
+    # under the JIT's 8KB/64KB limits because each field is one sum/min.
+    "spark.sql.codegen.maxFields": "512",
 }
 
 
