@@ -276,6 +276,185 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct([substr(text, i, 8)
+                                  for i in generate_series(1, len(text) - 7)]) AS s
+            FROM documents WHERE len(text) >= 8
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+           -- length filter implied by J >= 0.9: prunes the O(n^2)
+           -- list_intersect work without changing the result
+           AND len(a.s) >= 0.9 * len(b.s) AND len(b.s) >= 0.9 * len(a.s)
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.9
+        ORDER BY doc_id_a, doc_id_b
+    """,
+    doc="""Character-8-gram Jaccard near-dup pairs (j >= 0.9) via
+    PPJoin-style prefix filtering — the EXACT set-similarity join, no
+    sketching: order each doc's grams by global rarity (df, then gram);
+    if J(a,b) >= t the first floor((1-t)|s|)+1 grams of each (the
+    "prefix") must share at least one gram, so indexing only prefixes
+    loses nothing.  Candidates additionally pass the length filter
+    (t*|b| <= |a|) and the positional filter (remaining-suffix overlap
+    bound >= required overlap alpha = ceil(t/(1+t)(|a|+|b|))), then
+    exact-Jaccard verification computes |intersect| only (|union| =
+    |a|+|b|-|intersect| — half the array work).  Parameter notes,
+    measured on the fixtures: rarity ordering is load-bearing (a
+    hash-order prefix, valid for exactness, doubled the runtime on this
+    small-vocabulary corpus); 8-grams are ~10x more selective than
+    4-grams (same 25 true pairs at sf0.01 either way).  Complements
+    MinHash-LSH: same answer as the O(n^2) oracle scan, guaranteed.  At
+    100 TB the gram document-frequency table is the only global state
+    and is itself a one-line groupBy.""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = 0.9
+    g_len = 8
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    txt = F.col("text")
+    n = F.length(txt)
+    # hashed char-8-grams: substr inside the lambda is O(gram), unlike
+    # the split-per-element trap documented on _shingle_hashes
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (g_len - 1)),
+        lambda i: F.xxhash64(txt.substr(i, F.lit(g_len))),
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            F.when(n >= g_len, F.array_distinct(grams))
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("s"),
+        )
+        .where(F.size("s") > 0)
+        .select("doc_id", "s", F.size("s").alias("sz"))
+        .persist()
+    )
+    ex = sh.select("doc_id", "sz", F.explode("s").alias("g"))
+    gram_df = ex.groupBy("g").agg(F.count("*").alias("df_cnt"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df_cnt", "g")
+    prefix = (
+        ex.join(gram_df, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.floor((1 - t) * F.col("sz")) + 1)
+        .select("doc_id", "sz", "g", "rn")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    # positional filter: matching at prefix positions (rn_a, rn_b) caps
+    # the best-case overlap at min(remaining suffix)+1
+    alpha = F.ceil(F.lit(t / (1 + t)) * (F.col("a.sz") + F.col("b.sz")))
+    bound = F.least(F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")) + 1
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t implies min|s| >= t * max|s|
+            & (F.col("a.sz") >= t * F.col("b.sz"))
+            & (F.col("b.sz") >= t * F.col("a.sz"))
+            & (bound >= alpha),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa"), F.col("sz").alias("sza"))
+    sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb"), F.col("sz").alias("szb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    jac = inter / (F.col("sza") + F.col("szb") - inter)
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= t)
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH d AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+        ),
+        k AS (
+            SELECT vec_id, embedding,
+                   list_sum([CASE WHEN embedding[i] > 0 THEN 1 << (i - 1)
+                             ELSE 0 END
+                             for i in generate_series(1, 16)]) AS key
+            FROM d
+        )
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) AS cos_sim
+        FROM k a JOIN k b ON a.key = b.key AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.99
+        ORDER BY vec_id_a, vec_id_b
+    """,
+    doc="""Embedding-cosine near-dup detection with sign-quantization
+    blocking: block key = 16-bit sign pattern of the first 16 dimensions
+    (a 1-bit-per-dim product quantizer); only same-key pairs are scored.
+    Near-identical vectors agree on every sign, so recall at cos>=0.99
+    is exact for duplicates; random pairs collide with p~2^-16 and are
+    filtered by the exact cosine.  The fixture embeddings are
+    near-random (no natural pairs above 0.8 — measured), so duplicates
+    are planted via a shifted-id UNION ALL, as dedup_exact does for
+    text.  The cosine is the sequential JVM fold, bitwise-equal to
+    DuckDB's list_cosine_similarity (same parity knn_cosine_bruteforce
+    relies on).  At 100 TB: one narrow shuffle on the block key; widen
+    the quantizer (more dims/bits) to keep buckets small as N grows.""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.operators.similarity import cosine
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionAll(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    key = F.lit(0).cast("long")
+    for i in range(16):
+        key = key.bitwiseOR(
+            F.when(
+                F.element_at("embedding", i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(0)
+        )
+    keyed = doubled.select("vec_id", "embedding", key.alias("key"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    # clamp to [-1, 1]: DuckDB's list_cosine_similarity clamps, so a
+    # self-pair's sqrt-rounding overshoot (1.0000000000000002) must be
+    # clamped on this side too for bitwise parity.
+    cos = F.greatest(
+        F.lit(-1.0), F.least(F.lit(1.0), cosine(F.col("a.embedding"), F.col("b.embedding")))
+    )
+    return (
+        a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.99)
+        .orderBy("vec_id_a", "vec_id_b")
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=None,  # hash constants aren't expressible in portable SQL
     doc="""SimHash near-dup candidates: 64-bit signature = sign-aggregate

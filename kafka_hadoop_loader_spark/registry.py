@@ -70,8 +70,10 @@ def load_all() -> dict[str, Query]:
         sorts,
         textstats,
         tpch,
+        udfs,
         windows,
     )
+    from kafka_hadoop_loader_spark.sources import formats  # noqa: F401
     from kafka_hadoop_loader_spark.streaming import batch_windows  # noqa: F401
 
     return REGISTRY

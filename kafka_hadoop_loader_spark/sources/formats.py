@@ -1,0 +1,166 @@
+"""Batch sources/sinks beyond parquet (SURVEY.md §2.B "Scans / sources /
+sinks"): JSON and CSV scans with explicit schemas, and the batch analogue
+of the reference's time-bucketed MultiOutputFormat sink
+[pub: src/main/java/io/amient/kafka/hadoop/io/MultiOutputFormat.java]:
+a dynamic-partitioned parquet write (d=/h= directories) whose read-back
+path partition-prunes.
+
+Each registered query is a full round-trip: write a fixture slice in the
+format under test, read it back with a declared StructType (never
+inferSchema on the hot path — schema inference is an extra full scan),
+aggregate, and compare against the oracle computed directly on the
+original parquet.  Only integer/string columns cross the text formats so
+the round-trip is bit-exact (doubles through JSON/CSV text would be
+shortest-roundtrip-printed, which is exact too, but integers make the
+determinism obvious).
+
+Scale notes: text formats are line-splittable, so a 100 TB JSON/CSV
+input parallelizes per HDFS block with no coordination; the partitioned
+sink writes one file per (task, partition-value) — pair it with a
+repartition on the partition columns to avoid the small-files explosion
+(done below), which is the single most common 100 TB parquet-sink
+mistake.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.registry import register
+
+_EVENTS_SLICE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts_us", LongType()),
+    ]
+)
+
+
+def _events_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.select("event_id", "user_id", "event_type", "ts_us")
+
+
+_SLICE_AGG_ORACLE = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(user_id) AS sum_user_id,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def _slice_agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("user_id").alias("sum_user_id"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "scan_json",
+    oracle=_SLICE_AGG_ORACLE,
+    doc="""JSON-lines scan: write the events slice as JSON, read it back
+    with a declared StructType (no inferSchema pass), aggregate.  The
+    oracle aggregates the original parquet — proving the JSON round-trip
+    is lossless.  Line-delimited JSON splits per block at scale.""",
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(tempfile.mkdtemp(prefix="khl_json_"), "events_json")
+    _events_slice(spark, sf_dir).write.mode("overwrite").json(path)
+    back = spark.read.schema(_EVENTS_SLICE_SCHEMA).json(path)
+    return _slice_agg(back)
+
+
+@register(
+    "scan_csv",
+    oracle=_SLICE_AGG_ORACLE,
+    doc="""CSV scan with header + declared schema (inference off), same
+    round-trip proof as scan_json.  CSV is the interchange format the
+    reference's text-file output most resembles
+    [pub: …/io/MultiOutputFormat.java: text lines + codec].""",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(tempfile.mkdtemp(prefix="khl_csv_"), "events_csv")
+    _events_slice(spark, sf_dir).write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(_EVENTS_SLICE_SCHEMA).option("header", True).csv(path)
+    return _slice_agg(back)
+
+
+@register(
+    "sink_partitioned",
+    oracle="""
+        WITH t AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS d,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                   user_id
+            FROM events
+        )
+        SELECT d, h, COUNT(*) AS n, SUM(user_id) AS sum_user_id
+        FROM t
+        WHERE d = (SELECT min(d) FROM t)
+        GROUP BY d, h
+        ORDER BY d, h
+    """,
+    doc="""The reference's time-bucketed sink, batch form (R7/R8): write
+    events partitioned by d=YYYY-MM-DD/h=HH with a pre-write repartition
+    on the partition columns (one file per bucket, not one per task per
+    bucket), then read back ONLY the first day — the scan must touch
+    just that day's directories (partition pruning; verified in pytest
+    via the input-files list).  Oracle recomputes the same per-bucket
+    aggregate for that day directly from parquet.""",
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        F.format_string("%02d", F.hour("ts")).alias("h"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="khl_sink_"), "events_by_dh")
+    # one tiny driver scalar (parquet footer min) to bound the demo write
+    # to 3 days x 24 hourly buckets — the full fixture spans 720 (d, h)
+    # buckets and file-per-bucket creation would dominate the benchmark.
+    first_day = e.agg(F.min("d")).collect()[0][0]
+    sliced = e.where(F.col("d") <= F.date_format(F.date_add(F.to_date(F.lit(first_day)), 2), "yyyy-MM-dd"))
+    # repartition on the partition columns: one writer/file per (d, h) —
+    # without this every task writes a sliver into every bucket and a
+    # 1000-executor run yields millions of small files.
+    sliced.repartition("d", "h").write.mode("overwrite").partitionBy("d", "h").parquet(path)
+
+    back = spark.read.parquet(path)
+    pruned = back.where(F.col("d") == first_day)
+    return (
+        pruned.groupBy("d", "h")
+        .agg(F.count("*").alias("n"), F.sum("user_id").alias("sum_user_id"))
+        .select(
+            F.col("d").cast("string").alias("d"),
+            F.col("h").cast("string").cast("bigint").alias("h"),
+            "n",
+            "sum_user_id",
+        )
+        .orderBy("d", "h")
+    )
