@@ -70,3 +70,36 @@ def test_whole_stage_codegen_active(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # '*(N)' node prefixes mark WholeStageCodegen stages
     assert "*(1)" in plan and "partial_sum" in plan
+
+
+def test_q6_full_pushdown(spark):
+    # Q6's entire WHERE must reach the parquet scan (date range,
+    # discount range, quantity) — the canonical pushdown benchmark.
+    plan = _plan(spark, "tpch_q6_revenue")
+    flat = plan.replace(" ", "")
+    assert "PushedFilters:[" in flat
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.02)",
+        "LessThanOrEqual(l_discount,0.06)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in flat, f"{frag} not pushed:\n{plan[:1500]}"
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    plan = _plan(spark, "tpch_q4_priority")
+    assert "LeftSemi" in plan
+
+
+def test_q16_not_in_broadcasts_blacklist(spark):
+    plan = _plan(spark, "tpch_q16_supplier_cnt")
+    assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_scalar_subquery_broadcast(spark):
+    # Q22's 1-row threshold must arrive via broadcast, never a shuffle
+    # of the 15k-customer side against a single row.
+    plan = _plan(spark, "tpch_q22_idle_rich")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
