@@ -145,7 +145,12 @@ def run_loader(spark: SparkSession, cfg: LoaderConfig) -> dict:
     batches = 0
     for p in query.recentProgress:
         batches += 1
-        rows += int(p.get("sink", {}).get("numOutputRows", 0) or 0)
+        # the file sink reports numOutputRows = -1 ("unknown") on some
+        # batches; fall back to the batch's input row count then
+        n = int(p.get("sink", {}).get("numOutputRows", 0) or 0)
+        if n < 0:
+            n = int(p.get("numInputRows", 0) or 0)
+        rows += n
     return {"batches": batches, "rows_written": rows, "target": cfg.target_path}
 
 

@@ -104,3 +104,59 @@ def test_partition_pruning_on_loaded_data(spark, loader_dirs):
     # the physical scan must prune to the one matching partition
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_cli_end_to_end_incremental(spark, tmp_path):
+    """R10 parity: the CLI runs a bounded load; a second invocation with
+    the same checkpoint loads only newly-arrived files (R2/R9)."""
+    import json as _json
+
+    from kafka_hadoop_loader_spark.__main__ import main
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    base_us = 1704067200000000
+    with open(indir / "a.json", "w") as f:
+        for i in range(24):
+            f.write(
+                _json.dumps(
+                    {
+                        "event_id": i,
+                        "ts": base_us + i * 3600_000_000,
+                        "user_id": i % 3,
+                        "event_type": "click",
+                        "value": 1.0,
+                        "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+    args = [
+        "--source", "files",
+        "--input", str(indir),
+        "--target", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--master", "local[4]",
+    ]
+    assert main(args) == 0
+    with open(indir / "b.json", "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "event_id": 99,
+                    "ts": base_us,
+                    "user_id": 0,
+                    "event_type": "view",
+                    "value": 2.0,
+                    "props": "{}",
+                }
+            )
+            + "\n"
+        )
+    assert main(args) == 0
+    from kafka_hadoop_loader_spark.streaming.loader import read_loaded
+
+    back = read_loaded(spark, str(tmp_path / "out"))
+    assert back.count() == 25
+    # payload is passed through unparsed (R4); dig the id out of the JSON
+    assert back.where("get_json_object(payload, '$.event_id') = 99").count() == 1
