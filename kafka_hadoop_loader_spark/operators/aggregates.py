@@ -318,3 +318,49 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "agg_salted_twophase",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_qty,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="""Salted two-phase aggregation — the explicit skew pattern for
+    when one group key receives a pathological share of rows (here
+    l_returnflag: 3 values over 600M rows at 100 TB).  Phase 1 groups by
+    (key, salt=hash(row) % 32), spreading each hot key over 32 reducers;
+    phase 2 merges the 32 partials per key.  Results are identical to
+    the plain GROUP BY (the oracle) because the partials are scaled
+    BIGINTs — order-independent.  Spark's own map-side partial
+    aggregation makes this redundant for built-in aggs (the partial
+    combine already happens per task); the pattern matters for
+    shuffle-heavy aggregates with no partial form (collect_list,
+    exact percentile) and for skewed JOIN keys — AQE's skewJoin handles
+    the join case automatically (enabled in session.py).""",
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.functions.exact import scaled_long
+
+    li = table(spark, sf_dir, "lineitem")
+    salted = li.select(
+        "l_returnflag",
+        scaled_long(F.col("l_quantity"), 100).alias("qty_c"),
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(32)).alias("salt"),
+    )
+    phase1 = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum("qty_c").alias("partial_qty"), F.count("*").alias("partial_n")
+    )
+    return (
+        phase1.groupBy("l_returnflag")
+        .agg(
+            (F.sum("partial_qty").cast("double") / 100.0).alias("sum_qty"),
+            F.sum("partial_n").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )

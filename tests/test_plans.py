@@ -11,17 +11,9 @@ REG = registry.load_all()
 
 
 def _plan(spark, name: str) -> str:
-    import contextlib
-    import io
+    from kafka_hadoop_loader_spark.plans.inspect import formatted_plan
 
-    # untruncated formatted explain (toString() clips PushedFilters/schema)
-    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
-    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
-    df = REG[name].fn(spark, SF_DIR)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return formatted_plan(REG[name].fn(spark, SF_DIR))
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -103,3 +95,27 @@ def test_scalar_subquery_broadcast(spark):
     # of the 15k-customer side against a single row.
     plan = _plan(spark, "tpch_q22_idle_rich")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_inspect_helpers(spark):
+    from kafka_hadoop_loader_spark.plans.inspect import (
+        has_node,
+        pushed_filters,
+        scan_columns,
+    )
+
+    df = REG["tpch_q6_revenue"].fn(spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pf)
+    assert any("l_discount" in p for p in pf)
+    cols = scan_columns(df)
+    assert "l_extendedprice" in cols and "l_returnflag" not in cols
+    assert has_node(REG["join_broadcast"].fn(spark, SF_DIR), "BroadcastHashJoin")
+
+
+def test_salted_agg_two_exchanges(spark):
+    # the salted plan must show phase-1 partials on (key, salt) then a
+    # second exchange on key alone
+    plan = _plan(spark, "agg_salted_twophase")
+    assert plan.count("Exchange") >= 2
+    assert "salt" in plan
