@@ -61,3 +61,39 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("event_ts", watermark).dropDuplicates(
         ["event_id", "event_ts"]
     )
+
+
+def user_running_stats_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    cumulative (event count, max value) carried across micro-batches in
+    managed GroupState — the escape hatch for aggregation logic that
+    built-in windowed aggs can't express (multi-field state machines,
+    conditional resets).  Output mode 'update': one row per user per
+    micro-batch with the running totals; state is per-key and lives in
+    the checkpoint, so an incremental re-run resumes exactly.
+
+    Scale notes: state is partitioned by the group key across executors
+    (RocksDB state store in production); keep the state struct narrow —
+    it is rewritten per batch per active key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_user(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = float(pdf["value"].max()) if len(pdf) else None
+            if batch_max is not None:
+                mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_user,
+        outputStructType="user_id bigint, n_events bigint, max_value double",
+        stateStructType="n bigint, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -88,3 +88,65 @@ def test_streaming_dedup(spark, tmp_path):
     rows = spark.sql("SELECT DISTINCT event_id FROM dedup_t").collect()
     assert spark.sql("SELECT COUNT(*) c FROM dedup_t").first().c == 5
     assert len(rows) == 5
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches:
+    two input files processed as two batches (maxFilesPerTrigger=1) must
+    yield cumulative counts in the second batch's update rows."""
+    recs1 = [
+        {"event_id": i, "ts": BASE_US + i * 60_000_000, "user_id": i % 2,
+         "event_type": "click", "value": float(i), "props": "{}"}
+        for i in range(6)
+    ]
+    recs2 = [
+        {"event_id": 100 + i, "ts": BASE_US + (100 + i) * 60_000_000,
+         "user_id": i % 2, "event_type": "view", "value": 50.0 + i, "props": "{}"}
+        for i in range(4)
+    ]
+    _write_events(str(tmp_path / "in" / "a.jsonl"), recs1)
+    _write_events(str(tmp_path / "in" / "b.jsonl"), recs2)
+
+    from kafka_hadoop_loader_spark.streaming.loader import (
+        LoaderConfig,
+        _read_stream,
+        transform,
+    )
+
+    cfg = LoaderConfig(input_path=str(tmp_path / "in"), max_files_per_trigger=1)
+    raw = transform(cfg, _read_stream(spark, cfg))
+    rec = raw.selectExpr(
+        "from_json(payload, 'event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string') AS r",
+        "event_ts",
+    ).select("r.event_id", "r.user_id", "r.value", "event_ts")
+
+    from kafka_hadoop_loader_spark.streaming import jobs
+
+    df = jobs.user_running_stats_stream(rec)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("stateful_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM stateful_t").collect()
+    # update mode appends one row per user per batch; the cumulative
+    # count per user across ALL rows must peak at the true totals
+    per_user_max = {}
+    for r in rows:
+        per_user_max[r.user_id] = max(per_user_max.get(r.user_id, 0), r.n_events)
+    assert per_user_max == {0: 5, 1: 5}
+    # two batches really ran (one update row per user per batch), and an
+    # intermediate count (2 or 3 depending on which file came first) is
+    # visible — i.e. the final 5 came from state carried across batches,
+    # not one big batch
+    assert len(rows) == 4
+    intermediates = sorted(r.n_events for r in rows)[:2]
+    assert intermediates in ([2, 2], [3, 3])
+    assert sorted(r.n_events for r in rows)[2:] == [5, 5]
+    # and max_value reflects the second batch's larger values
+    assert max(r.max_value for r in rows) == 53.0
