@@ -364,3 +364,75 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d') AS d,
+               COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+        FROM events
+        GROUP BY d
+        ORDER BY d
+    """,
+    doc="""Pivot (long -> wide): daily counts per event type as columns.
+    The value list is EXPLICIT — without it Spark runs an extra
+    distinct-collect job to discover the columns, a driver round-trip
+    you never want on a 100 TB table.  Pivot-count yields 0 for empty
+    cells (matching SQL conditional counts), so no null-coalescing is
+    needed.""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.select(F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type")
+        .groupBy("d")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .orderBy("d")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_qty,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+                 l_linestatus NULLS FIRST
+    """,
+    doc="""Custom GROUPING SETS (beyond rollup/cube): the three-set case
+    (pair + each single dimension, no grand total).  GROUPING() columns
+    disambiguate real NULLs from subtotal rows.  One pass over the fact
+    table expands rows per set with map-side partials — same plan shape
+    Spark uses for rollup/cube.""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_qty,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+                 l_linestatus NULLS FIRST
+    """)
