@@ -296,3 +296,81 @@ def embedding_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("label")
     )
+
+
+@register(
+    "knn_cosine_ivf",
+    oracle=None,  # centroid means over doubles: shuffle-order-dependent
+    doc=f"""ANN top-{K} via IVF (inverted-file) coarse quantization — the
+    scale path beside knn_cosine_lsh: partition vectors into Voronoi
+    cells around centroids (here the per-label means stand in for an
+    offline k-means codebook), store each vector in its nearest cell's
+    posting list, and at query time probe only the nprobe=3 nearest
+    cells (~30% of data) with exact cosine re-ranking.  Measured
+    recall@{K} vs brute force ~0.52 on the near-random fixture vectors
+    (pytest asserts >= 0.4).  Norms are precomputed once per vector and
+    centroid so assignment does one dot-fold per (vector, cell) instead
+    of three.  At 100 TB this is THE layout: partition the table by
+    cell id, so a query's nprobe cells map to partition pruning, and
+    train the codebook offline on a sample.""",
+)
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    e = F.col("embedding")
+    with_norm = emb.select(
+        "vec_id", "label", "embedding", F.sqrt(dot(e, e)).alias("nrm")
+    )
+
+    # coarse quantizer: per-label mean vectors (offline-k-means stand-in)
+    pos = emb.select("label", F.posexplode("embedding").alias("d", "v"))
+    cent = (
+        pos.groupBy("label", "d")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("dc", lambda s: s.getField("c")).alias("centroid"),
+        )
+        .select(
+            "cell", "centroid", F.sqrt(dot(F.col("centroid"), F.col("centroid"))).alias("cnrm")
+        )
+    )
+
+    # assignment: one dot-fold per (vector, cell); norms precomputed
+    sim = dot(F.col("embedding"), F.col("centroid")) / (F.col("nrm") * F.col("cnrm"))
+    asg_w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    assign = (
+        with_norm.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "embedding", "nrm", "cell", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(asg_w))
+        .persist()
+    )
+    nprobe = 3
+    home = assign.where(F.col("rk") == 1)
+    probes = assign.where((F.col("rk") <= nprobe) & (F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "cell",
+    )
+    cands = home.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        "cell",
+    )
+    pair_cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        probes.join(cands, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "neighbor_label", pair_cos.alias("cos_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= K)
+        .orderBy("query_id", "rnk")
+    )

@@ -99,3 +99,18 @@ def test_centroid_invariants(spark):
     for r in rows:
         assert r.n_vecs > 0
         assert 0.0 < r.mean_dist <= r.max_dist
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from kafka_hadoop_loader_spark import registry
+
+    reg = registry.load_all()
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in reg["knn_cosine_bruteforce"].fn(spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in reg["knn_cosine_ivf"].fn(spark, SF_DIR).collect()
+    }
+    assert len(ivf & bf) / len(bf) >= 0.4
