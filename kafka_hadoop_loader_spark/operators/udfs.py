@@ -169,7 +169,7 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                    unnest(string_split(text, ' ')) AS tok
             FROM documents
         )
-        WHERE length(tok) >= 12
+        WHERE length(tok) >= 8
         ORDER BY doc_id, pos
     """,
     doc="""UDTF pattern (one row -> many rows): tokenize each document
@@ -183,6 +183,6 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok"))
         .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
-        .where(F.length("tok") >= 12)
+        .where(F.length("tok") >= 8)
         .orderBy("doc_id", "pos")
     )

@@ -70,6 +70,7 @@ def load_all() -> dict[str, Query]:
         sorts,
         textstats,
         tpch,
+        tpch2,
         udfs,
         windows,
     )
