@@ -36,6 +36,18 @@ def main() -> None:
     reg["events_hourly"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # warm up the Python worker pool (pandas/numpy import per worker) the
+    # same way: one trivial Arrow-batched pass across all cores, so the
+    # first pandas-UDF query isn't charged ~5s of one-time worker spawn
+    import pandas as pd  # noqa: F401
+
+    def _ident(batches):
+        for b in batches:
+            yield b
+
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(
+        _ident, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in sorted(reg):

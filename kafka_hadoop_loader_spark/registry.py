@@ -71,6 +71,7 @@ def load_all() -> dict[str, Query]:
         textstats,
         tpch,
         tpch2,
+        tpch3,
         udfs,
         windows,
     )
