@@ -339,3 +339,71 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="""Co-located fact-fact join via bucketing: both orders and
+    lineitem are written as bucketed tables (8 buckets, bucketed+sorted
+    on the orderkey), then joined bucket-to-bucket.  The sort-merge join
+    reads matching buckets directly — ZERO Exchange and ZERO Sort on
+    either side (asserted in tests/test_plans.py); the only shuffle in
+    the query is the final small group-by.  This is the 100 TB pattern
+    for repeated fact-fact joins: pay the bucketed write once, then
+    every subsequent join on the bucket key is shuffle-free.  The
+    `merge` hint pins SMJ so the demo doesn't degrade to broadcast at
+    toy scale; at real scale neither side is broadcastable anyway.
+    Oracle: the same join/aggregate written directly — bucketing is
+    pure physical layout and must not change the answer.""",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bo, bl = _bucketed_tables(spark, sf_dir)
+    return (
+        bo.hint("merge")
+        .join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            exact_sum(F.col("l_extendedprice")).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str):
+    """Write orders/lineitem as bucketed tables for ``sf_dir`` (once per
+    session) and return them.  External tables under /tmp so the repo
+    tree stays clean; the tag isolates scale factors from each other."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    names = (f"b_orders_{tag}", f"b_lineitem_{tag}")
+    specs = (
+        ("orders", ("o_orderkey", "o_orderpriority"), "o_orderkey"),
+        ("lineitem", ("l_orderkey", "l_extendedprice"), "l_orderkey"),
+    )
+    for tname, (src, cols, key) in zip(names, specs):
+        if not spark.catalog.tableExists(tname):
+            (
+                table(spark, sf_dir, src)
+                .select(*cols)
+                # one file per bucket: Spark only trusts sortBy ordering
+                # (eliding the join-side Sort) when each bucket is a
+                # single file, so route each bucket's rows to one task
+                .repartition(8, F.col(key))
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"/tmp/spark_graft_bucketed/{tname}")
+                .mode("overwrite")
+                .saveAsTable(tname)
+            )
+    return spark.table(names[0]), spark.table(names[1])

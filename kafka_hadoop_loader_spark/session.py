@@ -40,6 +40,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # measured ~1.5x slower.  Raise the cap; the generated methods stay
     # under the JIT's 8KB/64KB limits because each field is one sum/min.
     "spark.sql.codegen.maxFields": "512",
+    # Bucketed-sorted tables (join_bucketed_colocated): let the scan
+    # report the sortBy ordering so the co-located SMJ elides both Sorts
+    # (requires one file per bucket, which the bucketed write guarantees
+    # via repartition-on-key).  Only affects bucketed scans.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 

@@ -119,3 +119,27 @@ def test_salted_agg_two_exchanges(spark):
     plan = _plan(spark, "agg_salted_twophase")
     assert plan.count("Exchange") >= 2
     assert "salt" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """The bucketed co-located join must read bucket-to-bucket: no
+    Exchange and no Sort anywhere on the join's input sides (the only
+    Exchange in the whole query is the final group-by)."""
+    from kafka_hadoop_loader_spark.operators.joins import _bucketed_tables
+    from kafka_hadoop_loader_spark.plans.inspect import formatted_plan
+
+    bo, bl = _bucketed_tables(spark, SF_DIR)
+    joined = bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
+    plan = formatted_plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Sort" not in plan.replace("SortMergeJoin", "")
+    # and the full registered query agrees with a plain (bucket-unaware)
+    # join on row count
+    n_plain = (
+        REG["join_inner"].fn(spark, SF_DIR).sparkSession.read.parquet(
+            f"{SF_DIR}/lineitem.parquet"
+        )
+    ).count()
+    n_bucketed = joined.count()
+    assert n_bucketed == n_plain
