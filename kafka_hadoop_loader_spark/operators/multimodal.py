@@ -118,19 +118,71 @@ def _fake_decode_batches(batches):
 
 @register(
     "multimodal_decode",
-    oracle=None,  # decoder is a stub; plumbing checked rows-only + pytest
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        bytes AS (
+            SELECT doc_id, i,
+                   CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INTEGER) AS v,
+                   n
+            FROM b, unnest(generate_series(1, n)) AS u(i)
+        ),
+        feat AS (
+            SELECT doc_id,
+                   string_agg(
+                       printf('%.6f', CAST(v AS DOUBLE) / 255.0),
+                       ',' ORDER BY i
+                   ) AS feature_csv
+            FROM bytes
+            WHERE n >= 8 AND i <= 8
+            GROUP BY doc_id
+        )
+        SELECT bytes.doc_id,
+               CAST(max(n) AS BIGINT) AS payload_bytes,
+               CAST(SUM(v) AS DOUBLE) / max(n) AS mean_byte,
+               CAST(max(n) % 640 + 1 AS BIGINT) AS fake_width,
+               CAST(SUM(v) % 480 + 1 AS BIGINT) AS fake_height,
+               COALESCE(
+                   max(feat.feature_csv),
+                   '0.000000,0.000000,0.000000,0.000000,'
+                   || '0.000000,0.000000,0.000000,0.000000'
+               ) AS feature_csv,
+               'stub-v1' AS decoder
+        FROM bytes LEFT JOIN feat USING (doc_id)
+        GROUP BY bytes.doc_id
+        ORDER BY bytes.doc_id
+    """,
     doc="""Decode / feature-extract via mapInPandas over binary payloads:
     Arrow-batched, schema-declared, returns typed feature vectors.  The
     decoder itself is a deterministic stub (no codecs in container, see
-    _fake_decode_batches); the distributed plumbing is real.""",
+    _fake_decode_batches) — which makes it fully oracle-checkable: the
+    oracle re-derives the byte statistics and the normalized first-8-byte
+    feature vector from the hex expansion of the same payload.  The raw
+    array<double> feature stays internal; the output serializes it as
+    `%.6f`-formatted CSV (k/255 doubles never land on a half-ulp decimal
+    boundary, so Spark's HALF_UP and C's printf agree) — collected arrays
+    are unhashable in the harness's pandas canonicalization, strings sort
+    fine.""",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    return (
-        payloads.mapInPandas(_fake_decode_batches, schema=_DECODE_SCHEMA)
-        .orderBy("doc_id")
-    )
+    decoded = payloads.mapInPandas(_fake_decode_batches, schema=_DECODE_SCHEMA)
+    return decoded.select(
+        "doc_id",
+        "payload_bytes",
+        "mean_byte",
+        "fake_width",
+        "fake_height",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.6f", x)), ","
+        ).alias("feature_csv"),
+        "decoder",
+    ).orderBy("doc_id")
 
 
 def _frame_sample_batches(batches: "Iterator") -> "Iterator":

@@ -85,7 +85,7 @@ def test_multimodal_decode_plumbing(spark):
     assert len(rows) > 0
     r0 = rows[0]
     assert r0.decoder == "stub-v1"
-    assert len(r0.feature) == 8
+    assert len(r0.feature_csv.split(",")) == 8
     assert 0 < r0.mean_byte < 255
     assert r0.payload_bytes > 0
     # deterministic: second run bit-identical

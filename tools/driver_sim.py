@@ -29,6 +29,20 @@ def vhash(rows, cols) -> str:
     return hashlib.sha256("\n".join(canon).encode()).hexdigest()[:12]
 
 
+def pandas_canon(rows, cols):
+    """Mirror the grading driver's canonicalization: build a pandas frame,
+    column-sort, then sort_values over every column.  Columns holding
+    unhashable values (numpy arrays, lists, dicts) make pandas'
+    lexsort/factorize raise TypeError — exactly the failure
+    CORRECTNESS_r01 recorded for multimodal_decode — so running this on
+    every result (rows-only included) reproduces that class locally."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(list(rows), columns=list(cols))
+    pdf = pdf[sorted(pdf.columns)]
+    return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -64,6 +78,7 @@ def main() -> int:
         try:
             sdf = qs[name](spark, args.sf)
             srows = [tuple(r) for r in sdf.collect()]
+            pandas_canon(srows, sdf.columns)  # driver canonicalizes everything
             if name not in osql:
                 status = f"rows-only, {len(srows)} rows"
                 if len(srows) == 0:
