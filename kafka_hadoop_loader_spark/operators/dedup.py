@@ -62,6 +62,21 @@ def _shingle_hashes(text_col):
     )
 
 
+def _shingle_grams(text_col):
+    """Distinct word 3-gram shingles as space-joined STRINGS — for
+    operators whose hash must be portable across engines (dedup_simhash
+    hashes these with md5, reproducible in DuckDB; xxhash64 is not).
+    Same slice+arrays_zip shape as ``_shingle_hashes`` so ``split`` is
+    evaluated once per row, not once per gram."""
+    w = F.split(text_col, " ")
+    n = F.size(w)
+    z = F.arrays_zip(F.slice(w, 1, n - 2), F.slice(w, 2, n - 2), F.slice(w, 3, n - 2))
+    grams = F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
+    return F.when(n >= 3, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
     """doc_id -> 64 minhash columns mh0..mh63, via explode + min-agg.
 
@@ -454,42 +469,95 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash geometry: 60-bit signatures (15 hex chars of md5 -> fits a
+# signed BIGINT in every engine), 6 chunks x 10 bits, so pigeonhole
+# guarantees recall for hamming distance <= 5.
+_SIM_BITS = 60
+_SIM_CHUNKS = 6
+_SIM_CHUNK_BITS = 10
+_SIM_MAX_HAM = 5
+
+_SIMHASH_VOTE_SQL = ",\n                   ".join(
+    f"SUM(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v{bit}"
+    for bit in range(_SIM_BITS)
+)
+_SIMHASH_SIG_SQL = "\n                 + ".join(
+    f"(CASE WHEN v{bit} > 0 THEN (CAST(1 AS BIGINT) << {bit}) ELSE CAST(0 AS BIGINT) END)"
+    for bit in range(_SIM_BITS)
+)
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # hash constants aren't expressible in portable SQL
-    doc="""SimHash near-dup candidates: 64-bit signature = sign-aggregate
-    of per-shingle xxhash64 bits; blocking on 8x8-bit chunks guarantees
-    recall for hamming distance <= 7; verification via
-    bit_count(xor) <= 7.  SimHash is the tight-similarity detector
-    (exact-ish dups); MinHash-LSH is the primary near-dup operator at
-    j>=0.5.  Rows-only (pytest checks recall vs ground-truth pairs).""",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        g AS (
+            SELECT DISTINCT doc_id,
+                   CAST(('0x' || substr(
+                       md5(ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]),
+                       1, 15)) AS BIGINT) AS h
+            FROM w, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+            WHERE len(ws) >= 3
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {_SIMHASH_VOTE_SQL}
+            FROM g GROUP BY doc_id
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   {_SIMHASH_SIG_SQL} AS sig
+            FROM votes
+        )
+        SELECT a.doc_id AS doc_id_a,
+               b.doc_id AS doc_id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {_SIM_MAX_HAM}
+        ORDER BY doc_id_a, doc_id_b
+    """,
+    doc=f"""SimHash near-dup pairs: {_SIM_BITS}-bit signature =
+    sign-aggregate of per-shingle hash bits; blocking on
+    {_SIM_CHUNKS}x{_SIM_CHUNK_BITS}-bit chunks guarantees recall for
+    hamming distance <= {_SIM_MAX_HAM} (pigeonhole), so the chunk-join
+    output EQUALS the exhaustive all-pairs scan — which is exactly what
+    the oracle computes (O(n^2) is fine for DuckDB at sf0.01; the Spark
+    side never goes all-pairs).  The bit source is a portable md5-derived
+    60-bit gram hash (15 hex chars -> signed BIGINT in both engines), so
+    the signatures — not just the pair semantics — are cross-engine
+    identical.  SimHash is the tight-similarity detector (exact-ish
+    dups); MinHash-LSH is the primary near-dup operator at j>=0.5.""",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     # 3-gram shingle features (unigrams over the fixtures' small shared
     # vocabulary make every doc-pair near-identical; shingles are
-    # discriminative).  For each of 64 bits: sum(+-1 per feature) > 0 ->
-    # bit set; 64 aggregate folds over one xxhash64 per feature.
+    # discriminative).  Portable hash: md5 of the gram string, first 15
+    # hex chars -> 60-bit long (same value via DuckDB's hex-literal cast).
     th = d.select(
-        "doc_id", _shingle_hashes(F.col("text")).alias("h")
-    ).where(F.size("h") > 0)
-    # explode + one hash aggregate with 64 conditional sums: one pass over
+        "doc_id", _shingle_grams(F.col("text")).alias("g")
+    ).where(F.size("g") > 0)
+    ex = th.select("doc_id", F.explode("g").alias("gram")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("hv"),
+    )
+    # explode + one hash aggregate with 60 conditional sums: one pass over
     # (doc, shingle) pairs with map-side partial aggregation -- much faster
-    # than 64 sequential array folds (measured ~20s -> ~2s at sf0.1), and
-    # the shape that distributes: the shuffle carries 64 ints per doc.
-    ex = th.select("doc_id", F.explode("h").alias("hv"))
+    # than 60 sequential array folds (measured ~20s -> ~2s at sf0.1), and
+    # the shape that distributes: the shuffle carries 60 ints per doc.
     votes = ex.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("hv", bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{bit}")
-            for bit in range(64)
+            for bit in range(_SIM_BITS)
         ]
     )
     sig = F.lit(0).cast("long")
-    for bit in range(64):
-        # shiftleft on the JVM handles bit 63 (sign bit) correctly;
-        # a Python literal 1<<63 would overflow signed long
+    for bit in range(_SIM_BITS):
         sig = sig.bitwiseOR(
             F.when(
                 F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)
@@ -497,6 +565,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     sigs = votes.select("doc_id", sig.alias("sig"))
 
+    chunk_mask = (1 << _SIM_CHUNK_BITS) - 1
     chunks = sigs.select(
         "doc_id",
         "sig",
@@ -505,9 +574,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("sig", c * 8).bitwiseAND(F.lit(0xFF)).alias("ckey"),
+                        F.shiftright("sig", c * _SIM_CHUNK_BITS)
+                        .bitwiseAND(F.lit(chunk_mask))
+                        .alias("ckey"),
                     )
-                    for c in range(8)
+                    for c in range(_SIM_CHUNKS)
                 ]
             )
         ).alias("ck"),
@@ -515,7 +586,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = chunks.alias("a")
     b = chunks.alias("b")
-    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).cast("long")
     return (
         a.join(
             b,
@@ -529,6 +600,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.alias("hamming"),
         )
         .distinct()
-        .where(F.col("hamming") <= 7)
+        .where(F.col("hamming") <= _SIM_MAX_HAM)
         .orderBy("doc_id_a", "doc_id_b")
     )

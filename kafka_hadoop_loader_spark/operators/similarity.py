@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_hadoop_loader_spark.catalog import spread, table
+from kafka_hadoop_loader_spark.functions.exact import exact_avg
 from kafka_hadoop_loader_spark.registry import register
 
 K = 10
@@ -257,41 +258,88 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CENT_SCALE = 10**6  # per-dim centroid average quantum
+_SQ_SCALE = 10**12  # per-dim squared-diff quantum (fold is exact int64)
+
+
 @register(
     "embedding_label_centroid_dist",
-    oracle=None,  # group-sum of irrational doubles: order-dependent
+    oracle=f"""
+        WITH pos AS (
+            SELECT label, vec_id, i - 1 AS d,
+                   CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS u(i)
+        ),
+        cent AS (
+            SELECT label, d,
+                   CAST(SUM(CAST(ROUND(v * {_CENT_SCALE}) AS BIGINT)) AS DOUBLE)
+                       / (CAST(COUNT(*) AS DOUBLE) * {float(_CENT_SCALE)}) AS c
+            FROM pos GROUP BY label, d
+        ),
+        cvec AS (
+            SELECT label, list(c ORDER BY d) AS centroid
+            FROM cent GROUP BY label
+        ),
+        dists AS (
+            SELECT e.label,
+                   sqrt(CAST(list_sum(list_transform(
+                            list_zip(e.embedding::DOUBLE[], cv.centroid),
+                            s -> CAST(ROUND((s[1] - s[2]) * (s[1] - s[2])
+                                            * {float(_SQ_SCALE)}) AS BIGINT)
+                        )) AS DOUBLE) / {float(_SQ_SCALE)}) AS dist
+            FROM embeddings e JOIN cvec cv USING (label)
+        )
+        SELECT label,
+               COUNT(*) AS n_vecs,
+               CAST(SUM(CAST(ROUND(dist * {_CENT_SCALE}) AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * {float(_CENT_SCALE)}) AS mean_dist,
+               MAX(dist) AS max_dist
+        FROM dists GROUP BY label ORDER BY label
+    """,
     doc="""Per-label centroid + mean distance-to-centroid (cluster
     compactness) — grouped vector average via per-dimension explode, a
-    pattern for embedding-quality monitoring.  Rows-only: centroid sums
-    over doubles are shuffle-order-dependent; pytest checks invariants
-    (one row per label, distances positive and bounded).""",
+    pattern for embedding-quality monitoring.  Oracle-checked by making
+    every float shuffle-order-independent (functions/exact.py pattern):
+    the per-dim centroid is a scaled-BIGINT average, the per-vector
+    distance folds scaled-BIGINT squared diffs (an exact int sum inside
+    the array, no extra shuffle), and the per-label mean quantizes the
+    bitwise-identical dist doubles once more.  MAX is order-free.""",
 )
 def embedding_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    # explode to (label, dim, value), average per (label, dim), re-assemble
+    # explode to (label, dim, value), exact average per (label, dim),
+    # re-assemble into an ordered centroid vector per label
     pos = emb.select(
         "label", F.posexplode(F.col("embedding")).alias("d", "v")
     )
     cent = (
         pos.groupBy("label", "d")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .agg(exact_avg(F.col("v").cast("double"), _CENT_SCALE).alias("c"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
         .select("label", F.transform("dc", lambda s: s.getField("c")).alias("centroid"))
     )
-    joined = emb.join(cent, "label")
-    diff = F.zip_with(
+    joined = emb.join(F.broadcast(cent), "label")
+    sq_scaled = F.zip_with(
         F.col("embedding"),
         F.col("centroid"),
-        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        lambda x, c: F.round(
+            (x.cast("double") - c) * (x.cast("double") - c) * _SQ_SCALE
+        ).cast("long"),
     )
-    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda a, v: a + v))
+    dist = F.sqrt(
+        F.aggregate(sq_scaled, F.lit(0).cast("long"), lambda a, v: a + v).cast(
+            "double"
+        )
+        / F.lit(float(_SQ_SCALE))
+    )
     return (
         joined.select("label", dist.alias("dist"))
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.avg("dist").alias("mean_dist"),
+            exact_avg(F.col("dist"), _CENT_SCALE).alias("mean_dist"),
             F.max("dist").alias("max_dist"),
         )
         .orderBy("label")
