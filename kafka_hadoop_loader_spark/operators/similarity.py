@@ -346,9 +346,77 @@ def embedding_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_FOLD_DOT = (
+    "list_reduce(list_prepend(0.0, [{a}[i]::DOUBLE * {b}[i]::DOUBLE "
+    "for i in generate_series(1, len({a}))]), (x, y) -> x + y)"
+)
+
+
 @register(
     "knn_cosine_ivf",
-    oracle=None,  # centroid means over doubles: shuffle-order-dependent
+    oracle=f"""
+        WITH pos AS (
+            SELECT label, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS u(i)
+        ),
+        cent AS (
+            SELECT label, d,
+                   CAST(SUM(CAST(ROUND(v * {_CENT_SCALE}) AS BIGINT)) AS DOUBLE)
+                       / (CAST(COUNT(*) AS DOUBLE) * {float(_CENT_SCALE)}) AS c
+            FROM pos GROUP BY label, d
+        ),
+        cvec AS (
+            SELECT label AS cell, list(c ORDER BY d) AS centroid
+            FROM cent GROUP BY label
+        ),
+        cnorm AS (
+            SELECT cell, centroid,
+                   sqrt({_FOLD_DOT.format(a="centroid", b="centroid")}) AS cnrm
+            FROM cvec
+        ),
+        vecs AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_FOLD_DOT.format(a="embedding", b="embedding")}) AS nrm
+            FROM embeddings
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cell) AS rk
+            FROM (
+                SELECT v.vec_id, v.label, v.embedding, v.nrm, c.cell,
+                       {_FOLD_DOT.format(a="v.embedding", b="c.centroid")}
+                           / (v.nrm * c.cnrm) AS sim
+                FROM vecs v CROSS JOIN cnorm c
+            )
+        ),
+        home AS (
+            SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                   embedding AS c_emb, nrm AS c_nrm, cell
+            FROM ranked WHERE rk = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, cell
+            FROM ranked WHERE rk <= 3 AND vec_id < {N_QUERIES}
+        ),
+        cand AS (
+            SELECT DISTINCT query_id, neighbor_id, neighbor_label,
+                   {_FOLD_DOT.format(a="q_emb", b="c_emb")}
+                       / (q_nrm * c_nrm) AS cos_sim
+            FROM probes JOIN home USING (cell)
+            WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id)
+                          AS rnk
+            FROM cand
+        )
+        WHERE rnk <= {K}
+        ORDER BY query_id, rnk
+    """,
     doc=f"""ANN top-{K} via IVF (inverted-file) coarse quantization — the
     scale path beside knn_cosine_lsh: partition vectors into Voronoi
     cells around centroids (here the per-label means stand in for an
@@ -358,9 +426,12 @@ def embedding_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame
     recall@{K} vs brute force ~0.52 on the near-random fixture vectors
     (pytest asserts >= 0.4).  Norms are precomputed once per vector and
     centroid so assignment does one dot-fold per (vector, cell) instead
-    of three.  At 100 TB this is THE layout: partition the table by
-    cell id, so a query's nprobe cells map to partition pruning, and
-    train the codebook offline on a sample.""",
+    of three.  Oracle-checked: centroids are exact scaled-BIGINT
+    averages (order-independent) and every other float is a sequential
+    per-row fold, so assignment, probing, and re-ranking agree bitwise
+    with the DuckDB replay.  At 100 TB this is THE layout: partition
+    the table by cell id, so a query's nprobe cells map to partition
+    pruning, and train the codebook offline on a sample.""",
 )
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -371,11 +442,13 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding", F.sqrt(dot(e, e)).alias("nrm")
     )
 
-    # coarse quantizer: per-label mean vectors (offline-k-means stand-in)
+    # coarse quantizer: per-label mean vectors (offline-k-means stand-in);
+    # exact scaled-BIGINT averages so the codebook is order-independent
+    # (and the DuckDB oracle can rebuild it bit-for-bit)
     pos = emb.select("label", F.posexplode("embedding").alias("d", "v"))
     cent = (
         pos.groupBy("label", "d")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .agg(exact_avg(F.col("v").cast("double"), _CENT_SCALE).alias("c"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
         .select(
