@@ -379,31 +379,52 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_bucket_root: str | None = None
+
+
 def _bucketed_tables(spark: SparkSession, sf_dir: str):
     """Write orders/lineitem as bucketed tables for ``sf_dir`` (once per
-    session) and return them.  External tables under /tmp so the repo
-    tree stays clean; the tag isolates scale factors from each other."""
+    process) and return them.  External tables under a per-process temp
+    root (removed at exit) so concurrent bench/pytest/driver processes
+    never race overwrite-vs-read on a shared path; the tag carries the
+    sf basename plus a path fingerprint so distinct fixture dirs with
+    the same basename can't alias."""
+    import atexit
+    import hashlib
     import os
+    import shutil
+    import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    global _bucket_root
+    if _bucket_root is None:
+        _bucket_root = tempfile.mkdtemp(prefix=f"khl_buckets_{os.getpid()}_")
+        atexit.register(shutil.rmtree, _bucket_root, ignore_errors=True)
+
+    apath = os.path.abspath(sf_dir.rstrip("/"))
+    base = os.path.basename(apath).replace(".", "_").replace("-", "_")
+    tag = f"{base}_{hashlib.md5(apath.encode()).hexdigest()[:6]}"
     names = (f"b_orders_{tag}", f"b_lineitem_{tag}")
     specs = (
         ("orders", ("o_orderkey", "o_orderpriority"), "o_orderkey"),
         ("lineitem", ("l_orderkey", "l_extendedprice"), "l_orderkey"),
     )
     for tname, (src, cols, key) in zip(names, specs):
-        if not spark.catalog.tableExists(tname):
-            (
-                table(spark, sf_dir, src)
-                .select(*cols)
-                # one file per bucket: Spark only trusts sortBy ordering
-                # (eliding the join-side Sort) when each bucket is a
-                # single file, so route each bucket's rows to one task
-                .repartition(8, F.col(key))
-                .write.bucketBy(8, key)
-                .sortBy(key)
-                .option("path", f"/tmp/spark_graft_bucketed/{tname}")
-                .mode("overwrite")
-                .saveAsTable(tname)
-            )
+        data_dir = os.path.join(_bucket_root, tname)
+        # trust the catalog entry only while its data directory exists
+        if spark.catalog.tableExists(tname) and os.path.isdir(data_dir):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        (
+            table(spark, sf_dir, src)
+            .select(*cols)
+            # one file per bucket: Spark only trusts sortBy ordering
+            # (eliding the join-side Sort) when each bucket is a
+            # single file, so route each bucket's rows to one task
+            .repartition(8, F.col(key))
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", data_dir)
+            .mode("overwrite")
+            .saveAsTable(tname)
+        )
     return spark.table(names[0]), spark.table(names[1])

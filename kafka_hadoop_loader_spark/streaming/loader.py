@@ -35,12 +35,54 @@ layout is what makes every downstream query partition-prunable.
 from __future__ import annotations
 
 import os
+import threading
+from collections import defaultdict
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 
 from kafka_hadoop_loader_spark.session import configure_runtime
+
+
+class _RunMetricsListener(StreamingQueryListener):
+    """Accumulates per-query row/batch counts from progress events.
+
+    ``query.recentProgress`` is a ring buffer capped at
+    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100): a
+    backfill with more micro-batches (e.g. maxFilesPerTrigger=1 over a
+    large directory) silently undercounts if summed after the fact.  A
+    listener sees every batch exactly once, regardless of run length.
+    """
+
+    def __init__(self) -> None:
+        self.rows: dict[str, int] = defaultdict(int)
+        self.batches: dict[str, int] = defaultdict(int)
+        self._terminated: dict[str, threading.Event] = defaultdict(threading.Event)
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        n = int(p.sink.numOutputRows if p.sink.numOutputRows is not None else -1)
+        if n < 0:  # file sink reports -1 ("unknown") on some batches
+            n = int(p.numInputRows or 0)
+        qid = str(p.id)
+        self.rows[qid] += n
+        self.batches[qid] += 1
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        self._terminated[str(event.id)].set()
+
+    def wait_terminated(self, qid: str, timeout: float = 30.0) -> bool:
+        """Progress events ride an async bus; don't read counts until the
+        terminated event (which is ordered after them) has landed."""
+        return self._terminated[qid].wait(timeout)
 
 
 @dataclass
@@ -129,28 +171,34 @@ def run_loader(spark: SparkSession, cfg: LoaderConfig) -> dict:
     """
     configure_runtime(spark)
     out = transform(cfg, _read_stream(spark, cfg))
-    query = (
-        out.writeStream.format("parquet")
-        .option("path", cfg.target_path)
-        .option("checkpointLocation", cfg.checkpoint_path)
-        .option("compression", cfg.compression)
-        .partitionBy("d", "h", *cfg.extra_partition_cols)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    # aggregate across this run's micro-batches (lastProgress alone can be
-    # a terminal empty batch with no sink rows)
-    rows = 0
-    batches = 0
-    for p in query.recentProgress:
-        batches += 1
-        # the file sink reports numOutputRows = -1 ("unknown") on some
-        # batches; fall back to the batch's input row count then
-        n = int(p.get("sink", {}).get("numOutputRows", 0) or 0)
-        if n < 0:
-            n = int(p.get("numInputRows", 0) or 0)
-        rows += n
+    listener = _RunMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        query = (
+            out.writeStream.format("parquet")
+            .option("path", cfg.target_path)
+            .option("checkpointLocation", cfg.checkpoint_path)
+            .option("compression", cfg.compression)
+            .partitionBy("d", "h", *cfg.extra_partition_cols)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qid = str(query.id)
+        query.awaitTermination()
+        delivered = listener.wait_terminated(qid)
+        rows = listener.rows.get(qid, 0)
+        batches = listener.batches.get(qid, 0)
+        if not delivered and not batches:
+            # listener bus never delivered (shouldn't happen): fall back
+            # to the bounded recentProgress buffer rather than report 0
+            for p in query.recentProgress:
+                batches += 1
+                n = int(p.get("sink", {}).get("numOutputRows", 0) or 0)
+                if n < 0:
+                    n = int(p.get("numInputRows", 0) or 0)
+                rows += n
+    finally:
+        spark.streams.removeListener(listener)
     return {"batches": batches, "rows_written": rows, "target": cfg.target_path}
 
 
