@@ -38,7 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timestamp-field", default="ts", help="JSON event-time field (R6)")
     p.add_argument("--timestamp-unit", choices=["s", "ms", "us"], default="us")
     p.add_argument("--offset-reset", choices=["earliest", "latest"], default="earliest")
-    p.add_argument("--compression", default="snappy", help="parquet codec (R8)")
+    p.add_argument("--compression", default="snappy", help="output codec (R8)")
+    p.add_argument("--output-format", choices=["parquet", "text", "json"],
+                   default="parquet",
+                   help="'text' = the reference's raw-payload-lines shape")
     p.add_argument("--payload-schema", default=None,
                    help="DDL schema of the JSON payload (default: events shape)")
     p.add_argument("--max-files-per-trigger", type=int, default=None,
@@ -70,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
         timestamp_unit=args.timestamp_unit,
         offset_reset=args.offset_reset,
         compression=args.compression,
+        output_format=args.output_format,
         max_files_per_trigger=args.max_files_per_trigger,
     )
     if args.payload_schema:

@@ -98,7 +98,12 @@ class LoaderConfig:
     timestamp_field: str = "ts"  # JSON field holding event time (R6)
     timestamp_unit: str = "us"  # s | ms | us
     offset_reset: str = "earliest"  # R3: earliest | latest
-    compression: str = "snappy"  # R8
+    compression: str = "snappy"  # R8 codec (parquet: snappy/gzip/zstd...;
+    # text/json: gzip/bzip2/...)
+    output_format: str = "parquet"  # parquet | text | json; "text" is the
+    # reference's exact output shape — raw payload lines + codec
+    # [pub: .../io/MultiOutputFormat.java] — columnar parquet is the
+    # engine's default upgrade over it
     payload_schema: str = (
         "event_id bigint, ts bigint, user_id bigint, event_type string,"
         " value double, props string"
@@ -171,11 +176,17 @@ def run_loader(spark: SparkSession, cfg: LoaderConfig) -> dict:
     """
     configure_runtime(spark)
     out = transform(cfg, _read_stream(spark, cfg))
+    if cfg.output_format == "text":
+        # R8 text-lines parity: the text sink takes exactly one string
+        # column ("value" = the raw payload) plus the partition columns.
+        out = out.select(
+            F.col("payload").alias("value"), "d", "h", *cfg.extra_partition_cols
+        )
     listener = _RunMetricsListener()
     spark.streams.addListener(listener)
     try:
         query = (
-            out.writeStream.format("parquet")
+            out.writeStream.format(cfg.output_format)
             .option("path", cfg.target_path)
             .option("checkpointLocation", cfg.checkpoint_path)
             .option("compression", cfg.compression)

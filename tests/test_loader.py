@@ -160,3 +160,50 @@ def test_cli_end_to_end_incremental(spark, tmp_path):
     assert back.count() == 25
     # payload is passed through unparsed (R4); dig the id out of the JSON
     assert back.where("get_json_object(payload, '$.event_id') = 99").count() == 1
+
+
+def test_cli_gzip_text_output(spark, tmp_path):
+    """R8 parity: the reference writes raw payload lines with an optional
+    gzip codec into the time-bucketed layout — drive the CLI end-to-end
+    with --output-format text --compression gzip and read it back."""
+    import glob
+    import json as _json
+
+    from kafka_hadoop_loader_spark.__main__ import main
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    base_us = 1704067200000000
+    records = [
+        {
+            "event_id": i,
+            "ts": base_us + i * 3600_000_000,
+            "user_id": i % 3,
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i in range(24)
+    ]
+    with open(indir / "a.json", "w") as f:
+        for r in records:
+            f.write(_json.dumps(r) + "\n")
+    out = tmp_path / "out"
+    assert main([
+        "--source", "files",
+        "--input", str(indir),
+        "--target", str(out),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--output-format", "text",
+        "--compression", "gzip",
+        "--master", "local[4]",
+    ]) == 0
+
+    # gzip'd line files inside the hive d=/h= layout
+    gz = glob.glob(str(out / "d=*" / "h=*" / "*.txt.gz"))
+    assert gz, f"no .txt.gz files under {out}"
+    back = spark.read.text(str(out))
+    assert back.count() == 24
+    # lines are the raw payloads, bit-for-bit (R4 passthrough + R8 codec)
+    got = {r.value for r in back.collect()}
+    assert got == {_json.dumps(r) for r in records}

@@ -121,7 +121,40 @@ def test_salted_agg_two_exchanges(spark):
     assert "salt" in plan
 
 
-def test_bucketed_join_is_shuffle_free(spark):
+# TPC-H composites that join at least one true dimension table
+# (region / nation / supplier / part): the dimension side must arrive
+# via broadcast, never a shuffle of the fact side against a dim.
+_TPCH_DIM_JOINERS = (
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returns",
+    "tpch_q11_important_stock",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_suppliers",
+)
+
+
+def test_tpch_dimension_joins_broadcast(spark):
+    for name in _TPCH_DIM_JOINERS:
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast dim join"
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """No registered query may plan a CartesianProduct: the explicit
+    cross joins are all broadcast-side-tiny by construction and must
+    stay BroadcastNestedLoop; everything else must be keyed."""
+    for name in REG:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
     """The bucketed co-located join must read bucket-to-bucket: no
     Exchange and no Sort anywhere on the join's input sides (the only
     Exchange in the whole query is the final group-by)."""
