@@ -23,6 +23,14 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "EqualTo(l_returnflag,R)" in plan.replace(" ", "")
 
 
+def test_filter_in_like_pushdown(spark):
+    # the IN list must reach the parquet scan (the OR-of-LIKE disjunct
+    # can't, which is fine — In alone prunes row groups on mktsegment)
+    plan = _plan(spark, "filter_in_like").replace(" ", "")
+    assert "PushedFilters:[" in plan
+    assert "In(c_mktsegment" in plan, plan[:1200]
+
+
 def test_column_pruning(spark):
     plan = _plan(spark, "filter_pushdown")
     # ReadSchema must not include unprojected columns like l_comment/l_tax
