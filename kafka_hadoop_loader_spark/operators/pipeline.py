@@ -1,0 +1,462 @@
+"""Training-data pipeline operators beyond the dedup/similarity core:
+repetition signals, quality gating, benchmark decontamination,
+deterministic splits/sampling/mixing, sequence packing, PII redaction.
+
+These are the operations an LLM pretraining-data pipeline runs between
+raw ingestion (the loader) and tokenization: filter (quality, PII),
+decontaminate against eval benchmarks, subsample/mix sources, and pack
+documents into fixed-length training sequences.  Reference parity note
+(SURVEY.md §2): the reference loader has no such stage — this module is
+part of the mandated LLM-pipeline surface built on the same tables.
+
+Everything is built-in expressions; determinism follows SURVEY.md §5.2:
+integer counts, single exact divisions, and the portable 60-bit
+md5-derived hash (15 hex chars -> signed-positive BIGINT, identical in
+Spark and DuckDB) wherever pseudo-randomness is needed, so sampling
+decisions are bit-identical across engines and cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import spread, table
+from kafka_hadoop_loader_spark.registry import register
+
+
+def _phash(col) -> F.Column:
+    """Portable 60-bit hash: md5 hex prefix as BIGINT (always >= 0).
+
+    Same value as DuckDB's ``CAST(('0x' || substr(md5(x), 1, 15)) AS
+    BIGINT)`` — the cross-engine determinism workhorse (see
+    dedup_simhash), here used to make sampling/split decisions
+    reproducible no matter which engine or cluster layout executes.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_PHASH_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "text_repetition",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        b AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+            FROM w, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+            WHERE len(ws) >= 2
+        ),
+        c AS (
+            SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM b GROUP BY doc_id, bg
+        )
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+               (CAST(SUM(cnt) AS DOUBLE) - CAST(COUNT(*) AS DOUBLE))
+                   / CAST(SUM(cnt) AS DOUBLE) AS dup_bigram_frac,
+               CAST(MAX(cnt) AS BIGINT) AS top_bigram_cnt,
+               CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+                   AS top_bigram_frac
+        FROM c GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="""Per-document repetition signals (the Gopher/MassiveText rules'
+    shape): duplicate-bigram fraction and top-bigram fraction flag
+    boilerplate and degenerate repetition that plain length/stopword
+    filters miss.  Plan: explode bigrams -> two hash aggregates, both
+    with map-side partial aggregation; the shuffle carries (doc_id,
+    bigram, partial count), never documents.  At 100 TB this is the
+    same shape as text_token_freq — embarrassingly parallel.""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bigr = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    ex = (
+        d.where(F.size(w) >= 2)
+        .select("doc_id", F.explode(bigr).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = F.sum("cnt")
+    dist = F.count("*")
+    top = F.max("cnt")
+    return (
+        ex.groupBy("doc_id")
+        .agg(
+            total.alias("n_bigrams"),
+            dist.alias("n_distinct_bigrams"),
+            (
+                (total.cast("double") - dist.cast("double")) / total.cast("double")
+            ).alias("dup_bigram_frac"),
+            top.alias("top_bigram_cnt"),
+            (top.cast("double") / total.cast("double")).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Quality-gate thresholds (C4/Gopher-style, tuned to the fixture's
+# 10-99-token word-salad docs so both outcomes occur).
+_QG_MIN_TOKENS = 20
+_QG_MIN_AVG_LEN = 3.0
+_QG_MAX_AVG_LEN = 8.0
+_QG_MIN_TTR = 0.30
+_QG_MAX_STOP = 0.30
+_QG_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+
+@register(
+    "quality_gate",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, source, n_chars,
+                   string_split(text, ' ') AS w
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, lang, source,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(n_chars AS DOUBLE) / CAST(len(w) AS DOUBLE)
+                       AS avg_token_len,
+                   CAST(len(list_distinct(w)) AS DOUBLE)
+                       / CAST(len(w) AS DOUBLE) AS type_token_ratio,
+                   CAST(len(list_filter(w, x -> x IN {_QG_STOPWORDS!r}))
+                        AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stopword_ratio
+            FROM t
+        )
+        SELECT doc_id, lang, source, n_tokens, avg_token_len,
+               type_token_ratio, stopword_ratio,
+               (n_tokens >= {_QG_MIN_TOKENS}) AS pass_len,
+               (avg_token_len >= {_QG_MIN_AVG_LEN}
+                AND avg_token_len <= {_QG_MAX_AVG_LEN}) AS pass_word_len,
+               (type_token_ratio >= {_QG_MIN_TTR}) AS pass_diversity,
+               (stopword_ratio <= {_QG_MAX_STOP}) AS pass_stopwords,
+               (n_tokens >= {_QG_MIN_TOKENS}
+                AND avg_token_len >= {_QG_MIN_AVG_LEN}
+                AND avg_token_len <= {_QG_MAX_AVG_LEN}
+                AND type_token_ratio >= {_QG_MIN_TTR}
+                AND stopword_ratio <= {_QG_MAX_STOP}) AS keep
+        FROM s
+        ORDER BY doc_id
+    """,
+    doc="""C4/Gopher-style quality gate: per-document rule evaluation
+    (min length, word-length band, lexical diversity, stopword cap)
+    with per-rule booleans plus the conjunction — the audit-friendly
+    form (you can aggregate per-rule rejection rates before committing
+    to a filter).  Narrow projection, no shuffle until the final
+    presentation sort; comparisons are on exact single divisions so the
+    booleans are engine-independent.""",
+)
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_tok = F.size(w).cast("bigint")
+    avg_len = F.col("n_chars").cast("double") / n_tok.cast("double")
+    ttr = F.size(F.array_distinct(w)).cast("double") / n_tok.cast("double")
+    stop = (
+        F.size(F.filter(w, lambda x: x.isin(*_QG_STOPWORDS))).cast("double")
+        / n_tok.cast("double")
+    )
+    out = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tok.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        ttr.alias("type_token_ratio"),
+        stop.alias("stopword_ratio"),
+    )
+    pass_len = F.col("n_tokens") >= _QG_MIN_TOKENS
+    pass_wl = (F.col("avg_token_len") >= _QG_MIN_AVG_LEN) & (
+        F.col("avg_token_len") <= _QG_MAX_AVG_LEN
+    )
+    pass_div = F.col("type_token_ratio") >= _QG_MIN_TTR
+    pass_stop = F.col("stopword_ratio") <= _QG_MAX_STOP
+    return out.select(
+        "*",
+        pass_len.alias("pass_len"),
+        pass_wl.alias("pass_word_len"),
+        pass_div.alias("pass_diversity"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_len & pass_wl & pass_div & pass_stop).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "decontaminate_ngram",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        g AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g3
+            FROM w, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+            WHERE len(ws) >= 3
+        ),
+        bench AS (
+            SELECT doc_id AS bench_id, g3 FROM g WHERE doc_id % 97 = 0
+        ),
+        corpus AS (
+            SELECT doc_id, g3 FROM g WHERE doc_id % 97 <> 0
+        )
+        SELECT c.doc_id AS doc_id,
+               CAST(COUNT(DISTINCT c.g3) AS BIGINT) AS n_shared_grams,
+               CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+        FROM corpus c JOIN bench b ON c.g3 = b.g3
+        GROUP BY c.doc_id
+        ORDER BY doc_id
+    """,
+    doc="""Benchmark decontamination by token-n-gram overlap (the
+    GPT-3/PaLM eval-leakage procedure): any training document sharing a
+    3-gram with the held-out benchmark set (here: doc_id % 97 = 0 as
+    the stand-in benchmark) is flagged with its overlap evidence.  The
+    benchmark gram set is tiny relative to the corpus, so the plan
+    broadcasts it — the corpus side streams, nothing shuffles but the
+    per-doc aggregate.  At 100 TB: identical shape; real pipelines hash
+    grams (13-grams) to 64-bit before the join, which this fixture
+    skips only because the strings are the parity-checkable form.""",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    w = F.split("text", " ")
+    g3 = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(w, i),
+            F.element_at(w, i + 1),
+            F.element_at(w, i + 2),
+        ),
+    )
+    grams = (
+        d.where(F.size(w) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(g3)).alias("g3"))
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "g3"
+    )
+    corpus = grams.where(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g3")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g3").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_hash_split",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, source,
+                   {_PHASH_SQL.format(x="'split:' || CAST(doc_id AS VARCHAR)")}
+                       % 100 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, source, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM s
+        ORDER BY doc_id
+    """,
+    doc="""Deterministic train/val/test split by salted content hash
+    (80/10/10): the split decision is a pure function of the stable id,
+    so it is reproducible across engines, runs, and repartitions — the
+    property random() splits lack — and membership never migrates when
+    new data arrives.  Stateless map, zero shuffle except the
+    presentation sort; the salt namespaces this split against other
+    hash-based decisions (mix_weighted_sources uses its own).""",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = _phash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    return d.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "mix_weighted_sources",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, source,
+                   25 + 25 * (CAST(substr(source, 4) AS INTEGER) % 4)
+                       AS weight_pct,
+                   {_PHASH_SQL.format(x="'mix:' || CAST(doc_id AS VARCHAR)")}
+                       % 100 AS bucket
+            FROM documents
+        )
+        SELECT source, CAST(MIN(weight_pct) AS BIGINT) AS weight_pct,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN bucket < weight_pct THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN bucket < weight_pct THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+        FROM s GROUP BY source
+        ORDER BY source
+    """,
+    doc="""Weighted source mixing — the data-mixture step that
+    up/down-samples corpora to target proportions (weights here derive
+    from the source id: 25/50/75/100%).  Selection is the same salted
+    portable hash as sample_hash_split, so the chosen subset is
+    deterministic and composes with the split (independent salts =
+    independent decisions).  Per-source audit counts come out of one
+    hash aggregate; the actual kept-rows stream is the same predicate
+    applied as a filter — no shuffle at all in the sampling itself.""",
+)
+def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    weight = 25 + 25 * (F.expr("substring(source, 4)").cast("int") % 4)
+    bucket = _phash(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
+    kept = F.when(bucket < weight, 1).otherwise(0)
+    return (
+        d.select("source", weight.alias("weight_pct"), kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.min("weight_pct").cast("bigint").alias("weight_pct"),
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            (F.sum("kept").cast("double") / F.count("*").cast("double")).alias(
+                "kept_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        o AS (
+            SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS tok_offset
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens, tok_offset,
+               tok_offset // {_PACK_BUDGET} AS seq_first,
+               (tok_offset + n_tokens - 1) // {_PACK_BUDGET} AS seq_last,
+               (tok_offset + n_tokens - 1) // {_PACK_BUDGET}
+                   - tok_offset // {_PACK_BUDGET} + 1 AS n_seqs
+        FROM o
+        ORDER BY source, doc_id
+    """,
+    doc="""Concat-and-chunk sequence packing (the standard pretraining
+    layout): documents are concatenated in stable order within each
+    source shard and chopped into fixed {budget}-token sequences; each
+    document reports the sequence range it lands in.  One running-sum
+    window per shard — partitioned by source so no single-task global
+    window exists; at 100 TB shards are the parallelism unit and a
+    two-pass per-shard-offset + global-prefix variant removes even the
+    within-shard skew.  All integer arithmetic (DIV), so the layout is
+    bit-identical everywhere.""".format(budget=_PACK_BUDGET),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_offset")
+    o = t.select("doc_id", "source", "n_tokens", off)
+    seq_first = F.expr(f"tok_offset DIV {_PACK_BUDGET}")
+    seq_last = F.expr(f"(tok_offset + n_tokens - 1) DIV {_PACK_BUDGET}")
+    return o.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "tok_offset",
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        (seq_last - seq_first + 1).alias("n_seqs"),
+    ).orderBy("source", "doc_id")
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+        WITH injected AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com call +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' now' AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT)
+                   AS n_phones,
+               regexp_replace(
+                   regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM injected
+        ORDER BY doc_id
+    """,
+    doc="""PII detection + redaction over text columns: count and mask
+    email/phone patterns (regex classes shared verbatim by Java regex
+    and RE2, so both engines see identical matches).  The fixture text
+    contains no organic PII, so a deterministic per-doc synthetic tail
+    is injected first — the redaction then provably removes it.
+    Stateless regexp map, no shuffle; at 100 TB this fuses into the
+    scan like any projection.""",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    inj = d.select("doc_id", raw.alias("raw"))
+    return inj.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("raw", F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    ).orderBy("doc_id")

@@ -132,6 +132,7 @@ def load_all() -> dict[str, Query]:
         filters,
         joins,
         multimodal,
+        pipeline,
         scalars,
         setops,
         similarity,

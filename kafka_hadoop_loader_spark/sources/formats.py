@@ -64,6 +64,8 @@ def _round_trip_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         df = _events_slice(spark, sf_dir)
         if fmt == "json":
             df.write.mode("overwrite").json(path)
+        elif fmt == "orc":
+            df.write.mode("overwrite").orc(path)
         else:
             df.write.mode("overwrite").option("header", True).csv(path)
         _round_trips[key] = path
@@ -135,6 +137,23 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(_EVENTS_SLICE_SCHEMA).option("header", True).csv(
         _round_trip_path(spark, sf_dir, "csv")
+    )
+    return _slice_agg(back)
+
+
+@register(
+    "scan_orc",
+    oracle=_SLICE_AGG_ORACLE,
+    doc="""ORC scan: write the events slice as ORC (Spark's second
+    native columnar format), read it back, aggregate — same round-trip
+    proof as scan_json/scan_csv.  Unlike the text formats, ORC is
+    binary-columnar with stripe-level statistics, so at 100 TB it gets
+    the same predicate-pushdown/column-pruning treatment as parquet;
+    the declared-schema read skips the footer-only inference pass.""",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    back = spark.read.schema(_EVENTS_SLICE_SCHEMA).orc(
+        _round_trip_path(spark, sf_dir, "orc")
     )
     return _slice_agg(back)
 

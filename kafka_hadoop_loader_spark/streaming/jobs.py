@@ -63,6 +63,38 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def clicks_attributed_to_views_stream(
+    clicks: DataFrame, views: DataFrame, attribution: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream inner interval join: attribute each click to the
+    same user's preceding view within the attribution window — the
+    canonical two-stream correlation (ad attribution / funnel stitch).
+
+    Both sides carry watermarks, and the join condition bounds the
+    event-time distance, so Spark can size the join state: each side
+    buffers only rows inside watermark + interval, then evicts.  An
+    unbounded-condition stream-stream join would grow state forever —
+    the interval predicate is what makes this runnable on an infinite
+    stream.  State is hash-partitioned on user_id across executors.
+    """
+    c = clicks.withWatermark("event_ts", attribution).alias("c")
+    v = views.withWatermark("event_ts", attribution).alias("v")
+    return c.join(
+        v,
+        F.expr(
+            "c.user_id = v.user_id"
+            " AND v.event_ts <= c.event_ts"
+            f" AND v.event_ts >= c.event_ts - INTERVAL {attribution}"
+        ),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_ts").alias("click_ts"),
+        F.col("v.event_ts").alias("view_ts"),
+    )
+
+
 def user_running_stats_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     cumulative (event count, max value) carried across micro-batches in

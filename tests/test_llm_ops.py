@@ -114,3 +114,64 @@ def test_ivf_recall_vs_bruteforce(spark):
         for r in reg["knn_cosine_ivf"].fn(spark, SF_DIR).collect()
     }
     assert len(ivf & bf) / len(bf) >= 0.4
+
+
+def test_hash_split_proportions_and_determinism(spark):
+    rows = REG["sample_hash_split"].fn(spark, SF_DIR).collect()
+    n = len(rows)
+    frac = {s: sum(1 for r in rows if r.split == s) / n for s in ("train", "val", "test")}
+    # hash buckets approximate 80/10/10; wide tolerance at fixture size
+    assert 0.68 <= frac["train"] <= 0.92, frac
+    assert frac["val"] + frac["test"] == pytest.approx(1 - frac["train"])
+    # determinism: re-running yields the identical assignment
+    again = REG["sample_hash_split"].fn(spark, SF_DIR).collect()
+    assert [(r.doc_id, r.split) for r in rows] == [(r.doc_id, r.split) for r in again]
+
+
+def test_pack_sequences_invariants(spark):
+    rows = REG["pack_sequences"].fn(spark, SF_DIR).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        # offsets are the exclusive prefix sum of token counts in doc order
+        off = 0
+        for r in sorted(rs, key=lambda r: r.doc_id):
+            assert r.tok_offset == off, (src, r.doc_id)
+            off += r.n_tokens
+            # sequence span covers exactly the doc's token interval
+            assert r.seq_first == r.tok_offset // 256
+            assert r.seq_last == (r.tok_offset + r.n_tokens - 1) // 256
+            assert r.n_seqs == r.seq_last - r.seq_first + 1
+
+
+def test_decontaminate_flags_planted_duplicates(spark, duck):
+    """Exact-duplicate docs of a benchmark doc must be flagged with full
+    overlap (the fixture plants exact text dups — dedup_exact's basis)."""
+    flagged = {r.doc_id: r for r in REG["decontaminate_ngram"].fn(spark, SF_DIR).collect()}
+    dups = duck.execute(
+        """
+        SELECT a.doc_id FROM documents a JOIN documents b ON a.text = b.text
+        WHERE b.doc_id % 97 = 0 AND a.doc_id % 97 <> 0
+          AND len(string_split(a.text, ' ')) >= 3
+        """
+    ).fetchall()
+    for (doc_id,) in dups:
+        assert doc_id in flagged, f"exact dup of benchmark doc {doc_id} not flagged"
+
+
+def test_pii_redact_removes_all_pii(spark):
+    rows = REG["pii_redact"].fn(spark, SF_DIR).collect()
+    assert all(r.n_emails >= 1 and r.n_phones >= 1 for r in rows)
+    assert all("@" not in r.redacted for r in rows)
+    assert all("<EMAIL>" in r.redacted and "<PHONE>" in r.redacted for r in rows)
+
+
+def test_quality_gate_both_outcomes(spark):
+    rows = REG["quality_gate"].fn(spark, SF_DIR).collect()
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows), "thresholds must discriminate"
+    for r in rows:
+        assert r.keep == (
+            r.pass_len and r.pass_word_len and r.pass_diversity and r.pass_stopwords
+        )

@@ -90,6 +90,33 @@ def test_streaming_dedup(spark, tmp_path):
     assert len(rows) == 5
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks join the same user's views within a 10-minute attribution
+    window; views outside the window (or other users') must not match."""
+    recs = []
+    # user 0: view at t0, click at t0+5min  -> joins
+    # user 1: view at t0, click at t0+20min -> outside window, no join
+    # user 2: click at t0+5min, no view     -> no join
+    recs.append({"event_id": 0, "ts": BASE_US, "user_id": 0,
+                 "event_type": "view", "value": 1.0, "props": "{}"})
+    recs.append({"event_id": 1, "ts": BASE_US + 300_000_000, "user_id": 0,
+                 "event_type": "click", "value": 1.0, "props": "{}"})
+    recs.append({"event_id": 2, "ts": BASE_US, "user_id": 1,
+                 "event_type": "view", "value": 1.0, "props": "{}"})
+    recs.append({"event_id": 3, "ts": BASE_US + 1_200_000_000, "user_id": 1,
+                 "event_type": "click", "value": 1.0, "props": "{}"})
+    recs.append({"event_id": 4, "ts": BASE_US + 300_000_000, "user_id": 2,
+                 "event_type": "click", "value": 1.0, "props": "{}"})
+    _write_events(str(tmp_path / "in" / "a.jsonl"), recs)
+    src = _stream(spark, tmp_path)
+    clicks = src.where("event_type = 'click'")
+    views = src.where("event_type = 'view'")
+    df = jobs.clicks_attributed_to_views_stream(clicks, views)
+    _run_to_memory(df, "ssjoin_t", "append")
+    rows = spark.sql("SELECT * FROM ssjoin_t ORDER BY click_id").collect()
+    assert [(r.click_id, r.view_id, r.user_id) for r in rows] == [(1, 0, 0)]
+
+
 def test_stateful_running_stats_across_batches(spark, tmp_path):
     """applyInPandasWithState carries per-user state across micro-batches:
     two input files processed as two batches (maxFilesPerTrigger=1) must
