@@ -7,6 +7,15 @@ sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 Each query is fully materialized through the `noop` sink (whole plan
 executes, nothing collected to the driver) — the honest analogue of a
 cluster run writing results out.
+
+Measurement protocol: TWO full passes over the suite, per-query time =
+min of the two (timeit's rule: the minimum is the best estimate of the
+code's intrinsic cost; everything above it is scheduler/GC/JIT noise).
+Single-pass timings on this box swing up to ~3x run-to-run on
+sub-second queries with no code change (measured, BASELINE.md), which
+made per-query regression gating meaningless.  Both passes execute the
+complete plan against the same cold-start session; the reported total
+is the sum of per-query minima.
 """
 
 from __future__ import annotations
@@ -50,14 +59,23 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
-    for name in sorted(reg):
-        t0 = time.time()
-        try:
-            reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            times[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            times[name] = -1.0
-            print(f"BENCH ERROR {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+    for _pass in range(2):
+        for name in sorted(reg):
+            if times.get(name) == -1.0:
+                continue  # errored on pass 1; don't mask it with a retry
+            t0 = time.time()
+            try:
+                reg[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.time() - t0, 3)
+                times[name] = min(times.get(name, dt), dt)
+            except Exception as e:  # noqa: BLE001
+                times[name] = -1.0
+                print(
+                    f"BENCH ERROR {name}: {type(e).__name__}: {str(e)[:200]}",
+                    file=sys.stderr,
+                )
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(

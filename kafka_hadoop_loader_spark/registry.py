@@ -59,11 +59,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # entries).  Queries not yet verified by a driver run are therefore
 # rotated to the FRONT of the returned mapping each round, so every
 # query accumulates a driver-green CORRECTNESS row over successive
-# rounds.  Round 2 priority: the 47 queries CORRECTNESS_r01.json never
-# reached, plus the two whose rows changed this round
-# (multimodal_decode: canonicalizable output; dedup_simhash: now
-# oracle-checked).  Pure presentation order — names, fns, and oracles
-# are unchanged.
+# rounds.  Round 2 priority: the queries CORRECTNESS_r01.json never
+# reached, the two whose rows changed this round (multimodal_decode:
+# canonicalizable output; dedup_simhash: now oracle-checked), and the
+# round-2 training-data-pipeline additions (text_repetition ..
+# pii_redact, scan_orc).  Seven TPC-H composites are deferred to the
+# round-3 rotation to fit the 50-entry window — their underlying §2
+# component operators (joins, aggregates, subquery patterns) all have
+# driver-green rows via the dedicated operator queries, and the local
+# parity suite still checks them every round.  Pure presentation order
+# — names, fns, and oracles are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_decode",
     "dedup_simhash",
@@ -92,13 +97,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "tpch_q12_ship_delay",
     "tpch_q13_cust_distribution",
     "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting_suppliers",
     "udf_scalar_pandas",
     "udaf_grouped_agg",
     "udf_grouped_map",
@@ -114,6 +112,20 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_hourly",
     "window_sliding_batch",
     "window_session_batch",
+    "text_repetition",
+    "quality_gate",
+    "decontaminate_ngram",
+    "sample_hash_split",
+    "mix_weighted_sources",
+    "pack_sequences",
+    "pii_redact",
+    "scan_orc",
+    # Deferred to the round-3 rotation (window overflow; components
+    # covered by dedicated operator queries above):
+    # tpch_q15_top_supplier tpch_q18_large_orders
+    # tpch_q19_discounted_revenue tpch_q2_min_cost_supplier
+    # tpch_q11_important_stock tpch_q20_promo_suppliers
+    # tpch_q21_waiting_suppliers
 )
 
 
