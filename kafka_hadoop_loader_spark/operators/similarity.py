@@ -33,6 +33,105 @@ from kafka_hadoop_loader_spark.registry import register
 K = 10
 N_QUERIES = 20
 
+_LSH_TABLES, _LSH_BITS, _LSH_DIM = 8, 4, 64
+_LSH_SCALE = 10**6  # per-term projection quantum (scaled-BIGINT sum is exact)
+
+
+def _lsh_coef(t: int, bbit: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    sha256 of (table, bit, dim) — no RNG at runtime, and replayable as a
+    literal VALUES table in the DuckDB oracle."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.sha256(f"{t}:{bbit}:{d}".encode()).digest()[:8], "big")
+    return (h / float(1 << 63)) - 1.0
+
+
+def _lsh_oracle() -> str:
+    """DuckDB replay of knn_cosine_lsh.
+
+    Exactness argument: the only floats that cross an aggregation are the
+    32 projections, and those are summed as scaled BIGINTs (round((v*c)*S)
+    per term — both engines compute the identical double product from the
+    identical literal coefficient, so the rounded int64 terms are equal and
+    integer addition is order-free).  Bucket keys are pure integer logic on
+    the signs; the re-rank cosine is the same per-row sequential fold
+    knn_cosine_bruteforce already hash-matches."""
+    tb = [(t, b) for t in range(_LSH_TABLES) for b in range(_LSH_BITS)]
+    coef_cols = ", ".join(f"c_{t}_{b}" for t, b in tb)
+    rows = ",\n            ".join(
+        f"({d}, " + ", ".join(repr(_lsh_coef(t, b, d)) for t, b in tb) + ")"
+        for d in range(_LSH_DIM)
+    )
+    proj_cols = ",\n                   ".join(
+        f"SUM(CAST(ROUND(v * c_{t}_{b} * {float(_LSH_SCALE)}) AS BIGINT)) AS p_{t}_{b}"
+        for t, b in tb
+    )
+    key_cols = ",\n                   ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN p_{t}_{b} > 0 THEN {1 << b} ELSE 0 END"
+            for b in range(_LSH_BITS)
+        )
+        + f") AS bk{t}"
+        for t in range(_LSH_TABLES)
+    )
+    key_case = (
+        "CASE tt.t "
+        + " ".join(f"WHEN {t} THEN s.bk{t}" for t in range(_LSH_TABLES))
+        + " END"
+    )
+    t_vals = ", ".join(f"({t})" for t in range(_LSH_TABLES))
+    return f"""
+        WITH ctab(d, {coef_cols}) AS (VALUES
+            {rows}
+        ),
+        pos AS (
+            SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS u(i)
+        ),
+        proj AS (
+            SELECT vec_id,
+                   {proj_cols}
+            FROM pos JOIN ctab USING (d)
+            GROUP BY vec_id
+        ),
+        sigs AS (
+            SELECT vec_id,
+                   {key_cols}
+            FROM proj
+        ),
+        buckets AS (
+            SELECT s.vec_id, tt.t, {key_case} AS key
+            FROM sigs s CROSS JOIN (VALUES {t_vals}) AS tt(t)
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM buckets q JOIN buckets c ON q.t = c.t AND q.key = c.key
+            WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   ce.label AS neighbor_label,
+                   list_cosine_similarity(qe.embedding::DOUBLE[],
+                                          ce.embedding::DOUBLE[]) AS cos_sim
+            FROM cand
+            JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id)
+                          AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {K}
+        ORDER BY query_id, rnk
+    """
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential double-precision fold — bitwise equal to DuckDB's
@@ -134,7 +233,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_cosine_lsh",
-    oracle=None,  # bucket membership depends on engine hash constants
+    oracle=_lsh_oracle(),
     doc=f"""ANN top-{K} via random-hyperplane LSH: 8 tables x 4-bit
     sign-pattern bucket keys; candidates = pairs sharing a bucket in any
     table; exact cosine re-rank on candidates only.  Parameters chosen
@@ -143,33 +242,29 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     angular structure), which bounds any ANN method's recall; pytest
     asserts recall >= 0.5 vs knn_cosine_bruteforce.  Hyperplanes are
     pseudo-random from fixed integer seeds (sha256 of (table, bit, dim)
-    scaled to [-1,1]) so the run is deterministic.""",
+    scaled to [-1,1]) so the run is deterministic.  Oracle-checked: the
+    32 projections are scaled-BIGINT sums (order-independent signs), so
+    the DuckDB replay — same literal coefficient table, same integer
+    bucket keys, same fold cosine — agrees bitwise.""",
 )
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    dim = 64
-    n_tables, n_bits = 8, 4
-
-    # Deterministic pseudo-random hyperplanes: component h[t][b][d] from a
-    # fixed integer hash, scaled to [-1, 1].  No RNG at runtime.
-    import hashlib
-
-    def coef(t: int, bbit: int, d: int) -> float:
-        h = int.from_bytes(
-            hashlib.sha256(f"{t}:{bbit}:{d}".encode()).digest()[:8], "big"
-        )
-        return (h / float(1 << 63)) - 1.0
+    dim = _LSH_DIM
+    n_tables, n_bits = _LSH_TABLES, _LSH_BITS
 
     # All 32 projections in one codegen'd pass: posexplode the vector,
     # broadcast-join the 64-row coefficient table on the dimension index,
     # then 32 sum() aggregates grouped by vec_id.  ~3x faster than 32
     # zip_with+aggregate folds (higher-order-function lambdas evaluate
     # per element outside whole-stage codegen), and the shape scales: the
-    # shuffle carries 32 doubles per vector, partials combine map-side.
+    # shuffle carries 32 longs per vector, partials combine map-side.
+    # Each term is quantized to a scaled BIGINT before summing, so the
+    # projection's sign — all the bucket key consumes — is independent of
+    # partial-aggregation order (and exactly reproducible by the oracle).
     coef_rows = [
-        (d, *[coef(t, b, d) for t in range(n_tables) for b in range(n_bits)])
+        (d, *[_lsh_coef(t, b, d) for t in range(n_tables) for b in range(n_bits)])
         for d in range(dim)
     ]
     coef_cols = ["d"] + [f"c_{t}_{b}" for t in range(n_tables) for b in range(n_bits)]
@@ -181,7 +276,13 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(
             *[
-                F.sum(F.col("v").cast("double") * F.col(f"c_{t}_{b}")).alias(f"p_{t}_{b}")
+                F.sum(
+                    F.round(
+                        F.col("v").cast("double")
+                        * F.col(f"c_{t}_{b}")
+                        * float(_LSH_SCALE)
+                    ).cast("long")
+                ).alias(f"p_{t}_{b}")
                 for t in range(n_tables)
                 for b in range(n_bits)
             ]
