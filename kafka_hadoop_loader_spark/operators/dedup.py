@@ -233,6 +233,16 @@ def dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    return _minhash_pairs(d).orderBy("doc_id_a", "doc_id_b")
+
+
+def _minhash_pairs(d: DataFrame) -> DataFrame:
+    """Verified near-dup pairs (3-gram Jaccard >= 0.5) for a documents
+    DataFrame, via the MinHash-LSH cascade: shingle -> 64 minhashes ->
+    16 band keys -> band-bucket self-join -> exact-Jaccard verify.
+    Returns (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b.
+    Shared by dedup_minhash_lsh (reports the pairs) and dedup_clusters
+    (treats them as graph edges)."""
     # persisted: the shingle set feeds the signature pass AND both sides
     # of candidate verification; at scale this is the table you'd
     # checkpoint once per pipeline run rather than recompute 3x.
@@ -286,7 +296,117 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_id_b")
         .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.5)
-        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in generate_series(1, len(w) - 2)]) AS s
+            FROM t WHERE len(w) >= 3
+        ),
+        pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL
+            SELECT b AS src, a AS dst FROM pairs
+        ),
+        reach(id, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst AS id, r.label
+            FROM reach r JOIN edges e ON r.id = e.src
+            WHERE r.label < e.dst
+        ),
+        cc AS (
+            SELECT id AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY id
+        ),
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM cc GROUP BY cluster_id
+        )
+        SELECT cc.doc_id, cc.cluster_id, sizes.cluster_size,
+               (cc.doc_id = cc.cluster_id) AS is_canonical
+        FROM cc JOIN sizes USING (cluster_id)
+        ORDER BY cc.doc_id
+    """,
+    doc="""Near-duplicate CLUSTER assignment — the capstone of the dedup
+    cascade: verified MinHash-LSH pairs (_minhash_pairs) become an
+    undirected graph, connected components are computed by iterative
+    hash-min label propagation (each round every node takes the min
+    label among itself and its neighbours), and every document gets
+    (cluster_id = component-min doc_id, cluster_size, is_canonical).
+    Keeping only is_canonical rows IS corpus-level dedup with one
+    representative per near-dup cluster.
+
+    The driver loop runs until a fixpoint (sum of labels stops
+    decreasing — labels are monotone non-increasing), bounded by the
+    component diameter; the per-iteration `.first()` on a 1-row
+    aggregate is iteration CONTROL, not data movement — the same
+    bounded action any Pregel-style driver issues.  At 100 TB you'd
+    swap the plain neighbour-min rounds for large-star/small-star
+    alternation (O(log n) rounds, same join shapes) and checkpoint
+    labels between rounds; component state is only ever (id, label)
+    pairs, never materialized adjacency.
+
+    Oracle: exhaustive-Jaccard edges + a recursive CTE that propagates
+    component-min labels (pruned to labels smaller than the receiving
+    id, which preserves the minimum), feasible at sf0.01.""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    pairs = _minhash_pairs(d)
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("label")).persist()
+    prev_sum = None
+    for _ in range(16):  # >> fixture component diameter; fixpoint breaks out
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
     )
 
 
