@@ -411,6 +411,74 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_segments",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        segs AS (
+            SELECT doc_id, array_to_string(w[i:i+7], ' ') AS segment
+            FROM w, unnest(generate_series(1, len(w) - 7, 8)) AS u(i)
+        )
+        SELECT segment,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences,
+               MIN(doc_id) AS first_doc_id
+        FROM segs
+        GROUP BY segment
+        HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY segment
+    """,
+    doc="""Segment-level exact dedup (the paragraph/substring-dedup tier
+    of a training pipeline, a la "Deduplicating Training Data Makes
+    Language Models Better": cross-document repeated SPANS, which
+    whole-document dedup misses).  Documents are chunked into
+    non-overlapping 8-word segments; segments appearing in >= 2
+    distinct documents are reported with document/occurrence counts.
+
+    Spark shape: posexplode words -> segment id = pos DIV 8 -> per
+    (doc, segment) ordered re-assembly (array_sort(collect_list(
+    struct(pos, word))) — 8-element lists, trivially cheap) -> one
+    hash aggregate keyed on segment text.  Both shuffles are narrow
+    (words, then segments); nothing is quadratic and no HOF lambda
+    re-evaluates the split (the known 7x pitfall with
+    transform(sequence(...))).  At 100 TB you'd hash segments to
+    64-bit keys before the global group-by so the shuffle carries
+    longs, exactly as dedup_exact ships digests — kept as text here
+    so the oracle equality is on the segments themselves.""",
+)
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    segments = (
+        words.groupBy("doc_id", F.floor(F.col("pos") / 8).alias("seg"))
+        .agg(
+            F.count("*").alias("nw"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.getField("word"),
+                ),
+            ).alias("segment"),
+        )
+        .where(F.col("nw") == 8)
+    )
+    return (
+        segments.groupBy("segment")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("segment")
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle="""
         WITH g AS (

@@ -54,6 +54,44 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_distribution",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cum_dist,
+               nth_value(c_name, 2) OVER (PARTITION BY c_mktsegment
+                                          ORDER BY c_acctbal DESC, c_custkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING)
+                   AS second_name
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+    """,
+    doc="""Distribution family: percent_rank / cume_dist / nth_value.
+    percent_rank and cume_dist are single exact integer divisions
+    ((rank-1)/(n-1), frac<=current/n) so they compare bitwise across
+    engines; nth_value rides a full frame over a total order so the
+    picked row is unambiguous.""",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.nth_value("c_name", 2).over(wfull).alias("second_name"),
+    ).orderBy("c_mktsegment", F.col("c_acctbal").desc(), "c_custkey")
+
+
+@register(
     "window_lag_lead",
     oracle="""
         SELECT event_id, user_id, value,

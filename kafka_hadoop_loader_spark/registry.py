@@ -140,6 +140,7 @@ def load_all() -> dict[str, Query]:
     # and so a syntax error in one module is easy to localize.
     from kafka_hadoop_loader_spark.operators import (  # noqa: F401
         aggregates,
+        cdc,
         dedup,
         filters,
         joins,

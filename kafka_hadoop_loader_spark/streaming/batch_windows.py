@@ -166,3 +166,81 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                       AS signup_ts
+            FROM events GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS click_ts
+            FROM events e JOIN u ON e.user_id = u.user_id
+            WHERE e.event_type = 'click' AND e.ts > u.signup_ts
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS purchase_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+            GROUP BY e.user_id
+        )
+        SELECT u.user_id, u.signup_ts, c.click_ts, p.purchase_ts,
+               CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                         WHEN c.click_ts IS NOT NULL THEN 2
+                         WHEN u.signup_ts IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS funnel_depth
+        FROM u LEFT JOIN c ON u.user_id = c.user_id
+               LEFT JOIN p ON u.user_id = p.user_id
+        ORDER BY u.user_id
+    """,
+    doc="""Ordered-sequence funnel over the event stream: per user, the
+    earliest signup -> first click strictly after it -> first purchase
+    strictly after that, plus how deep the user got (0-3).  The
+    sequential-pattern query every product-analytics engine ships
+    (funnel / conversion analysis), expressed as three cascaded
+    conditional MIN aggregations joined on user_id.
+
+    Scale: every stage aggregates and joins on the same user_id key, so
+    one hash partitioning serves the whole cascade (no repartitioning
+    between stages); per-stage state is one timestamp per user.  AQE
+    broadcasts the per-user funnel tables when they fit.  Timestamp
+    comparisons are on the microsecond-exact NTZ column both engines
+    derive identically from the ns parquet source.""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(u, "user_id")
+        .where(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    depth = (
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("click_ts").isNotNull(), 2)
+        .when(F.col("signup_ts").isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    return (
+        u.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "signup_ts", "click_ts", "purchase_ts", depth.alias("funnel_depth"))
+        .orderBy("user_id")
+    )
