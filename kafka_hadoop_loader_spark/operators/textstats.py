@@ -255,3 +255,86 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.length("text").cast("bigint").alias("n_chars_check"),
     ).orderBy("doc_id")
+
+
+_BPE_PAT = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{_BPE_PAT}'))
+                    AS BIGINT) AS n_bpe_tokens,
+               CAST(n_chars AS DOUBLE)
+                   / CAST(len(regexp_extract_all(text, '{_BPE_PAT}'))
+                          AS DOUBLE) AS chars_per_token
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="""Token counting two ways: whitespace split and a BPE-style
+    pre-tokenizer regex (word / number / punctuation runs with leading
+    space attached — the GPT-2 pre-tokenizer shape, ASCII-simplified so
+    Java regex and RE2 agree).  chars-per-token is the standard
+    corpus-budget estimator (how many training tokens a byte budget
+    buys).  Pure regexp_count per row: no shuffle at all before the
+    presentation sort; at 100 TB this is a map-only pass.""",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_ws = F.size(F.split("text", " ")).cast("bigint")
+    n_bpe = F.regexp_count("text", F.lit(_BPE_PAT)).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (F.col("n_chars").cast("double") / n_bpe.cast("double")).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_normalize",
+    oracle="""
+        WITH dirty AS (
+            SELECT doc_id,
+                   '  ' || upper(substr(text, 1, 50)) || ' !!  ' || text
+                       AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(raw) AS BIGINT) AS n_chars_raw,
+               trim(regexp_replace(regexp_replace(lower(raw),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+               CAST(length(trim(regexp_replace(regexp_replace(lower(raw),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+                   AS n_chars_norm
+        FROM dirty
+        ORDER BY doc_id
+    """,
+    doc="""Text normalization: lowercase -> strip non-alphanumerics ->
+    collapse whitespace -> trim, the canonical pre-dedup cleanup pass
+    (exact dedup is only as good as its normalization).  The input is
+    deterministically dirtied (prepended upper-cased slice + punctuation)
+    so the path is actually exercised on the clean fixture corpus.
+    Map-only, no shuffle; regex classes are ASCII so Java regex and
+    RE2 produce identical output.""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("  "), F.upper(F.substring("text", 1, 50)), F.lit(" !!  "), F.col("text")
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(raw).cast("bigint").alias("n_chars_raw"),
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    ).orderBy("doc_id")

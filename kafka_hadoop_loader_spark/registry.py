@@ -126,6 +126,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # tpch_q19_discounted_revenue tpch_q2_min_cost_supplier
     # tpch_q11_important_stock tpch_q20_promo_suppliers
     # tpch_q21_waiting_suppliers
+    # ...plus the late-round-2 additions (local-parity-green, queued for
+    # their first driver row next round): dedup_clusters dedup_segments
+    # events_funnel window_distribution merge_upsert
+    # text_token_count_bpe text_normalize
 )
 
 
