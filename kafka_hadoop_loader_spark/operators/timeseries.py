@@ -1,0 +1,276 @@
+"""Time-series operators over the events stream: regular-grid
+resampling with gap fill, SCD2 interval history, incremental
+hourly->daily rollup, and cohort retention.
+
+These are the hypertable-style operations a metrics/observability
+pipeline layers on top of the loader's time-bucketed output
+(SURVEY.md §1.2): the reference stops at landing files per (topic,
+date, hour); this module is the query surface that consumes that
+layout.  All grid arithmetic is on integer epoch-hour/day ids
+(``ts_us DIV 3_600_000_000``) so bucket membership is bit-identical
+across engines — no timestamp truncation semantics in play, per
+SURVEY.md §5.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.functions.exact import exact_sum
+from kafka_hadoop_loader_spark.registry import register
+
+_US_PER_HOUR = 3_600_000_000
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "resample_ffill",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type, epoch_us(ts) // {_US_PER_HOUR} AS hour_id
+            FROM events
+        ),
+        hourly AS (
+            SELECT event_type, hour_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM e GROUP BY event_type, hour_id
+        ),
+        bounds AS (
+            SELECT MIN(hour_id) AS h0, MAX(hour_id) AS h1 FROM e
+        ),
+        spine AS (
+            SELECT t.event_type, u.h AS hour_id
+            FROM (SELECT DISTINCT event_type FROM e) t
+            CROSS JOIN bounds b,
+            unnest(generate_series(b.h0, b.h1)) AS u(h)
+        )
+        SELECT s.event_type AS event_type,
+               make_timestamp(s.hour_id * {_US_PER_HOUR}) AS hour_ts,
+               h.cnt AS cnt,
+               COALESCE(
+                   last_value(h.cnt IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.hour_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), CAST(0 AS BIGINT)) AS cnt_filled,
+               (h.cnt IS NULL) AS is_gap
+        FROM spine s LEFT JOIN hourly h
+          ON s.event_type = h.event_type AND s.hour_id = h.hour_id
+        ORDER BY event_type, hour_ts
+    """,
+    doc="""Regular-grid resampling with forward fill (last observation
+    carried forward): build the complete per-series hourly spine
+    between the stream's global bounds, left-join the observed hourly
+    aggregates, and LOCF the gaps — the standard gap-fill shape for
+    metrics dashboards and model feature grids.
+
+    Scale: bounds come from a 1-row global aggregate (broadcast, no
+    driver collect); the spine is generated distributed via
+    sequence+explode, never materialized on the driver.  The fill is a
+    running window per series — state is one value per series, and at
+    100 TB you partition the window by (series, coarse-time-chunk) and
+    stitch chunk boundaries with a per-chunk last-value map the same
+    way pack_sequences two-phases its prefix sums.  The grid id is
+    integer epoch-hours, so bucket edges are engine-exact.""",
+)
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_us DIV {_US_PER_HOUR}").alias("hour_id")
+    )
+    hourly = e.groupBy("event_type", "hour_id").agg(F.count("*").alias("cnt"))
+    bounds = e.agg(F.min("hour_id").alias("h0"), F.max("hour_id").alias("h1"))
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour_id"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour_id"], "left")
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("hour_id") * _US_PER_HOUR)
+            .cast("timestamp_ntz")
+            .alias("hour_ts"),
+            "cnt",
+            F.coalesce(
+                F.last("cnt", ignorenulls=True).over(w), F.lit(0).cast("bigint")
+            ).alias("cnt_filled"),
+            F.col("cnt").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts
+            FROM o
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id, event_type,
+               ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts
+               ) AS valid_to,
+               (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+                   AS is_current,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts
+               ) AS BIGINT) AS version
+        FROM changes
+        ORDER BY user_id, valid_from
+    """,
+    doc="""Slowly-changing-dimension type 2 history build: collapse an
+    event stream into per-key state intervals — a row per contiguous
+    run of the same state with [valid_from, valid_to) bounds, a
+    current-row flag, and a version counter.  This is the standard
+    warehouse pattern for turning the loader's append-only CDC feed
+    into a point-in-time-queryable dimension (the as-of join,
+    join_asof, is its read-side dual).
+
+    Plan: one shuffle on user_id serves all three windows (change
+    detection, interval close, versioning) — Spark reuses the
+    partitioning across window steps since the partition key never
+    changes.  The change filter drops runs before the interval windows
+    run, so window state is rows-that-changed, not raw events.  Ties
+    within a key are broken by event_id, so the history is total-order
+    deterministic.""",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("event_type").over(w_seq).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .drop("prev_type")
+    )
+    w_iv = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w_iv).alias("valid_to"),
+        F.lead("ts").over(w_iv).isNull().alias("is_current"),
+        F.row_number().over(w_iv).cast("bigint").alias("version"),
+    ).orderBy("user_id", "valid_from")
+
+
+@register(
+    "rollup_incremental",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_us(ts) // {_US_PER_HOUR} AS hour_id,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_scaled
+            FROM events
+            GROUP BY event_type, hour_id
+        )
+        SELECT event_type,
+               hour_id // 24 AS day_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(cnt) AS BIGINT) AS n_events,
+               CAST(SUM(sum_scaled) AS DOUBLE) / 100.0 AS sum_value
+        FROM hourly
+        GROUP BY event_type, day_id
+        ORDER BY event_type, day_id
+    """,
+    doc="""Incremental rollup (hypertable continuous-aggregate shape):
+    the daily aggregate is computed FROM the hourly partial aggregates,
+    not from raw events — counts re-sum and the scaled-BIGINT partial
+    sums re-sum exactly (functions/exact.py), which is precisely why
+    the partials are kept in integer space: double partials would drift
+    when re-aggregated in a different order.
+
+    Scale: this is the materialized-rollup maintenance path at 100 TB —
+    the hourly layer is O(series x hours) regardless of raw volume, so
+    the daily refresh touches partials only (~10^4x smaller than the
+    stream), and late data only dirties the specific (series, hour)
+    partials it lands in.""",
+)
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.expr(f"ts_us DIV {_US_PER_HOUR}").alias("hour_id"),
+            F.round(F.col("value") * 100).cast("long").alias("v_scaled"),
+        )
+        .groupBy("event_type", "hour_id")
+        .agg(F.count("*").alias("cnt"), F.sum("v_scaled").alias("sum_scaled"))
+    )
+    return (
+        hourly.groupBy("event_type", F.expr("hour_id DIV 24").alias("day_id"))
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("cnt").alias("n_events"),
+            (F.sum("sum_scaled").cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+        .orderBy("event_type", "day_id")
+    )
+
+
+@register(
+    "events_retention",
+    oracle=f"""
+        WITH d AS (
+            SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day_id
+            FROM events
+        ),
+        cohort AS (
+            SELECT user_id, MIN(day_id) AS cohort_day FROM d GROUP BY user_id
+        )
+        SELECT c.cohort_day AS cohort_day,
+               d.day_id - c.cohort_day AS day_offset,
+               CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM d JOIN cohort c ON d.user_id = c.user_id
+        GROUP BY cohort_day, day_offset
+        ORDER BY cohort_day, day_offset
+    """,
+    doc="""Cohort retention matrix: users are cohorted by first-seen
+    day; each cell counts distinct users from a cohort active at a
+    given day offset — the canonical product-analytics query (the
+    events_funnel sibling along the time axis).
+
+    Plan: the cohort map is a groupBy(user_id).min — at real scale a
+    fraction of the event count — and joins back on user_id; with AQE
+    the cohort side broadcasts when small.  Both aggregates are
+    map-side-combining hash aggs on integer day ids; COUNT(DISTINCT
+    user) expands to the standard two-phase distinct expand.  Nothing
+    touches the driver.""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts_us DIV {_US_PER_DAY}").alias("day_id")
+    )
+    cohort = d.groupBy("user_id").agg(F.min("day_id").alias("cohort_day"))
+    return (
+        d.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day_id") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -148,6 +148,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         filters,
         joins,
+        layout,
         multimodal,
         pipeline,
         scalars,
@@ -155,6 +156,7 @@ def load_all() -> dict[str, Query]:
         similarity,
         sorts,
         textstats,
+        timeseries,
         tpch,
         tpch2,
         tpch3,
