@@ -1,0 +1,186 @@
+"""Data-layout operators: multi-dimensional z-order clustering and
+schema-evolution-tolerant unions.
+
+The reference's output layout is one-dimensional (topic/date/hour
+directories, SURVEY.md §1.2).  At 100 TB the layout IS the query
+optimizer's biggest lever: min/max footer stats only prune files when
+rows with similar values are physically co-located, and a Z-order
+(Morton) curve co-locates on TWO dimensions at once where a sort can
+only do one.  This module makes the layout decision itself a queryable,
+oracle-checkable computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.registry import register
+
+_ZBITS = 16  # bits per dimension -> 32-bit interleaved key
+_N_FILES = 16
+
+# Bit-interleave SUM(((x >> i) & 1) << (2i+1) | ((y >> i) & 1) << 2i),
+# generated as a flat expression so both engines evaluate pure integer
+# arithmetic (Spark: shiftleft/shiftright fns; DuckDB: << >> operators).
+_Z_SPARK = " + ".join(
+    f"(shiftleft(shiftright(x16, {i}) & 1, {2 * i + 1})"
+    f" + shiftleft(shiftright(y16, {i}) & 1, {2 * i}))"
+    for i in range(_ZBITS)
+)
+_Z_DUCK = " + ".join(
+    f"((((x16 >> {i}) & 1) << {2 * i + 1}) + (((y16 >> {i}) & 1) << {2 * i}))"
+    for i in range(_ZBITS)
+)
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+        WITH src AS (
+            SELECT o_orderkey,
+                   o_custkey % {1 << _ZBITS} AS x16,
+                   (epoch_us(o_orderdate) // 86400000000) % {1 << _ZBITS}
+                       AS y16
+            FROM orders
+        ),
+        z AS (
+            SELECT o_orderkey, x16, y16, {_Z_DUCK} AS zval FROM src
+        ),
+        assigned AS (
+            SELECT x16, y16, 'zorder' AS layout,
+                   CAST(ntile({_N_FILES}) OVER (ORDER BY zval, o_orderkey)
+                        AS BIGINT) AS file_id
+            FROM z
+            UNION ALL
+            SELECT x16, y16, 'natural' AS layout,
+                   CAST(ntile({_N_FILES}) OVER (ORDER BY o_orderkey)
+                        AS BIGINT) AS file_id
+            FROM z
+        )
+        SELECT layout, file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(x16) AS BIGINT) AS min_cust,
+               CAST(MAX(x16) AS BIGINT) AS max_cust,
+               CAST(MIN(y16) AS BIGINT) AS min_day,
+               CAST(MAX(y16) AS BIGINT) AS max_day,
+               CAST(MAX(x16) - MIN(x16) AS BIGINT)
+                   + CAST(MAX(y16) - MIN(y16) AS BIGINT) AS span_sum
+        FROM assigned
+        GROUP BY layout, file_id
+        ORDER BY layout, file_id
+    """,
+    doc="""Z-order (Morton curve) file layout vs natural key order:
+    interleave 16 bits of (custkey, order-day) into one integer sort
+    key, chop the sorted stream into {n} equal files, and report each
+    file's per-dimension min/max envelope — the exact stats a parquet
+    footer exposes for pruning.  The z-ordered files' summed envelope
+    spans come out far tighter on BOTH dimensions than the natural
+    layout's (which is tight on the sort key only), which is the whole
+    point: a predicate on either dimension skips most z-ordered files.
+
+    Scale: the z-value is pure per-row integer arithmetic (fused into
+    the scan); the production write is repartitionByRange(zval) +
+    sortWithinPartitions — a single range shuffle, identical cost to
+    any global sort, bought once at write time.  ntile here stands in
+    for the range-partition boundaries so the file assignment is
+    oracle-checkable.""".format(n=_N_FILES),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % (1 << _ZBITS)).alias("x16"),
+        (
+            F.expr("unix_micros(cast(o_orderdate as timestamp)) DIV 86400000000")
+            % (1 << _ZBITS)
+        ).alias("y16"),
+    )
+    z = src.withColumn("zval", F.expr(_Z_SPARK))
+    by_z = z.select(
+        "x16",
+        "y16",
+        F.lit("zorder").alias("layout"),
+        F.ntile(_N_FILES)
+        .over(Window.orderBy("zval", "o_orderkey"))
+        .cast("bigint")
+        .alias("file_id"),
+    )
+    by_key = z.select(
+        "x16",
+        "y16",
+        F.lit("natural").alias("layout"),
+        F.ntile(_N_FILES)
+        .over(Window.orderBy("o_orderkey"))
+        .cast("bigint")
+        .alias("file_id"),
+    )
+    assigned = by_z.unionByName(by_key)
+    return (
+        assigned.groupBy("layout", "file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x16").cast("bigint").alias("min_cust"),
+            F.max("x16").cast("bigint").alias("max_cust"),
+            F.min("y16").cast("bigint").alias("min_day"),
+            F.max("y16").cast("bigint").alias("max_day"),
+            (
+                (F.max("x16") - F.min("x16")).cast("bigint")
+                + (F.max("y16") - F.min("y16")).cast("bigint")
+            ).alias("span_sum"),
+        )
+        .orderBy("layout", "file_id")
+    )
+
+
+@register(
+    "schema_evolution_union",
+    oracle="""
+        WITH v1 AS (
+            SELECT event_id, ts, user_id, event_type,
+                   CAST(NULL AS DOUBLE) AS value,
+                   CAST(NULL AS VARCHAR) AS props,
+                   CAST(1 AS BIGINT) AS schema_ver
+            FROM events WHERE event_id % 2 = 0
+        ),
+        v2 AS (
+            SELECT event_id, ts, user_id, event_type, value, props,
+                   CAST(2 AS BIGINT) AS schema_ver
+            FROM events WHERE event_id % 2 = 1
+        )
+        SELECT * FROM v1
+        UNION ALL
+        SELECT * FROM v2
+        ORDER BY event_id
+    """,
+    doc="""Schema-evolution-tolerant union: merge two generations of the
+    events feed — v1 landed before the (value, props) columns existed —
+    into the current schema, null-filling the columns v1 lacks and
+    tagging provenance.  Spark side is unionByName(
+    allowMissingColumns=True), the mechanism that lets a reader span
+    old and new loader output without rewriting history (the reference
+    would re-run the whole load; SURVEY.md §2 scan rows).
+
+    Scale: zero shuffle — a union is partition concatenation, and the
+    null-fill is a projection fused into each side's scan.  The ORDER
+    BY is presentation-only.""",
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v1 = (
+        e.where(F.col("event_id") % 2 == 0)
+        .select("event_id", "ts", "user_id", "event_type")
+        .withColumn("schema_ver", F.lit(1).cast("bigint"))
+    )
+    v2 = (
+        e.where(F.col("event_id") % 2 == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("schema_ver", F.lit(2).cast("bigint"))
+    )
+    out = v1.unionByName(v2, allowMissingColumns=True)
+    # unionByName appends v1's missing columns last; project to the
+    # current catalog column order.
+    return out.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props", "schema_ver"
+    ).orderBy("event_id")
