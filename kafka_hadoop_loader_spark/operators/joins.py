@@ -428,3 +428,70 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str):
             .saveAsTable(tname)
         )
     return spark.table(names[0]), spark.table(names[1])
+
+
+_SALT_N = 8
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+        WITH dim AS (
+            SELECT event_type,
+                   upper(substr(event_type, 1, 1)) AS category,
+                   CAST(len(event_type) AS BIGINT) AS weight
+            FROM (SELECT DISTINCT event_type FROM events)
+        )
+        SELECT e.event_type AS event_type, d.category AS category,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND((e.value) * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_value,
+               CAST(COUNT(*) * MIN(d.weight) AS BIGINT) AS weighted_n
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY e.event_type, d.category
+        ORDER BY event_type
+    """,
+    doc="""Salted replicated join for skewed keys: the fact side's join
+    key (event_type, 5 distinct values over the whole stream) is the
+    canonical pathological shuffle-join key — every row of a key lands
+    on one reducer.  The cure when the dim side is too big to broadcast
+    outright: append a salt ``pmod(id, S)`` to the fact key, replicate
+    each dim row S ways via explode(sequence(0, S-1)), and join on
+    (key, salt) — each hot key now spreads across S tasks, and the
+    post-join aggregate is unchanged because the salt never leaves the
+    join.  The oracle is the UNSALTED join, proving salting is
+    result-invariant.
+
+    Scale: S is chosen per-key from skew stats in production (AQE's
+    skew-join split does the same transform adaptively for sort-merge
+    joins; explicit salting is the portable form that also covers
+    aggregates and broadcast-ineligible dims).  Replication cost is
+    S x |dim|, amortized across the fact scan.""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.upper(F.substring("event_type", 1, 1)).alias("category"),
+            F.length("event_type").cast("bigint").alias("weight"),
+        )
+    )
+    dim_rep = dim.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1))).alias("salt")
+    )
+    fact = e.select(
+        "event_type", "value", F.pmod(F.col("event_id"), F.lit(_SALT_N)).alias("salt")
+    )
+    return (
+        fact.join(dim_rep, ["event_type", "salt"])
+        .groupBy("event_type", "category")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value")).alias("sum_value"),
+            (F.count("*") * F.min("weight")).cast("bigint").alias("weighted_n"),
+        )
+        .orderBy("event_type")
+    )

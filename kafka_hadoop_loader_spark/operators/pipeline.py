@@ -460,3 +460,93 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
     ).orderBy("doc_id")
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+        WITH r AS (
+            SELECT doc_id, lang, source,
+                   5 + {_PHASH_SQL.format(x="lang")} % 50 AS rate_pct,
+                   {_PHASH_SQL.format(x="'strat:' || CAST(doc_id AS VARCHAR)")}
+                       % 100 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, lang, source, rate_pct, bucket
+        FROM r WHERE bucket < rate_pct
+        ORDER BY doc_id
+    """,
+    doc="""Stratified sampling with per-stratum rates: each language
+    stratum gets its own sampling rate (derived here from a hash of the
+    stratum key so the demo is self-contained; production passes a rate
+    map), and membership is the salted portable hash of the document id
+    — so unlike sampleBy()'s RNG draw, the SAME rows are selected on
+    every engine, run, and partition layout, and re-running after new
+    data arrives never evicts previously sampled rows.
+
+    Scale: a stateless filter fused into the scan — zero shuffle, no
+    sampleBy seed coordination across executors.  Returns the kept
+    stream itself (mix_weighted_sources is the audit-aggregate dual).""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    rate = (F.lit(5) + _phash(F.col("lang")) % 50).alias("rate_pct")
+    bucket = (
+        _phash(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))) % 100
+    ).alias("bucket")
+    return (
+        d.select("doc_id", "lang", "source", rate, bucket)
+        .where(F.col("bucket") < F.col("rate_pct"))
+        .orderBy("doc_id")
+    )
+
+
+_RESERVOIR_K = 5
+
+
+@register(
+    "sample_reservoir_group",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, source, lang,
+                   {_PHASH_SQL.format(x="'res:' || CAST(doc_id AS VARCHAR)")}
+                       AS hkey
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, source, lang,
+                   CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY hkey, doc_id
+                   ) AS BIGINT) AS rn
+            FROM h
+        )
+        SELECT doc_id, source, lang, rn
+        FROM r WHERE rn <= {_RESERVOIR_K}
+        ORDER BY source, rn
+    """,
+    doc="""Deterministic k-per-group reservoir sample: order each group
+    by a salted content hash and keep the first k — a uniform-without-
+    replacement sample per group whose selection is a pure function of
+    the ids (same sample everywhere, stable under reruns and
+    repartitions), unlike rand()-ranked reservoirs.
+
+    Scale: this is window_topk_per_group with the hash as the ranking
+    key, so the same optimization applies — map-side partial top-k
+    (AQE + rank pushdown in Spark 4 prunes per-partition) before the
+    single shuffle on the group key; k rows per group ever cross the
+    wire.""",
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    hkey = _phash(F.concat(F.lit("res:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(hkey.asc(), F.col("doc_id").asc())
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .where(F.col("rn") <= _RESERVOIR_K)
+        .orderBy("source", "rn")
+    )

@@ -338,3 +338,61 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.length(norm).cast("bigint").alias("n_chars_norm"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_gini_diversity",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        c AS (
+            SELECT doc_id, ws[i] AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM w, unnest(generate_series(1, len(ws))) AS u(i)
+            GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+               1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
+                   / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+                   AS gini_diversity
+        FROM c GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="""Lexical concentration via the Gini-Simpson index
+    (1 - Herfindahl): 1 - sum(cnt^2)/N^2 over the unigram counts —
+    the entropy-style degenerate-text detector expressed in pure
+    rational arithmetic.  Shannon entropy itself is deliberately NOT
+    used in oracle-checked outputs because ln() is not bit-portable
+    across libms (module docstring); Gini-Simpson ranks repetitive
+    documents the same way and needs only integer sums plus one IEEE
+    division, so it is engine-exact.
+
+    Scale: explode -> two map-side-combining hash aggregates; the
+    shuffle carries (doc_id, token, count) partials — identical shape
+    to text_token_freq/text_repetition, embarrassingly parallel.""",
+)
+def text_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    c = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = F.sum("cnt")
+    ssq = F.sum(F.col("cnt") * F.col("cnt"))
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            tot.alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            ssq.alias("sum_sq"),
+            (
+                F.lit(1.0)
+                - ssq.cast("double") / (tot.cast("double") * tot.cast("double"))
+            ).alias("gini_diversity"),
+        )
+        .orderBy("doc_id")
+    )
