@@ -184,3 +184,34 @@ def test_no_cartesian_product_anywhere(spark):
     ).count()
     n_bucketed = joined.count()
     assert n_bucketed == n_plain
+
+
+def test_resample_spine_bounds_broadcast(spark):
+    # The global min/max bounds row must reach the spine via broadcast
+    # (no driver collect, no shuffled join for a 1-row input).
+    plan = _plan(spark, "resample_ffill")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_salted_join_broadcasts_replicated_dim(spark):
+    # Salting must not change the join strategy class: the x8-replicated
+    # dim is still tiny, so the (key, salt) join stays broadcast.
+    plan = _plan(spark, "join_salted_skew")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_schema_evolution_union_is_concat(spark):
+    # unionByName must stay a partition concatenation: no join operator
+    # may appear; the only Exchange allowed is the presentation sort.
+    plan = _plan(spark, "schema_evolution_union")
+    assert "Union" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert bad not in plan, f"union plan contains {bad}"
+
+
+def test_samplers_filter_fused_into_scan_stage(spark):
+    # Hash-based sampling is a stateless filter: no aggregate or join
+    # may appear; the only Exchange is the presentation sort.
+    plan = _plan(spark, "sample_stratified")
+    for bad in ("HashAggregate", "SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan, f"sampler plan contains {bad}"
