@@ -68,30 +68,58 @@ _PHASH_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
     doc="""Per-document repetition signals (the Gopher/MassiveText rules'
     shape): duplicate-bigram fraction and top-bigram fraction flag
     boilerplate and degenerate repetition that plain length/stopword
-    filters miss.  Plan: explode bigrams -> two hash aggregates, both
-    with map-side partial aggregation; the shuffle carries (doc_id,
-    bigram, partial count), never documents.  At 100 TB this is the
-    same shape as text_token_freq — embarrassingly parallel.""",
+    filters miss.
+
+    Plan: ZERO-shuffle.  Every statistic is per-document, so nothing
+    justifies exploding 100x the rows and shuffling (doc_id, bigram)
+    pairs — the counts come from higher-order functions inside the row:
+    size for the total, array_distinct for the distinct count, and a
+    run-length fold over the SORTED bigram array for the top-bigram
+    count (equal bigrams are adjacent after sort_array, so the max
+    adjacent run IS the max multiplicity).  At 100 TB this is a pure
+    map over the scan — the explode+groupBy formulation (measured 1.6x
+    slower at sf0.1, 3.2s vs 2.0s steady-state) additionally pays two
+    full shuffles of the 100x-exploded stream, which is the term that
+    grows with scale.  spread() supplies parallelism the single-file
+    local fixture lacks (no-op on a real multi-file scan).  The oracle
+    keeps the explode/GROUP BY form: same semantics, independently
+    derived.""",
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     w = F.split("text", " ")
     bigr = F.transform(
         F.sequence(F.lit(1), F.size(w) - 1),
         lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
     )
-    ex = (
-        d.where(F.size(w) >= 2)
-        .select("doc_id", F.explode(bigr).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("cnt"))
+    srt = F.sort_array(bigr)
+    # max adjacent-run length over the sorted array: state = (prev, run, best)
+    top = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        lambda st, x: F.struct(
+            x.alias("prev"),
+            F.when(st["prev"].isNotNull() & (x == st["prev"]), st["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.greatest(
+                st["best"],
+                F.when(st["prev"].isNotNull() & (x == st["prev"]), st["run"] + 1)
+                .otherwise(F.lit(1).cast("bigint")),
+            ).alias("best"),
+        ),
+        lambda st: st["best"],
     )
-    total = F.sum("cnt")
-    dist = F.count("*")
-    top = F.max("cnt")
+    total = F.size(bigr).cast("bigint")
+    dist = F.size(F.array_distinct(bigr)).cast("bigint")
     return (
-        ex.groupBy("doc_id")
-        .agg(
+        d.where(F.size(w) >= 2)
+        .select(
+            "doc_id",
             total.alias("n_bigrams"),
             dist.alias("n_distinct_bigrams"),
             (
