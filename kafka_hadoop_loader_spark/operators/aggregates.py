@@ -436,3 +436,58 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
                  l_linestatus NULLS FIRST
     """)
+
+
+_HIST_WIDTH_C = 2000  # bucket width in value-cents: 20.00 per bucket
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+        WITH s AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS v100 FROM events
+        )
+        SELECT v100 // {_HIST_WIDTH_C} AS bucket,
+               CAST(v100 // {_HIST_WIDTH_C} * {_HIST_WIDTH_C} AS DOUBLE)
+                   / 100.0 AS lo,
+               CAST((v100 // {_HIST_WIDTH_C} + 1) * {_HIST_WIDTH_C} AS DOUBLE)
+                   / 100.0 AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(v100) AS DOUBLE) / 100.0 AS sum_value
+        FROM s GROUP BY bucket
+        ORDER BY bucket
+    """,
+    doc="""Equi-width histogram with exact integer bucket edges: values
+    are scaled to cents first (functions/exact.py discipline), so bucket
+    membership is integer division — no float-boundary ambiguity at
+    bucket edges across engines (floor(x/20.0) would disagree with
+    DuckDB exactly at the boundaries binary doubles can't represent).
+
+    Scale: one map-side-combining hash aggregate on a small integer
+    key — the cheapest possible shape; this is the profiling primitive
+    behind range-partition boundary estimation and skew detection
+    (AQE's own stats are the same computation).""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v100 = F.round(F.col("value") * 100).cast("long")
+    bucket = F.expr(f"v100 DIV {_HIST_WIDTH_C}")
+    return (
+        e.select(v100.alias("v100"))
+        .select("v100", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            (F.col("bucket") * _HIST_WIDTH_C).cast("double").alias("lo"),
+            ((F.col("bucket") + 1) * _HIST_WIDTH_C).cast("double").alias("hi"),
+            F.count("*").alias("n_events"),
+            (F.sum("v100").cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("lo") / 100.0).alias("lo"),
+            (F.col("hi") / 100.0).alias("hi"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("bucket")
+    )

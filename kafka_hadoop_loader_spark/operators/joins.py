@@ -495,3 +495,85 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour attribution window
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                   CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END
+                       AS purch_ts
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ),
+        matched AS (
+            SELECT event_id, user_id, event_type, ts_us,
+                   first_value(purch_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_us NULLS FIRST, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS next_purchase_ts_us
+            FROM tagged
+        )
+        SELECT event_id, user_id, ts_us AS click_ts_us,
+               CASE WHEN next_purchase_ts_us - ts_us <= {_ASOF_TOL_US}
+                    THEN next_purchase_ts_us END AS next_purchase_ts_us,
+               COALESCE(next_purchase_ts_us - ts_us <= {_ASOF_TOL_US}, FALSE)
+                   AS attributed
+        FROM matched
+        WHERE event_type = 'click'
+        ORDER BY event_id
+    """,
+    doc="""Forward as-of join with tolerance (attribution window): for
+    each click, the next purchase by the same user within 1 hour — the
+    mirror image of join_asof (backward, unbounded) with the bounded
+    match window every ad-attribution pipeline needs.
+
+    Same linear construction: union-tag both streams, one window with
+    first(ignorenulls) over the FOLLOWING frame, then the tolerance
+    check as a projection — no range join, no quadratic candidate
+    blowup; one shuffle on user_id total.  Clicks with no purchase in
+    the window survive with a null match (left-join semantics), which
+    the COALESCE makes an explicit boolean.""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.when(F.col("event_type") == "purchase", F.col("ts_us")).alias("purch_ts"),
+    )
+    # explicit NULLS FIRST: the fixture contains null timestamps and
+    # Spark (nulls first) and DuckDB (nulls last) default differently
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc_nulls_first(), "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = F.first("purch_ts", ignorenulls=True).over(w)
+    # the tolerance predicate must reference the MATERIALIZED column:
+    # reusing the window expression after the click filter would
+    # re-evaluate it over the filtered (purchase-free) relation
+    within = F.col("nxt") - F.col("ts_us") <= _ASOF_TOL_US
+    return (
+        tagged.withColumn("nxt", nxt)
+        .where(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_us").alias("click_ts_us"),
+            F.when(within, F.col("nxt")).alias("next_purchase_ts_us"),
+            F.coalesce(within, F.lit(False)).alias("attributed"),
+        )
+        .orderBy("event_id")
+    )
