@@ -192,3 +192,62 @@ def user_running_stats_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def upsert_state_foreach_batch(records: DataFrame, state_dir: str):
+    """MERGE each micro-batch into a keyed parquet state table — the
+    foreachBatch upsert sink (the streaming write path of cdc.py's
+    merge_upsert, which documents the join-based MERGE semantics).
+
+    Per batch: collapse to the latest change per key (window top-1 on
+    event time — the within-batch dedup MERGE requires), full-outer
+    join against current state with COALESCE precedence, then commit by
+    write-aside + atomic directory swap, so a re-delivered batch
+    (foreachBatch is at-least-once on retry) converges to the same
+    state — idempotence comes from the merge being a pure function of
+    (state, batch), not from the sink.
+
+    Scale: state and batch shuffle on the key once per batch; with the
+    state table bucketed on the key (join_bucketed_colocated layout)
+    the state side never reshuffles.  A transactional format (Delta/
+    Iceberg MERGE) replaces the directory swap in production; the
+    relational core is identical.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("event_ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        cur_dir = os.path.join(state_dir, "current")
+        if os.path.exists(cur_dir):
+            cur = spark.read.parquet(cur_dir)
+            c, b = cur.alias("c"), latest.alias("b")
+            merged = c.join(b, F.col("c.user_id") == F.col("b.user_id"), "full_outer").select(
+                F.coalesce(F.col("b.user_id"), F.col("c.user_id")).alias("user_id"),
+                F.coalesce(F.col("b.event_id"), F.col("c.event_id")).alias("event_id"),
+                F.coalesce(F.col("b.event_type"), F.col("c.event_type")).alias("event_type"),
+                F.coalesce(F.col("b.value"), F.col("c.value")).alias("value"),
+                F.coalesce(F.col("b.event_ts"), F.col("c.event_ts")).alias("event_ts"),
+            )
+        else:
+            merged = latest.select("user_id", "event_id", "event_type", "value", "event_ts")
+        new_dir = os.path.join(state_dir, f"_staged_{batch_id}")
+        merged.write.mode("overwrite").parquet(new_dir)
+        old_dir = os.path.join(state_dir, f"_old_{batch_id}")
+        if os.path.exists(cur_dir):
+            os.rename(cur_dir, old_dir)
+        os.rename(new_dir, cur_dir)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
+
+    return records.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)

@@ -258,3 +258,53 @@ def test_transform_with_state_running_stats(spark, tmp_path):
     total = sum(r["value"] for r in recs1 + recs2)
     finals = {r.user_id: r.sum_value for r in rows if r.n_events == 5}
     assert abs(sum(finals.values()) - total) < 1e-9
+
+
+def test_foreach_batch_upsert_state(spark, tmp_path):
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt_upsert")
+
+    # batch 1: users 1 and 2
+    _write_events(
+        str(tmp_path / "in" / "b1.json"),
+        [
+            {"event_id": 1, "ts": BASE_US, "user_id": 1,
+             "event_type": "view", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": BASE_US + 1_000_000, "user_id": 2,
+             "event_type": "click", "value": 2.0, "props": "{}"},
+            # same-key older record in the same batch: must lose to event 2
+            {"event_id": 3, "ts": BASE_US + 500_000, "user_id": 2,
+             "event_type": "view", "value": 9.0, "props": "{}"},
+        ],
+    )
+    rec = _stream(spark, tmp_path)
+    q = jobs.upsert_state_foreach_batch(rec, state_dir).option(
+        "checkpointLocation", ckpt
+    ).start()
+    q.awaitTermination(120)
+
+    cur = {r["user_id"]: r for r in spark.read.parquet(state_dir + "/current").collect()}
+    assert set(cur) == {1, 2}
+    assert cur[2]["event_id"] == 2 and cur[2]["value"] == 2.0
+
+    # batch 2: update user 1, insert user 3; user 2 must persist untouched
+    _write_events(
+        str(tmp_path / "in" / "b2.json"),
+        [
+            {"event_id": 4, "ts": BASE_US + 2_000_000, "user_id": 1,
+             "event_type": "purchase", "value": 10.0, "props": "{}"},
+            {"event_id": 5, "ts": BASE_US + 3_000_000, "user_id": 3,
+             "event_type": "signup", "value": 0.5, "props": "{}"},
+        ],
+    )
+    rec2 = _stream(spark, tmp_path)
+    q2 = jobs.upsert_state_foreach_batch(rec2, state_dir).option(
+        "checkpointLocation", ckpt
+    ).start()
+    q2.awaitTermination(120)
+
+    cur = {r["user_id"]: r for r in spark.read.parquet(state_dir + "/current").collect()}
+    assert set(cur) == {1, 2, 3}
+    assert cur[1]["event_id"] == 4 and cur[1]["event_type"] == "purchase"
+    assert cur[2]["event_id"] == 2  # untouched key carried forward
+    assert cur[3]["event_type"] == "signup"
