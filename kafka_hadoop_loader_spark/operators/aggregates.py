@@ -491,3 +491,143 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+        WITH wide AS (
+            SELECT date_trunc('day', ts) AS d,
+                   CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                        AS BIGINT) AS click,
+                   CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                        AS BIGINT) AS purchase,
+                   CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                        AS BIGINT) AS view
+            FROM events GROUP BY d
+        )
+        SELECT CAST(d AS TIMESTAMP) AS d, event_type, n
+        FROM wide
+        UNPIVOT (n FOR event_type IN (click, purchase, view))
+        ORDER BY d, event_type
+    """,
+    doc="""Unpivot / melt — the inverse of agg_pivot: a wide per-day
+    counts table (one column per event type) back to long (day, type,
+    count) form via DataFrame.unpivot (Spark >= 3.4; DuckDB UNPIVOT in
+    the oracle).  The wide input is built in-query from events so the
+    pair (pivot, unpivot) is a proven round-trip on the same data.
+
+    Scale: unpivot is a zero-shuffle projection (each input row emits k
+    rows map-side, a generate node — no exchange); the only shuffle is
+    the upstream day aggregate it consumes.""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    types = ["click", "purchase", "view"]
+    wide = (
+        e.select(F.date_trunc("day", "ts").alias("d"), "event_type")
+        .groupBy("d")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    return wide.unpivot("d", types, "event_type", "n").orderBy("d", "event_type")
+
+
+_TRAIL_US = 3_600_000_000  # 1 hour trailing RANGE frame
+
+
+@register(
+    "window_range_trailing",
+    oracle=f"""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                    AS DOUBLE) / 100.0 AS sum_trailing_1h
+        FROM events
+        WHERE ts IS NOT NULL
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW
+        )
+        ORDER BY event_id
+    """,
+    doc="""RANGE-frame trailing window: per user, the event count and
+    exact value sum over the trailing 1 HOUR by event time — a frame
+    bounded by value distance, not row count, so ties and irregular
+    spacing are handled correctly (the rows-frame moving average,
+    window_moving_avg, cannot express this).  The frame key is integer
+    epoch-micros and the sum is scaled-BIGINT, so frame membership and
+    results are engine-exact; null timestamps are filtered (a RANGE
+    frame over null has no defined distance).
+
+    Scale: one shuffle on user_id; within a partition Spark keeps a
+    sliding two-pointer over the sorted run — O(n) per partition, state
+    is the in-frame aggregate, same as the streaming sliding window's
+    batch form.""",
+)
+def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_TRAIL_US, Window.currentRow)
+    )
+    v100 = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        (F.sum(v100).over(w).cast("double") / F.lit(100.0)).alias("sum_trailing_1h"),
+    ).orderBy("event_id")
+
+
+@register(
+    "agg_bitmap_presence",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(1 AS BIGINT) << CAST(user_id % 60 AS INTEGER) AS mask
+            FROM events
+        ),
+        agg AS (
+            SELECT event_type, bit_or(mask) AS presence_mask
+            FROM m GROUP BY event_type
+        )
+        SELECT event_type, presence_mask,
+               CAST(bit_count(presence_mask) AS BIGINT) AS n_slots
+        FROM agg
+        ORDER BY event_type
+    """,
+    doc="""Bitmap presence aggregation: each user hashes to a bit slot
+    (user_id % 60 here; 60 < 63 keeps the BIGINT sign bit clear), and
+    BIT_OR collapses a group's users into one 64-bit mask whose
+    popcount bounds the distinct count — the fixed-width building block
+    of roaring-bitmap/HLL-style distinct sketches, with the property
+    approx_count_distinct lacks: masks MERGE exactly (bit_or is
+    associative/commutative/idempotent), so partial masks roll up
+    across partitions, days, and retries without drift, and the result
+    is deterministic enough to oracle-check.
+
+    Scale: the shuffle carries one BIGINT per (group, partition) —
+    map-side bit_or combine does the heavy lifting; widen slots with an
+    array of longs (bitmap chunks) exactly like dedup_simhash's chunked
+    fingerprints.""",
+)
+def agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 60 AS INT))")
+    return (
+        e.select("event_type", mask.alias("mask"))
+        .groupBy("event_type")
+        .agg(F.bit_or("mask").alias("presence_mask"))
+        .select(
+            "event_type",
+            "presence_mask",
+            F.bit_count("presence_mask").cast("bigint").alias("n_slots"),
+        )
+        .orderBy("event_type")
+    )
