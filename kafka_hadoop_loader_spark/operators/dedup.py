@@ -800,3 +800,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= _SIM_MAX_HAM)
         .orderBy("doc_id_a", "doc_id_b")
     )
+
+
+@register(
+    "dedup_edit_distance",
+    oracle="""
+        WITH blocked AS (
+            SELECT doc_id, text, substr(text, 1, 40) AS pfx FROM documents
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+               CAST(len(a.text) AS BIGINT) AS len_a,
+               CAST(len(b.text) AS BIGINT) AS len_b
+        FROM blocked a JOIN blocked b
+          ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        ORDER BY doc_id_a, doc_id_b
+    """,
+    doc="""Edit-distance verification tier of the dedup cascade:
+    candidate pairs come from the cheap prefix block (same plan as
+    dedup_near_prefix — never all-pairs), then Levenshtein distance is
+    the exact character-level verdict on candidates only.  Levenshtein
+    is integer dynamic programming, so Spark's and DuckDB's answers are
+    identical — unlike similarity *scores*, no float discipline needed.
+
+    Scale: the verify cost is O(candidates x len^2) — the point of the
+    cascade is that candidates is tiny.  In production the cascade is
+    prefix/LSH block -> length filter (|len_a - len_b| > t prunes
+    before the DP) -> edit distance; the length columns are emitted so
+    that filter is visible.""",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    blocked = d.select("doc_id", "text", F.substring("text", 1, 40).alias("pfx"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pfx") == F.col("b.pfx")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).cast("bigint").alias("edit_dist"),
+            F.length(F.col("a.text")).cast("bigint").alias("len_a"),
+            F.length(F.col("b.text")).cast("bigint").alias("len_b"),
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+    )

@@ -577,3 +577,51 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+        WITH l AS (
+            SELECT event_id, NULLIF(user_id, 3) AS k, event_type FROM events
+            WHERE event_type IN ('click', 'view')
+        ),
+        r AS (
+            SELECT NULLIF(user_id, 3) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n_purchases
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY k
+        )
+        SELECT l.event_id AS event_id, l.k AS k, l.event_type AS event_type,
+               r.n_purchases AS n_purchases
+        FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        ORDER BY event_id
+    """,
+    doc="""Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing — the semantic needed
+    when NULL is a real category (unknown user bucket, here minted
+    deterministically via NULLIF).  A plain equi-join silently drops
+    every NULL-keyed row from both sides; the null-safe operator keeps
+    them as one joinable group.
+
+    Scale: Spark plans <=> as a regular hash join on the key's
+    null-wrapped form, so shuffle/broadcast strategies are unchanged —
+    but note the NULL group is a single hot key by construction; if
+    unknowns dominate, split them out (filter + union) or salt exactly
+    like join_salted_skew.""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    left = e.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", F.nullif(F.col("user_id"), F.lit(3)).alias("k"), "event_type"
+    )
+    right = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.nullif(F.col("user_id"), F.lit(3)).alias("k"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return (
+        left.join(right, left["k"].eqNullSafe(right["k"]))
+        .select("event_id", left["k"].alias("k"), "event_type", "n_purchases")
+        .orderBy("event_id")
+    )
