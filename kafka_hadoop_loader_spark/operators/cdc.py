@@ -92,3 +92,77 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("op") != "D")
         .orderBy("k")
     )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+        WITH old AS (
+            SELECT c_custkey AS k, c_name AS name, c_acctbal AS acctbal
+            FROM customer WHERE c_custkey % 19 <> 0
+        ),
+        new AS (
+            SELECT c_custkey AS k, c_name AS name,
+                   CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50.0
+                        ELSE c_acctbal END AS acctbal
+            FROM customer WHERE c_custkey % 23 <> 0
+        )
+        SELECT COALESCE(n.k, o.k) AS k,
+               CASE WHEN o.k IS NULL THEN 'added'
+                    WHEN n.k IS NULL THEN 'removed'
+                    WHEN n.acctbal <> o.acctbal OR n.name <> o.name
+                         THEN 'changed'
+                    ELSE 'unchanged' END AS change,
+               o.acctbal AS old_acctbal,
+               n.acctbal AS new_acctbal
+        FROM old o FULL OUTER JOIN new n ON o.k = n.k
+        WHERE o.k IS NULL OR n.k IS NULL
+           OR n.acctbal <> o.acctbal OR n.name <> o.name
+        ORDER BY k
+    """,
+    doc="""Snapshot diff (table reconciliation): given two snapshots of
+    a keyed table — old/new derived here by deterministic modular
+    predicates so both engines build identical inputs — emit
+    added/removed/changed rows with before/after values.  This is the
+    read-side inverse of merge_upsert (diff DERIVES the change set that
+    merge APPLIES), the audit primitive behind CDC validation and
+    backfill reconciliation.
+
+    Scale: one full-outer shuffle join on the key, the unavoidable
+    minimum; in production both sides hash their non-key columns first
+    (one narrow column crosses the shuffle instead of the full row) —
+    elided here only because the fixture rows are narrow and the
+    oracle needs the raw values.""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    old = c.where(F.col("k") % 19 != 0)
+    new = c.where(F.col("k") % 23 != 0).withColumn(
+        "acctbal",
+        F.when(F.col("k") % 7 == 0, F.col("acctbal") + 50.0).otherwise(
+            F.col("acctbal")
+        ),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    changed = (F.col("n.acctbal") != F.col("o.acctbal")) | (
+        F.col("n.name") != F.col("o.name")
+    )
+    return (
+        o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+        .select(
+            F.coalesce(F.col("n.k"), F.col("o.k")).alias("k"),
+            F.when(F.col("o.k").isNull(), "added")
+            .when(F.col("n.k").isNull(), "removed")
+            .when(changed, "changed")
+            .otherwise("unchanged")
+            .alias("change"),
+            F.col("o.acctbal").alias("old_acctbal"),
+            F.col("n.acctbal").alias("new_acctbal"),
+        )
+        .where(F.col("change") != "unchanged")
+        .orderBy("k")
+    )

@@ -625,3 +625,39 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", left["k"].alias("k"), "event_type", "n_purchases")
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+        SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment,
+               t.o_orderkey AS o_orderkey, t.o_totalprice AS o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+    doc="""Correlated LATERAL join (top-2 orders per customer as a
+    per-row subquery): the SQL-standard form of "for each outer row,
+    run this dependent subquery" — the surface ORMs and BI tools emit.
+    Catalyst DECORRELATES it: the physical plan is the same
+    shuffle+window top-k as window_topk_per_group, not a per-row
+    nested loop — which is exactly why it scales; the lateral form is
+    sugar, the engine never executes N subqueries.
+
+    Registered through spark.sql over uniquely-named temp views (the
+    one operator exercising the SQL parser path end-to-end).""",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("khl_lat_cust")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("khl_lat_ord")
+    return spark.sql("""
+        SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment,
+               t.o_orderkey AS o_orderkey, t.o_totalprice AS o_totalprice
+        FROM khl_lat_cust c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM khl_lat_ord o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """)

@@ -129,7 +129,12 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # ...plus the late-round-2 additions (local-parity-green, queued for
     # their first driver row next round): dedup_clusters dedup_segments
     # events_funnel window_distribution merge_upsert
-    # text_token_count_bpe text_normalize
+    # text_token_count_bpe text_normalize resample_ffill scd2_history
+    # rollup_incremental events_retention zorder_layout
+    # schema_evolution_union join_salted_skew sample_stratified
+    # sample_reservoir_group text_gini_diversity join_asof_tolerance
+    # agg_histogram agg_unpivot window_range_trailing
+    # agg_bitmap_presence dedup_edit_distance join_null_safe
 )
 
 

@@ -215,3 +215,12 @@ def test_samplers_filter_fused_into_scan_stage(spark):
     plan = _plan(spark, "sample_stratified")
     for bad in ("HashAggregate", "SortMergeJoin", "BroadcastHashJoin"):
         assert bad not in plan, f"sampler plan contains {bad}"
+
+
+def test_lateral_join_decorrelates(spark):
+    # The correlated LATERAL subquery must decorrelate to a window
+    # top-k (WindowGroupLimit pushes partial top-2 map-side), never a
+    # per-outer-row nested loop.
+    plan = _plan(spark, "join_lateral_topn")
+    assert "Window" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
