@@ -42,16 +42,33 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, normalizing the events timestamp."""
+    """Load one fixture table, normalizing the events timestamp.
+
+    The events fixture has shipped with two physical layouts for ``ts``:
+    INT64 TIMESTAMP(NANOS) (read as long ns via nanosAsLong) and plain
+    TIMESTAMP(MICROS) (read natively as timestamp_ntz).  Both normalize
+    to the same logical pair: ``ts`` TIMESTAMP_NTZ at µs precision and
+    ``ts_us`` LONG epoch-µs, so operators never see the difference.
+    """
     configure_runtime(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns -> us truncation, then NTZ so outputs match DuckDB's naive
-        # timestamps (session zone is UTC, so the cast is wall-clock id).
-        df = (
-            df.withColumn("ts_us", F.expr("ts DIV 1000"))
-            .withColumn("ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz"))
-        )
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # ns -> us truncation, then NTZ so outputs match DuckDB's naive
+            # timestamps (session zone is UTC, so the cast is wall-clock id).
+            df = (
+                df.withColumn("ts_us", F.expr("ts DIV 1000"))
+                .withColumn("ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz"))
+            )
+        elif dt in ("timestamp", "timestamp_ntz"):
+            # µs parquet timestamp.  NTZ<->LTZ casts are wall-clock
+            # identity under the UTC session zone, so the epoch-µs view
+            # is exact and matches DuckDB's epoch_us(ts).
+            df = (
+                df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+                .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+            )
     return df
 
 

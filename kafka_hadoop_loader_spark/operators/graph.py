@@ -1,0 +1,203 @@
+"""Graph analytics over the relational fixtures: weighted PageRank and
+multi-source BFS reachability, both as iterative DataFrame loops.
+
+The graph is the international trade network implied by the star
+schema: a directed edge (customer nation → supplier nation) per
+lineitem, weighted by shipment count.  Iterative graph algorithms are
+the one class the reference loader could never touch and that Spark
+expresses as a driver-side *loop over lazy DataFrame transforms* — each
+iteration is a join + aggregate appended to the logical plan, no data
+ever returns to the driver (contrast dedup_clusters, which needs a
+convergence check per round; here the iteration count is fixed, so the
+whole unrolled computation is ONE Catalyst plan).
+
+Cross-engine determinism: ranks and distances live on an integer grid
+(rank scaled ×1e6, damping applied as 85/100 integer ops) — every
+engine computes bit-identical BIGINTs, no float drift after 3
+iterations.  The DuckDB oracles unroll the same three iterations as
+chained CTEs.
+
+Scale: edges are a groupBy of the fact join (|nations|² ≤ 625 rows here,
+|V|+|E| generally); each PageRank iteration is one shuffle on dst.  At
+100 TB the same loop runs with edges partitioned by src and ranks
+broadcast when |V| is small — or both sides hash-partitioned on the
+join key when |V| is huge, which is exactly Pregel's layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.registry import register
+
+_R0 = 1_000_000  # initial rank, ×1e6 fixed-point
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed weighted edges: (cust_nation → supp_nation, shipments)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            c["c_nationkey"].alias("src"),
+            s["s_nationkey"].alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+
+
+_EDGES_SQL = """
+        edges AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY src, dst
+        ),
+        outw AS (
+            SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src
+        )
+"""
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+        {cur} AS (
+            SELECT n.n_nationkey AS node,
+                   150000 + (85 * COALESCE(SUM((p.r * e.w) // o.ow), 0)) // 100 AS r
+            FROM nation n
+            LEFT JOIN edges e ON e.dst = n.n_nationkey
+            LEFT JOIN outw o ON o.src = e.src
+            LEFT JOIN {prev} p ON p.node = e.src
+            GROUP BY n.n_nationkey
+        )
+"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+        WITH {_EDGES_SQL.strip()},
+        r0 AS (
+            SELECT n_nationkey AS node, CAST({_R0} AS BIGINT) AS r FROM nation
+        ),
+        {_pagerank_iter_sql("r0", "r1").strip()},
+        {_pagerank_iter_sql("r1", "r2").strip()},
+        {_pagerank_iter_sql("r2", "r3").strip()}
+        SELECT n.n_name AS nation, r3.r AS rank_scaled
+        FROM r3 JOIN nation n ON n.n_nationkey = r3.node
+        ORDER BY rank_scaled DESC, nation
+    """,
+    doc="""Weighted PageRank (3 fixed iterations, damping 0.85) over the
+    customer-nation → supplier-nation trade graph.  Each iteration:
+    contribution = (rank × edge_weight) DIV node_out_weight per edge,
+    re-aggregated on dst, then damped as 150000 + 85·Σ DIV 100 — all on
+    the ×1e6 fixed-point integer grid, so three chained iterations stay
+    bit-identical across engines (float PageRank would drift by
+    summation order).  Nodes with no in-edges settle at the teleport
+    mass.  The oracle unrolls the identical three iterations as CTEs.
+
+    Plan shape: the Python loop appends join+agg per iteration to ONE
+    lazy plan — no driver action inside the loop; AQE broadcasts the
+    25-row rank side of each join.  This is the fixed-iteration Pregel
+    pattern (contrast dedup_clusters' converge-and-check loop).""",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = table(spark, sf_dir, "nation")
+    edges = _trade_edges(spark, sf_dir)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew = edges.join(outw, "src")
+    ranks = nation.select(
+        F.col("n_nationkey").alias("node"), F.lit(_R0).cast("long").alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select("dst", F.expr("(r * w) DIV ow").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+        )
+        ranks = (
+            nation.select(F.col("n_nationkey").alias("node"))
+            .join(contrib, F.col("node") == contrib.dst, "left")
+            .select(
+                "node",
+                F.expr("150000 + (85 * COALESCE(sc, 0)) DIV 100").alias("r"),
+            )
+        )
+    return (
+        ranks.join(nation, ranks.node == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("r").alias("rank_scaled"))
+        .orderBy(F.col("rank_scaled").desc(), "nation")
+    )
+
+
+def _bfs_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+        {cur} AS (
+            SELECT node, MIN(d) AS d FROM (
+                SELECT node, d FROM {prev}
+                UNION ALL
+                SELECT e.dst AS node, p.d + 1 AS d
+                FROM {prev} p JOIN edges e ON e.src = p.node
+            ) u GROUP BY node
+        )
+"""
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+        WITH {_EDGES_SQL.strip()},
+        seeds AS (
+            SELECT n_nationkey AS node, CAST(0 AS BIGINT) AS d
+            FROM nation WHERE n_name IN ('NATION_0', 'NATION_7')
+        ),
+        {_bfs_iter_sql("seeds", "b1").strip()},
+        {_bfs_iter_sql("b1", "b2").strip()},
+        {_bfs_iter_sql("b2", "b3").strip()}
+        SELECT n.n_name AS nation,
+               b.d AS hops
+        FROM nation n JOIN b3 b ON b.node = n.n_nationkey
+        ORDER BY hops, nation
+    """,
+    doc="""Multi-source BFS: hop distance (≤3) from the seed nations
+    {NATION_0, NATION_7} through the directed trade graph, via
+    iterative min-distance relaxation — frontier ∪ one-hop expansion,
+    MIN(d) per node each round.  Distances are small integers; MIN is
+    order-independent, so the result is engine-exact with the unrolled
+    oracle.  Unreached nations are absent (inner join at the end).
+
+    The relaxation keeps the FULL visited set each round rather than a
+    delta frontier — one groupBy per iteration, no driver-side
+    convergence test, one lazy plan; at billion-edge scale you switch
+    to delta frontiers + an early-exit count check per round (the
+    dedup_clusters pattern).""",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = table(spark, sf_dir, "nation")
+    edges = _trade_edges(spark, sf_dir).select("src", "dst")
+    reach = nation.where(F.col("n_name").isin("NATION_0", "NATION_7")).select(
+        F.col("n_nationkey").alias("node"), F.lit(0).cast("long").alias("d")
+    )
+    for _ in range(3):
+        expanded = reach.join(edges, reach.node == edges.src).select(
+            F.col("dst").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        reach = (
+            reach.unionAll(expanded).groupBy("node").agg(F.min("d").alias("d"))
+        )
+    return (
+        reach.join(nation, reach.node == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("d").alias("hops"))
+        .orderBy("hops", "nation")
+    )

@@ -1,0 +1,508 @@
+"""Statistical analytics operators: grouped OLS regression, Pearson
+correlation, rolling z-score anomaly detection, exact rank-based
+quantiles, and a DIY bloom-filter semi-join probe.
+
+The reference loader (SURVEY.md §2.A) has no statistics surface at all;
+these are the standard metric/feature queries an analytics engine runs
+over the loader's landed tables.  Cross-engine determinism follows the
+functions/exact.py doctrine taken one step further: every aggregate is
+first computed as an *exact integer sum* (counts, scaled-long sums,
+scaled-long sums of per-row integer products), then a single projection
+evaluates the statistical formula in IEEE-double space with the SAME
+expression text on both engines — identical operands + identical
+expression tree = bit-identical doubles, with no rounding anywhere.
+
+Scale: every query here is one map-side-combining hash aggregate (or
+one window pass) over integer columns; nothing is driver-side, nothing
+is all-pairs, and the sufficient statistics (n, Σx, Σx², Σxy) are
+exactly the partials a 1000-executor cluster merges for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.registry import register
+
+_US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "regr_by_group",
+    oracle="""
+        WITH s AS (
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT)                          AS n,
+                   CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT)       AS sx,
+                   CAST(SUM(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT)) AS BIGINT)
+                                                                     AS sxx,
+                   CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                                                                     AS syc,
+                   CAST(SUM(CAST(p_size AS BIGINT) * CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                                                                     AS sxyc,
+                   CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT) * CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                                                                     AS syyc
+            FROM part
+            GROUP BY p_brand
+        )
+        SELECT p_brand AS brand, n,
+               CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0
+                    THEN NULL
+                    ELSE (CAST(n AS DOUBLE) * CAST(sxyc AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(syc AS DOUBLE))
+                         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 100.0)
+               END AS slope,
+               CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0
+                    THEN NULL
+                    ELSE (CAST(syc AS DOUBLE) / 100.0
+                          - ((CAST(n AS DOUBLE) * CAST(sxyc AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(syc AS DOUBLE))
+                             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 100.0))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+               END AS intercept,
+               CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syyc AS DOUBLE) - CAST(syc AS DOUBLE) * CAST(syc AS DOUBLE)) = 0.0
+                    THEN NULL
+                    ELSE ((CAST(n AS DOUBLE) * CAST(sxyc AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(syc AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(sxyc AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(syc AS DOUBLE)))
+                         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syyc AS DOUBLE) - CAST(syc AS DOUBLE) * CAST(syc AS DOUBLE)))
+               END AS r2
+        FROM s
+        ORDER BY brand
+    """,
+    doc="""Grouped ordinary-least-squares regression: per brand, fit
+    retail price against part size (slope, intercept, R²) from the five
+    sufficient statistics (n, Σx, Σx², Σxy, Σy, Σy²) — the classic
+    "regression as an aggregate" formulation.
+
+    Determinism: the sufficient statistics are exact BIGINTs (size is
+    integral, price is 2dp → cents); the OLS formulas then run in double
+    space with textually identical expressions on both engines, so the
+    doubles are bit-identical — no rounding tolerance needed.  Degenerate
+    groups (zero size-variance) yield NULL on both sides.
+
+    Scale: one hash aggregate with map-side combine; the statistics are
+    trivially mergeable partials (this is exactly how a 1000-executor
+    cluster would fit 10^6 per-key models in one pass).""",
+)
+def regr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_size").cast("long").alias("x"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("yc"),
+    )
+    s = p.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("yc").alias("syc"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxyc"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syyc"),
+    )
+    nd = "CAST(n AS DOUBLE)"
+    den_x = f"({nd} * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    den_y = f"({nd} * CAST(syyc AS DOUBLE) - CAST(syc AS DOUBLE) * CAST(syc AS DOUBLE))"
+    num = f"({nd} * CAST(sxyc AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(syc AS DOUBLE))"
+    slope = f"({num} / ({den_x} * 100.0))"
+    return (
+        s.select(
+            F.col("p_brand").alias("brand"),
+            "n",
+            F.expr(f"CASE WHEN {den_x} = 0.0 THEN NULL ELSE {num} / ({den_x} * 100.0) END").alias(
+                "slope"
+            ),
+            F.expr(
+                f"CASE WHEN {den_x} = 0.0 THEN NULL ELSE "
+                f"(CAST(syc AS DOUBLE) / 100.0 - {slope} * CAST(sx AS DOUBLE)) / {nd} END"
+            ).alias("intercept"),
+            F.expr(
+                f"CASE WHEN {den_x} * {den_y} = 0.0 THEN NULL ELSE "
+                f"({num} * {num}) / ({den_x} * {den_y}) END"
+            ).alias("r2"),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "corr_matrix",
+    oracle="""
+        WITH b AS (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_quantity) AS BIGINT)       AS q,
+                   CAST(ROUND(l_extendedprice) AS BIGINT)  AS p,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+                   CAST(ROUND(l_tax * 100) AS BIGINT)      AS t
+            FROM lineitem
+        ),
+        s AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS sq,   CAST(SUM(q * q) AS BIGINT) AS sqq,
+                   CAST(SUM(p) AS BIGINT) AS sp,   CAST(SUM(p * p) AS BIGINT) AS spp,
+                   CAST(SUM(q * p) AS BIGINT) AS sqp,
+                   CAST(SUM(d) AS BIGINT) AS sd,   CAST(SUM(d * d) AS BIGINT) AS sdd,
+                   CAST(SUM(t) AS BIGINT) AS st,   CAST(SUM(t * t) AS BIGINT) AS stt,
+                   CAST(SUM(d * t) AS BIGINT) AS sdt
+            FROM b
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag AS returnflag, n,
+               (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+                   AS corr_qty_price,
+               (CAST(n AS DOUBLE) * CAST(sdt AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(st AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+                   AS corr_disc_tax
+        FROM s
+        ORDER BY returnflag
+    """,
+    doc="""Pearson correlation per group — (quantity, price) and
+    (discount, tax) pairs per return flag — from exact integer
+    sufficient statistics, with the r formula evaluated identically in
+    double space on both engines.
+
+    Pearson r is invariant under affine rescaling of either variable,
+    so each column is first mapped to an exact integer grid (quantity
+    integral, price rounded to whole units to keep Σp² well inside
+    int64 at any SF, discount/tax to 2dp percent points); the
+    correlation OF THE GRIDDED VALUES is the declared metric, and both
+    engines compute it on identical integers.  int64 headroom: Σp² per
+    row ≤ 1e10 → ~1e8 rows per group before overflow; beyond that the
+    partial sums move to DECIMAL(38,0) with the same formula.
+
+    Scale: one pass, eleven mergeable integer partials per group —
+    the covariance-matrix-as-aggregate pattern.""",
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("long").alias("q"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("d") * F.col("t")).alias("sdt"),
+    )
+
+    def corr(sxy: str, sx: str, sxx: str, sy: str, syy: str) -> str:
+        nd = "CAST(n AS DOUBLE)"
+        return (
+            f"({nd} * CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE))"
+            f" / (sqrt({nd} * CAST({sxx} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE))"
+            f" * sqrt({nd} * CAST({syy} AS DOUBLE) - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE)))"
+        )
+
+    return (
+        s.select(
+            F.col("l_returnflag").alias("returnflag"),
+            "n",
+            F.expr(corr("sqp", "sq", "sqq", "sp", "spp")).alias("corr_qty_price"),
+            F.expr(corr("sdt", "sd", "sdd", "st", "stt")).alias("corr_disc_tax"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+@register(
+    "anomaly_rolling_z",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_us(ts) // {_US_PER_HOUR} AS hour_id,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events
+            GROUP BY event_type, hour_id
+        ),
+        w AS (
+            SELECT event_type, hour_id, cnt,
+                   CAST(COUNT(cnt) OVER fr AS BIGINT) AS n_obs,
+                   CAST(SUM(cnt) OVER fr AS BIGINT)   AS sc,
+                   CAST(SUM(cnt * cnt) OVER fr AS BIGINT) AS scc
+            FROM hourly
+            WINDOW fr AS (
+                PARTITION BY event_type ORDER BY hour_id
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+            )
+        )
+        SELECT event_type,
+               make_timestamp(hour_id * {_US_PER_HOUR}) AS hour_ts,
+               cnt,
+               CASE WHEN n_obs >= 12
+                         AND (CAST(n_obs AS DOUBLE) * CAST(scc AS DOUBLE)
+                              - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) > 0.0
+                    THEN (CAST(cnt AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n_obs AS DOUBLE))
+                         / sqrt((CAST(n_obs AS DOUBLE) * CAST(scc AS DOUBLE)
+                                 - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                                / (CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) - 1.0)))
+                    ELSE NULL
+               END AS zscore,
+               COALESCE(CASE WHEN n_obs >= 12
+                         AND (CAST(n_obs AS DOUBLE) * CAST(scc AS DOUBLE)
+                              - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) > 0.0
+                    THEN abs((CAST(cnt AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n_obs AS DOUBLE))
+                         / sqrt((CAST(n_obs AS DOUBLE) * CAST(scc AS DOUBLE)
+                                 - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                                / (CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) - 1.0)))) > 3.0
+                    ELSE NULL END, FALSE) AS is_anomaly
+        FROM w
+        ORDER BY event_type, hour_ts
+    """,
+    doc="""Rolling z-score anomaly detection over the event stream:
+    per-series hourly counts scored against the trailing-24-observation
+    window (current hour excluded — the score compares now vs recent
+    history), with a minimum-history gate of 12 observations and a 3σ
+    flag — the standard ops-metrics anomaly shape.
+
+    Determinism: counts are integers; the window's sufficient
+    statistics (n, Σc, Σc²) are exact integer window sums; mean/stddev/
+    z then evaluate in double space with identical expression text.
+    Warm-up rows and zero-variance windows yield NULL (flag false).
+
+    Scale: one shuffle on event_type serves both the hourly aggregate
+    (map-side combined) and the ordered window; per-series window state
+    is 25 integers.  At 100 TB the hourly layer is O(series × hours),
+    decoupled from raw event volume.""",
+)
+def anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts_us DIV {_US_PER_HOUR}").alias("hour_id")
+    )
+    hourly = e.groupBy("event_type", "hour_id").agg(F.count("*").alias("cnt"))
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-24, -1)
+    )
+    w = hourly.select(
+        "event_type",
+        "hour_id",
+        "cnt",
+        F.count("cnt").over(fr).alias("n_obs"),
+        F.sum("cnt").over(fr).alias("sc"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(fr).alias("scc"),
+    )
+    nd = "CAST(n_obs AS DOUBLE)"
+    var_num = f"({nd} * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))"
+    z = (
+        f"(CAST(cnt AS DOUBLE) - CAST(sc AS DOUBLE) / {nd})"
+        f" / sqrt({var_num} / ({nd} * ({nd} - 1.0)))"
+    )
+    cond = f"n_obs >= 12 AND {var_num} > 0.0"
+    return (
+        w.select(
+            "event_type",
+            F.timestamp_micros(F.col("hour_id") * _US_PER_HOUR)
+            .cast("timestamp_ntz")
+            .alias("hour_ts"),
+            "cnt",
+            F.expr(f"CASE WHEN {cond} THEN {z} ELSE NULL END").alias("zscore"),
+            F.expr(
+                f"COALESCE(CASE WHEN {cond} THEN abs({z}) > 3.0 ELSE NULL END, FALSE)"
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+@register(
+    "quantiles_exact",
+    oracle="""
+        WITH r AS (
+            SELECT l_returnflag, l_linestatus, l_quantity,
+                   CAST(row_number() OVER (
+                       PARTITION BY l_returnflag, l_linestatus ORDER BY l_quantity
+                   ) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY l_returnflag, l_linestatus
+                   ) AS BIGINT) AS n
+            FROM lineitem
+        )
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               MAX(n) AS n,
+               MAX(CASE WHEN rn = (n * 1 + 3) // 4 THEN l_quantity END) AS p25,
+               MAX(CASE WHEN rn = (n * 2 + 3) // 4 THEN l_quantity END) AS p50,
+               MAX(CASE WHEN rn = (n * 3 + 3) // 4 THEN l_quantity END) AS p75,
+               MAX(CASE WHEN rn = n THEN l_quantity END) AS p100
+        FROM r
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY returnflag, linestatus
+    """,
+    doc="""Exact per-group quantiles (p25/p50/p75/max) by rank
+    selection: the type-1 (lower) quantile is the value at sorted
+    position ⌈q·n⌉, located with row_number + a conditional aggregate.
+    The target rank ⌈k·n/4⌉ is computed as (n·k + 3) DIV 4 — pure
+    integer arithmetic, engine-exact.  Row-number ties among equal
+    values are harmless: the VALUE at a sorted position is unique
+    regardless of tie order.
+
+    Scale: one shuffle on the group key; the alternative at extreme
+    cardinality is two-phase (per-partition histograms → merge), but
+    rank-by-window is the exact answer and stays fully distributed —
+    contrast with approx_percentile (approx_distinct sibling) when a
+    sketch is acceptable.""",
+)
+def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    wr = Window.partitionBy("l_returnflag", "l_linestatus").orderBy("l_quantity")
+    wn = Window.partitionBy("l_returnflag", "l_linestatus")
+    r = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    return (
+        r.groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.expr("CASE WHEN rn = (n * 1 + 3) DIV 4 THEN l_quantity END")).alias("p25"),
+            F.max(F.expr("CASE WHEN rn = (n * 2 + 3) DIV 4 THEN l_quantity END")).alias("p50"),
+            F.max(F.expr("CASE WHEN rn = (n * 3 + 3) DIV 4 THEN l_quantity END")).alias("p75"),
+            F.max(F.expr("CASE WHEN rn = n THEN l_quantity END")).alias("p100"),
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# Bloom filter geometry: 4096 bits = 128 words × 32 bits, k=2 portable
+# md5-derived hash probes (same hash family as pipeline.sample_hash_split).
+# 32-bit words keep the shift ≤ 31: DuckDB raises on BIGINT << 63, so the
+# sign bit is never used (same discipline as agg_bitmap_presence's 60-bit
+# slots).
+_BLOOM_BITS = 4096
+_PHASH = "CAST(CONV(SUBSTRING(MD5({x}), 1, 15), 16, 10) AS BIGINT)"
+_PHASH_DUCK = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "bloom_filter_probe",
+    oracle=f"""
+        WITH keys AS (
+            SELECT o_orderkey
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+        ),
+        bits AS (
+            SELECT {_PHASH_DUCK.format(x="CAST(o_orderkey AS VARCHAR) || '|b1'")} % {_BLOOM_BITS} AS pos
+            FROM keys
+            UNION ALL
+            SELECT {_PHASH_DUCK.format(x="CAST(o_orderkey AS VARCHAR) || '|b2'")} % {_BLOOM_BITS} AS pos
+            FROM keys
+        ),
+        bloom AS (
+            SELECT pos // 32 AS w,
+                   BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+            FROM bits GROUP BY w
+        ),
+        probe AS (
+            SELECT DISTINCT l_orderkey,
+                   {_PHASH_DUCK.format(x="CAST(l_orderkey AS VARCHAR) || '|b1'")} % {_BLOOM_BITS} AS p1,
+                   {_PHASH_DUCK.format(x="CAST(l_orderkey AS VARCHAR) || '|b2'")} % {_BLOOM_BITS} AS p2
+            FROM lineitem
+        ),
+        tested AS (
+            SELECT p.l_orderkey,
+                   (b1.word & (CAST(1 AS BIGINT) << CAST(p.p1 % 32 AS INTEGER))) != 0
+                   AND (b2.word & (CAST(1 AS BIGINT) << CAST(p.p2 % 32 AS INTEGER))) != 0
+                       AS bloom_pass,
+                   EXISTS (SELECT 1 FROM keys k WHERE k.o_orderkey = p.l_orderkey)
+                       AS is_match
+            FROM probe p
+            LEFT JOIN bloom b1 ON b1.w = p.p1 // 32
+            LEFT JOIN bloom b2 ON b2.w = p.p2 // 32
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+               CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+               CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+               CAST(SUM(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_pos,
+               CAST(SUM(CASE WHEN is_match AND NOT bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_neg
+        FROM tested
+    """,
+    doc="""DIY bloom-filter semi-join reduction: build a 4096-bit, k=2
+    bloom filter over the urgent-order keys as a 64-row (word, bits)
+    table via BIT_OR — an exactly-mergeable sketch, the same family as
+    agg_bitmap_presence — then probe the fact side's distinct keys with
+    two broadcast word lookups and verify against the exact semi-join.
+    Output: probe/pass/match/false-positive counters, with
+    n_false_neg = 0 as the structural bloom guarantee.
+
+    This is the runtime-filter pattern (Spark's own InSubqueryExec /
+    bloom-filter join pushdown) made explicit: at 100 TB the 64-word
+    bloom built from a selective dim side broadcasts to every scan task
+    and drops non-matching fact rows before the shuffle.  Hash probes
+    use the portable md5 60-bit hash so both engines address identical
+    bit positions.
+
+    Spark plan: two broadcast hash joins against the 64-row bloom table
+    + one broadcast semi-join for ground truth; a single final global
+    aggregate row.  Nothing driver-side.""",
+)
+def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    keys = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    h1 = _PHASH.format(x="CAST(o_orderkey AS STRING) || '|b1'")
+    h2 = _PHASH.format(x="CAST(o_orderkey AS STRING) || '|b2'")
+    bits = keys.selectExpr(f"{h1} % {_BLOOM_BITS} AS pos").unionAll(
+        keys.selectExpr(f"{h2} % {_BLOOM_BITS} AS pos")
+    )
+    bloom = bits.groupBy(F.expr("pos DIV 32").alias("w")).agg(
+        F.expr("BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))").alias("word")
+    )
+    p1 = _PHASH.format(x="CAST(l_orderkey AS STRING) || '|b1'")
+    p2 = _PHASH.format(x="CAST(l_orderkey AS STRING) || '|b2'")
+    probe = li.select("l_orderkey").distinct().selectExpr(
+        "l_orderkey", f"{p1} % {_BLOOM_BITS} AS p1", f"{p2} % {_BLOOM_BITS} AS p2"
+    )
+    b1 = F.broadcast(bloom.withColumnRenamed("w", "w1").withColumnRenamed("word", "word1"))
+    b2 = F.broadcast(bloom.withColumnRenamed("w", "w2").withColumnRenamed("word", "word2"))
+    matches = keys.select(F.col("o_orderkey").alias("l_orderkey")).withColumn(
+        "is_match", F.lit(True)
+    )
+    tested = (
+        probe.join(b1, F.expr("w1 = p1 DIV 32"), "left")
+        .join(b2, F.expr("w2 = p2 DIV 32"), "left")
+        .withColumn(
+            "bloom_pass",
+            F.expr(
+                f"(word1 & (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INT))) != 0"
+                f" AND (word2 & (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INT))) != 0"
+            ),
+        )
+        .join(F.broadcast(matches), "l_orderkey", "left")
+        .withColumn("is_match", F.coalesce("is_match", F.lit(False)))
+    )
+    return tested.agg(
+        F.count("*").alias("n_probed"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("n_true_match"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("is_match"), 1).otherwise(0)).alias(
+            "n_false_pos"
+        ),
+        F.sum(F.when(F.col("is_match") & ~F.col("bloom_pass"), 1).otherwise(0)).alias(
+            "n_false_neg"
+        ),
+    )

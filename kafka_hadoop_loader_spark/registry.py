@@ -152,6 +152,7 @@ def load_all() -> dict[str, Query]:
         cdc,
         dedup,
         filters,
+        graph,
         joins,
         layout,
         multimodal,
@@ -160,6 +161,7 @@ def load_all() -> dict[str, Query]:
         setops,
         similarity,
         sorts,
+        stats,
         textstats,
         timeseries,
         tpch,
