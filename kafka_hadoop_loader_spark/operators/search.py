@@ -1,0 +1,299 @@
+"""Full-text search primitives over the documents table: inverted
+index construction, conjunctive keyword search with TF-IDF ranking,
+and skip-gram PMI co-occurrence mining.
+
+These are the retrieval-side operators of a training-data pipeline
+(the read-path dual of text_tfidf/text_token_freq): build the
+term → postings index once, serve AND-queries from it, and mine
+collocations for tokenizer/phrase analysis.  Tokenization matches
+textstats.py exactly: whitespace split, no normalization (the
+normalization pass is its own operator, text_normalize).
+
+Determinism: postings are sorted doc-id prefixes; ranking scores are
+RATIONAL statistics (linear idf, association lift) built from exact
+integer counts with fixed association order — ln() never appears in an
+oracle-checked output (not correctly rounded across libms, per the
+textstats.py doctrine; +,-,*,/ and sqrt are, per IEEE 754); every
+LIMIT rides on a total order with explicit tie-break keys.
+
+Scale: the index build is one explode + two hash aggregates — the
+classic distributed indexing job; queries touch only the postings of
+the query terms (broadcast-joined document-frequency table).  PMI
+pair generation is IN-ROW via positional slicing (no self-join, no
+shuffle of the exploded stream beyond the final pair aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import spread, table
+from kafka_hadoop_loader_spark.registry import register
+
+# Conjunctive query for keyword_search: mid-frequency DB-themed terms
+# present in the fixture vocabulary at every SF.
+_QUERY_TERMS = ("hash", "join", "scan")
+
+
+@register(
+    "inverted_index",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        posting AS (
+            SELECT term,
+                   CAST(COUNT(*) AS BIGINT) AS tf_total,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                   array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',')
+                       AS postings_head
+            FROM toks GROUP BY term
+        )
+        SELECT term, tf_total, df, postings_head
+        FROM posting
+        WHERE df >= 5
+        ORDER BY df DESC, term
+        LIMIT 100
+    """,
+    doc="""Inverted-index build: term → (total term frequency, document
+    frequency, head of the sorted postings list).  The postings head is
+    the first 10 doc ids — bounded output width regardless of term
+    popularity; a real index write would keep the full sorted list as
+    an array column partitioned by term-hash.
+
+    Scale: explode + one hash aggregate per term with map-side combine;
+    collect_set stays bounded because the projection slices to 10 after
+    sorting.  df >= 5 prunes the hapax tail before the ordered limit.
+    The LIMIT rides on (df DESC, term) — a total order.""",
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count("*").alias("tf_total"),
+            F.countDistinct("doc_id").alias("df"),
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10)
+            ).alias("postings_head"),
+        )
+        .where(F.col("df") >= 5)
+        .orderBy(F.col("df").desc(), "term")
+        .limit(100)
+    )
+
+
+@register(
+    "keyword_search",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks
+            WHERE term IN ('{_QUERY_TERMS[0]}', '{_QUERY_TERMS[1]}', '{_QUERY_TERMS[2]}')
+            GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ),
+        piv AS (
+            SELECT t.doc_id,
+                   CAST(SUM(CASE WHEN t.term = 'hash' THEN t.tf END) AS BIGINT) AS tf1,
+                   CAST(SUM(CASE WHEN t.term = 'join' THEN t.tf END) AS BIGINT) AS tf2,
+                   CAST(SUM(CASE WHEN t.term = 'scan' THEN t.tf END) AS BIGINT) AS tf3,
+                   CAST(MAX(CASE WHEN t.term = 'hash' THEN d.df END) AS BIGINT) AS df1,
+                   CAST(MAX(CASE WHEN t.term = 'join' THEN d.df END) AS BIGINT) AS df2,
+                   CAST(MAX(CASE WHEN t.term = 'scan' THEN d.df END) AS BIGINT) AS df3
+            FROM tf t JOIN df d ON t.term = d.term
+            GROUP BY t.doc_id
+        )
+        SELECT p.doc_id AS doc_id,
+               p.tf1 + p.tf2 + p.tf3 AS total_tf,
+               CAST(p.tf1 AS DOUBLE) * (CAST(nd.n_docs AS DOUBLE) / CAST(p.df1 AS DOUBLE))
+               + CAST(p.tf2 AS DOUBLE) * (CAST(nd.n_docs AS DOUBLE) / CAST(p.df2 AS DOUBLE))
+               + CAST(p.tf3 AS DOUBLE) * (CAST(nd.n_docs AS DOUBLE) / CAST(p.df3 AS DOUBLE))
+                   AS score
+        FROM piv p CROSS JOIN nd
+        WHERE p.tf1 IS NOT NULL AND p.tf2 IS NOT NULL AND p.tf3 IS NOT NULL
+        ORDER BY total_tf DESC, doc_id
+        LIMIT 20
+    """,
+    doc="""Conjunctive keyword search: documents containing ALL query
+    terms {hash, join, scan}, ranked by total term frequency with a
+    linear-idf relevance score (tf · N/df summed over the query terms
+    in fixed association order — the ln-idf variant is monotone in the
+    same per-term ratio but ln() is not bit-portable across libms, per
+    the textstats.py doctrine, so the score stays rational).
+
+    Determinism: the per-term tf/df are pivoted to fixed columns
+    first, so the score is a FIXED-ASSOCIATION sum of three exact
+    products — no aggregate-order float drift is possible — and the
+    LIMIT rides on (total_tf DESC, doc_id), exact integers.
+
+    Scale: the scan touches only postings of the query terms (the
+    WHERE prunes before the first aggregate); df is a 3-row broadcast;
+    the conjunctive gate is HAVING COUNT(DISTINCT term) = |query| —
+    the standard AND-of-postings merge as one aggregate.""",
+)
+def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (
+        toks.where(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    t1, t2, t3 = _QUERY_TERMS
+    piv = (
+        tf.join(F.broadcast(df), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr(f"CASE WHEN term = '{t1}' THEN tf END")).alias("tf1"),
+            F.sum(F.expr(f"CASE WHEN term = '{t2}' THEN tf END")).alias("tf2"),
+            F.sum(F.expr(f"CASE WHEN term = '{t3}' THEN tf END")).alias("tf3"),
+            F.max(F.expr(f"CASE WHEN term = '{t1}' THEN df END")).alias("df1"),
+            F.max(F.expr(f"CASE WHEN term = '{t2}' THEN df END")).alias("df2"),
+            F.max(F.expr(f"CASE WHEN term = '{t3}' THEN df END")).alias("df3"),
+        )
+    )
+    score = (
+        "CAST(tf1 AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df1 AS DOUBLE))"
+        " + CAST(tf2 AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df2 AS DOUBLE))"
+        " + CAST(tf3 AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df3 AS DOUBLE))"
+    )
+    return (
+        piv.where(
+            F.col("tf1").isNotNull()
+            & F.col("tf2").isNotNull()
+            & F.col("tf3").isNotNull()
+        )
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            (F.col("tf1") + F.col("tf2") + F.col("tf3")).alias("total_tf"),
+            F.expr(score).alias("score"),
+        )
+        .orderBy(F.col("total_tf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "cooccur_pmi",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        prs AS (
+            SELECT CASE WHEN ws[i] < ws[i + 1] THEN ws[i] ELSE ws[i + 1] END AS tok_a,
+                   CASE WHEN ws[i] < ws[i + 1] THEN ws[i + 1] ELSE ws[i] END AS tok_b
+            FROM w, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+            WHERE len(ws) >= 2
+            UNION ALL
+            SELECT CASE WHEN ws[i] < ws[i + 2] THEN ws[i] ELSE ws[i + 2] END AS tok_a,
+                   CASE WHEN ws[i] < ws[i + 2] THEN ws[i + 2] ELSE ws[i] END AS tok_b
+            FROM w, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+            WHERE len(ws) >= 3
+        ),
+        pc AS (
+            SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM prs GROUP BY tok_a, tok_b
+        ),
+        tc AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+            ) GROUP BY tok
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_ab) AS BIGINT) AS n_pairs,
+                   (SELECT CAST(SUM(n_tok) AS BIGINT) FROM tc) AS n_toks
+            FROM pc
+        )
+        SELECT p.tok_a AS tok_a, p.tok_b AS tok_b, p.n_ab AS n_ab,
+               (CAST(p.n_ab AS DOUBLE) * CAST(t.n_toks AS DOUBLE) * CAST(t.n_toks AS DOUBLE))
+                  / (CAST(t.n_pairs AS DOUBLE) * CAST(a.n_tok AS DOUBLE) * CAST(b.n_tok AS DOUBLE))
+                   AS lift
+        FROM pc p
+        JOIN tc a ON a.tok = p.tok_a
+        JOIN tc b ON b.tok = p.tok_b
+        CROSS JOIN tot t
+        WHERE p.n_ab >= 10
+        ORDER BY n_ab DESC, tok_a, tok_b
+        LIMIT 50
+    """,
+    doc="""Skip-gram PMI collocation mining: unordered token pairs
+    within distance ≤ 2, scored by association lift
+    P(a,b) / (P(a)·P(b)) — the exponential of PMI, monotone-equivalent
+    and bit-portable (products and divisions of exact integer casts are
+    correctly rounded IEEE ops; ln() is not, per the textstats.py
+    doctrine) — with P(a,b) over the pair total and P(·) over the
+    token total.  This is the phrase/collocation detector
+    a tokenizer-training pipeline runs before BPE merges
+    (text_token_count_bpe's sibling).
+
+    Pair generation is IN-ROW — positional slicing of the token array
+    (transform over an index sequence), not a positional self-join —
+    so the only shuffles are the final hash aggregates.  Pair
+    canonicalization (lexicographic min/max) makes the pair unordered
+    on both engines.  PMI is doubles from five exact integers with
+    identical expression text; the LIMIT rides on (n_ab DESC, tok_a,
+    tok_b) — a total order on exact values.""",
+)
+def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+
+    def skip_pairs(dist: int):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(w) - dist),
+            lambda i: F.struct(
+                F.least(F.element_at(w, i), F.element_at(w, i + dist)).alias("tok_a"),
+                F.greatest(F.element_at(w, i), F.element_at(w, i + dist)).alias("tok_b"),
+            ),
+        )
+
+    prs = (
+        d.where(F.size(w) >= 2)
+        .select(F.explode(skip_pairs(1)).alias("pr"))
+        .unionAll(
+            d.where(F.size(w) >= 3).select(F.explode(skip_pairs(2)).alias("pr"))
+        )
+        .select("pr.tok_a", "pr.tok_b")
+    )
+    pc = prs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab"))
+    tc = (
+        d.select(F.explode(w).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    tot = pc.agg(F.sum("n_ab").alias("n_pairs")).join(
+        tc.agg(F.sum("n_tok").alias("n_toks"))
+    )
+    a = tc.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("na"))
+    b = tc.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("nb"))
+    return (
+        pc.where(F.col("n_ab") >= 10)
+        .join(F.broadcast(a), "tok_a")
+        .join(F.broadcast(b), "tok_b")
+        .join(F.broadcast(tot))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.expr(
+                "(CAST(n_ab AS DOUBLE) * CAST(n_toks AS DOUBLE) * CAST(n_toks AS DOUBLE))"
+                " / (CAST(n_pairs AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "tok_a", "tok_b")
+        .limit(50)
+    )

@@ -158,6 +158,7 @@ def load_all() -> dict[str, Query]:
         multimodal,
         pipeline,
         scalars,
+        search,
         setops,
         similarity,
         sorts,
