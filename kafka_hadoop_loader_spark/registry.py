@@ -155,6 +155,7 @@ def load_all() -> dict[str, Query]:
         graph,
         joins,
         layout,
+        ml,
         multimodal,
         pipeline,
         scalars,
