@@ -224,3 +224,44 @@ def test_lateral_join_decorrelates(spark):
     plan = _plan(spark, "join_lateral_topn")
     assert "Window" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_bloom_probe_broadcasts_words(spark):
+    # Both bloom word lookups and the ground-truth semi side must arrive
+    # via broadcast — the whole point of a runtime filter is that the
+    # fact side never shuffles.
+    plan = _plan(spark, "bloom_filter_probe")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_graph_iterations_stay_jvm_side(spark):
+    # The unrolled 3-iteration loops must stay whole-stage-codegen
+    # joins/aggregates: no Python eval, no cartesian expansion.
+    for name in ("graph_pagerank", "graph_bfs_hops"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_kmeans_centroids_broadcast(spark):
+    # The k x dim centroid table must broadcast to the distance join in
+    # EVERY iteration; the vector side must never shuffle for it.
+    plan = _plan(spark, "kmeans_embeddings")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_search_scores_stay_jvm_side(spark):
+    for name in ("inverted_index", "keyword_search", "cooccur_pmi"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stats_single_aggregate_pass(spark):
+    # Sufficient-statistics queries must be exactly one aggregation over
+    # the scan (partial+final), never a join or second shuffle.
+    for name in ("regr_by_group", "corr_matrix"):
+        plan = _plan(spark, name)
+        for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+            assert bad not in plan, f"{name} plans {bad}"
