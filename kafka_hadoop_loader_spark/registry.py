@@ -135,6 +135,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # sample_reservoir_group text_gini_diversity join_asof_tolerance
     # agg_histogram agg_unpivot window_range_trailing
     # agg_bitmap_presence dedup_edit_distance join_null_safe
+    # join_lateral_topn snapshot_diff regr_by_group corr_matrix
+    # anomaly_rolling_z quantiles_exact bloom_filter_probe
+    # graph_pagerank graph_bfs_hops kmeans_embeddings inverted_index
+    # keyword_search cooccur_pmi skew_profile interval_overlap_join
 )
 
 
@@ -158,6 +162,7 @@ def load_all() -> dict[str, Query]:
         ml,
         multimodal,
         pipeline,
+        profile,
         scalars,
         search,
         setops,
