@@ -269,7 +269,10 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("pr.tok_a", "pr.tok_b")
     )
-    pc = prs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab"))
+    # persisted: the pair-count table feeds BOTH the global total row
+    # and the scored join — without it the explode + aggregate (the
+    # expensive pass) runs twice.
+    pc = prs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab")).persist()
     tc = (
         d.select(F.explode(w).alias("tok"))
         .groupBy("tok")

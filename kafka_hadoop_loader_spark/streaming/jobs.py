@@ -95,6 +95,31 @@ def clicks_attributed_to_views_stream(
     )
 
 
+def enrich_stream_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    joins a STATIC dimension table (no watermark, no join state — the
+    static side is just re-planned per batch, broadcast when small).
+    This is the loader-adjacent lookup shape: decorate the landing
+    stream with slowly-refreshed reference data (type → category map,
+    allow-lists, model-version routing) without any stateful machinery.
+
+    Contrast clicks_attributed_to_views_stream: a stream-STREAM join
+    needs watermarks on both sides and bounded-interval state; a
+    stream-static join needs neither — Spark treats the static side as
+    a batch relation inside each incremental plan.  At scale the dim
+    broadcast is the same runtime filter discipline as bloom_filter_
+    probe: the stream side never shuffles for the lookup.
+    """
+    return events.join(F.broadcast(dim), "event_type", "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce("category", F.lit("unknown")).alias("category"),
+        "value",
+        "event_ts",
+    )
+
+
 def user_running_stats_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     cumulative (event count, max value) carried across micro-batches in

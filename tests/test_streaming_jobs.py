@@ -308,3 +308,25 @@ def test_foreach_batch_upsert_state(spark, tmp_path):
     assert cur[1]["event_id"] == 4 and cur[1]["event_type"] == "purchase"
     assert cur[2]["event_id"] == 2  # untouched key carried forward
     assert cur[3]["event_type"] == "signup"
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    recs = [
+        {"event_id": i, "ts": BASE_US + i * 60_000_000, "user_id": i % 2,
+         "event_type": ["click", "view", "error"][i % 3], "value": 1.0,
+         "props": "{}"}
+        for i in range(9)
+    ]
+    _write_events(str(tmp_path / "in" / "a.jsonl"), recs)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement")],
+        "event_type string, category string",
+    )
+    df = jobs.enrich_stream_static(_stream(spark, tmp_path), dim)
+    _run_to_memory(df, "enrich_t", "append")
+    rows = spark.sql("SELECT * FROM enrich_t ORDER BY event_id").collect()
+    assert len(rows) == 9
+    # left join: unmatched types fall back to 'unknown'
+    cats = {r.event_type: r.category for r in rows}
+    assert cats == {"click": "engagement", "view": "engagement",
+                    "error": "unknown"}
