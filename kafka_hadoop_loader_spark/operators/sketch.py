@@ -1,0 +1,218 @@
+"""Mergeable-sketch operators with EXACT cross-engine portability:
+Count-Min heavy-hitter estimation and a DIY HyperLogLog.
+
+Sketches are the 100 TB answer to "distinct/frequency at interactive
+cost": integer counter arrays that merge associatively, so map-side
+combine does almost all the work and the final state is KB-sized.
+Spark ships approx_count_distinct (HLL++) whose binary is not
+oracle-comparable (SURVEY §2: approx_distinct stays rows-only); these
+two operators instead build the sketches from the PORTABLE md5 hash
+family (pipeline.sample_hash_split's), so every counter, register, and
+estimate is bit-identical in DuckDB — the sketch itself becomes
+oracle-checkable, estimates included.
+
+Family tour completed by these two: bitmap (agg_bitmap_presence,
+exact-membership), bloom (bloom_filter_probe, membership-with-FP),
+CMS (frequency, overestimate-only), HLL (cardinality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.registry import register
+
+_PHASH = "CAST(CONV(SUBSTRING(MD5({x}), 1, 15), 16, 10) AS BIGINT)"
+_PHASH_DUCK = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_CMS_W = 1024  # counters per row
+_CMS_D = 4  # hash rows
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+        WITH items AS (
+            SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem
+        ),
+        hashed AS (
+            SELECT key, j,
+                   {_PHASH_DUCK.format(x="key || '|cms' || CAST(j AS VARCHAR)")} % {_CMS_W} AS col
+            FROM items, unnest([0, 1, 2, 3]) AS u(j)
+        ),
+        cms AS (
+            SELECT j, col, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM hashed GROUP BY j, col
+        ),
+        truth AS (
+            SELECT key, CAST(COUNT(*) AS BIGINT) AS true_cnt
+            FROM items GROUP BY key
+            ORDER BY true_cnt DESC, key
+            LIMIT 10
+        ),
+        probes AS (
+            SELECT t.key, t.true_cnt, u.j,
+                   {_PHASH_DUCK.format(x="t.key || '|cms' || CAST(u.j AS VARCHAR)")} % {_CMS_W} AS col
+            FROM truth t, unnest([0, 1, 2, 3]) AS u(j)
+        )
+        SELECT p.key AS key, p.true_cnt AS true_cnt,
+               CAST(MIN(c.cnt) AS BIGINT) AS est_cnt,
+               CAST(MIN(c.cnt) - p.true_cnt AS BIGINT) AS overcount
+        FROM probes p JOIN cms c ON c.j = p.j AND c.col = p.col
+        GROUP BY p.key, p.true_cnt
+        ORDER BY true_cnt DESC, key
+    """,
+    doc="""Count-Min sketch (depth 4 × width 1024) over part-key
+    frequencies, probed with the true top-10 keys: estimate = MIN of
+    the key's 4 counters, with the CMS guarantee est ≥ true surfaced as
+    an exact `overcount` column.  Counters are plain integer sums over
+    portable-hash cells, so sketch AND estimates hash-match DuckDB.
+
+    Scale: the sketch build is one map-side-combining count into ≤4096
+    cells — the per-partition partials ARE CMS sketches and merge by
+    cell-wise +, which is why a 1000-executor build costs one 4096-row
+    shuffle.  Probing joins the 10 probe keys' 40 cells against the
+    broadcast sketch.  approx_distinct's HLL++ binary can't be
+    oracle-compared; this CMS is the same sketch discipline made
+    engine-portable.""",
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(F.col("l_partkey").cast("string").alias("key"))
+    js = F.array(*[F.lit(j) for j in range(_CMS_D)])
+    hcol = _PHASH.format(x="key || '|cms' || CAST(j AS STRING)")
+    hashed = items.select("key", F.explode(js).alias("j")).selectExpr(
+        "key", "j", f"{hcol} % {_CMS_W} AS col"
+    )
+    cms = hashed.groupBy("j", "col").agg(F.count("*").alias("cnt"))
+    truth = (
+        items.groupBy("key")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "key")
+        .limit(10)
+    )
+    probes = truth.select("key", "true_cnt", F.explode(js).alias("j")).selectExpr(
+        "key", "true_cnt", "j", f"{hcol} % {_CMS_W} AS col"
+    )
+    return (
+        probes.join(F.broadcast(cms), ["j", "col"])
+        .groupBy("key", "true_cnt")
+        .agg(
+            F.min("cnt").alias("est_cnt"),
+            (F.min("cnt") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("true_cnt").desc(), "key")
+    )
+
+
+_HLL_M = 64  # buckets
+_HLL_ALPHA = 0.709  # alpha_64 constant
+_HLL_SCALE_EXP = 54  # term = 2^(54 - min(rank,54)); 64*2^53 < 2^63
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=f"""
+        WITH keys AS (
+            SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders
+        ),
+        hashed AS (
+            SELECT key,
+                   {_PHASH_DUCK.format(x="key || '|hb'")} % {_HLL_M} AS bucket,
+                   substr(md5(key || '|hw'), 1, 15) AS h
+            FROM keys
+        ),
+        ranked AS (
+            SELECT bucket,
+                   4 * length(regexp_extract(h, '^(0*)', 1))
+                   + CASE substr(h, length(regexp_extract(h, '^(0*)', 1)) + 1, 1)
+                         WHEN '1' THEN 3
+                         WHEN '2' THEN 2 WHEN '3' THEN 2
+                         WHEN '4' THEN 1 WHEN '5' THEN 1
+                         WHEN '6' THEN 1 WHEN '7' THEN 1
+                         ELSE 0
+                     END + 1 AS rank
+            FROM hashed
+        ),
+        regs AS (
+            SELECT bucket, CAST(MAX(LEAST(rank, {_HLL_SCALE_EXP})) AS BIGINT) AS reg
+            FROM ranked GROUP BY bucket
+        ),
+        summed AS (
+            SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST({_HLL_SCALE_EXP} - reg AS INTEGER)) AS BIGINT)
+                       AS s_present,
+                   CAST(COUNT(*) AS BIGINT) AS m_present
+            FROM regs
+        ),
+        truth AS (
+            SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_true FROM orders
+        )
+        SELECT t.n_true AS n_true,
+               s.m_present AS m_present,
+               ({_HLL_ALPHA} * {_HLL_M} * {_HLL_M})
+               * (CAST(1 AS BIGINT) << {_HLL_SCALE_EXP})
+               / (CAST(s.s_present AS DOUBLE)
+                  + CAST({_HLL_M} - s.m_present AS DOUBLE)
+                    * CAST(CAST(1 AS BIGINT) << {_HLL_SCALE_EXP} AS DOUBLE))
+                   AS hll_estimate
+        FROM summed s CROSS JOIN truth t
+    """,
+    doc="""DIY HyperLogLog (m=64) cardinality estimate of distinct
+    customers, fully oracle-checkable: bucket and value hashes come
+    from the portable md5 family; the rank (leading-zero count + 1 of
+    the 60-bit value hash) is derived from the HEX STRING with string
+    ops both engines share; registers are integer MAX per bucket; and
+    the harmonic-mean denominator Σ 2^(-reg) is computed as the exact
+    integer Σ 2^(54-reg) (empty buckets contribute 2^54 via the
+    m_present complement), so even the floating estimate is built from
+    exact integers with identical expression text.
+
+    Scale: this IS the production distinct-count layout — per-partition
+    (bucket → max rank) partials of 64 integers merge by cell-wise MAX;
+    the raw-bits reason approx_count_distinct can't be oracle-compared
+    is the only thing this trades away (raw estimate quality: HLL++
+    bias correction is omitted; at n >> m the plain HLL formula is the
+    right regime).  One hash aggregate + one 64-row reduce.""",
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    keys = o.select(F.col("o_custkey").cast("string").alias("key")).distinct()
+    hb = _PHASH.format(x="key || '|hb'")
+    hashed = keys.selectExpr(
+        f"{hb} % {_HLL_M} AS bucket",
+        "SUBSTRING(MD5(key || '|hw'), 1, 15) AS h",
+    )
+    zeros = "length(regexp_extract(h, '^(0*)', 1))"
+    ranked = hashed.selectExpr(
+        "bucket",
+        f"""4 * {zeros}
+            + CASE SUBSTRING(h, {zeros} + 1, 1)
+                  WHEN '1' THEN 3
+                  WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1
+                  WHEN '6' THEN 1 WHEN '7' THEN 1
+                  ELSE 0
+              END + 1 AS rank""",
+    )
+    regs = ranked.groupBy("bucket").agg(
+        F.expr(f"CAST(MAX(LEAST(rank, {_HLL_SCALE_EXP})) AS BIGINT)").alias("reg")
+    )
+    summed = regs.agg(
+        F.expr(
+            f"CAST(SUM(CAST(1 AS BIGINT) << CAST({_HLL_SCALE_EXP} - reg AS INT)) AS BIGINT)"
+        ).alias("s_present"),
+        F.count("*").alias("m_present"),
+    )
+    truth = o.agg(F.countDistinct("o_custkey").alias("n_true"))
+    est = (
+        f"({_HLL_ALPHA} * {_HLL_M} * {_HLL_M})"
+        f" * (CAST(1 AS BIGINT) << {_HLL_SCALE_EXP})"
+        f" / (CAST(s_present AS DOUBLE)"
+        f" + CAST({_HLL_M} - m_present AS DOUBLE)"
+        f" * CAST(CAST(1 AS BIGINT) << {_HLL_SCALE_EXP} AS DOUBLE))"
+    )
+    return summed.join(F.broadcast(truth)).selectExpr(
+        "n_true", "m_present", f"{est} AS hll_estimate"
+    )

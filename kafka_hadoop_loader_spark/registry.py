@@ -167,6 +167,7 @@ def load_all() -> dict[str, Query]:
         search,
         setops,
         similarity,
+        sketch,
         sorts,
         stats,
         textstats,
