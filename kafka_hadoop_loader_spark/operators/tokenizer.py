@@ -1,0 +1,151 @@
+"""Tokenizer training: byte-pair-encoding merge learning as a
+fixed-round DataFrame loop.
+
+BPE training is the canonical tokenizer-building job of an LLM data
+pipeline (text_token_count_bpe consumes a FIXED pre-tokenizer; this
+operator LEARNS the merges).  Each round: count adjacent symbol pairs
+across the word-frequency table, pick the most frequent pair
+(lexicographic tie-break), and apply the merge corpus-wide.
+
+The merge-application trick makes this exactly portable with zero
+UDFs: a word's symbol sequence is encoded as ``|s1||s2||s3|`` — every
+symbol wrapped in its own delimiters — so the pair (A, B) is the
+substring ``|A||B|`` and merging is plain ``replace(seq, '|A||B|',
+'|AB|')``.  Both engines' replace() scans left-to-right non-overlapping
+(verified: 'a a a' merges to ('aa', 'a') in both), which is exactly
+BPE's greedy within-word merge order, and the per-symbol delimiters
+make runs like ``a b a b`` merge at every occurrence (single-delimiter
+encodings lose alternate matches to boundary sharing).
+
+Scale: the corpus state is the WORD-FREQUENCY table (|vocab| rows, not
+|corpus|): pair counting explodes symbol bigrams weighted by word
+count, the argmax is an ordered limit(1) broadcast back (the
+tpch_q22 scalar-subquery pattern — no driver collect), and the merge
+is a map-only string replace.  This is precisely how production BPE
+trainers scale: rounds are sequential by nature, each round is one
+count + one argmax + one map over the vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import spread, table
+from kafka_hadoop_loader_spark.registry import register
+
+_ROUNDS = 2
+
+
+def _pairs_sql(wtab: str, ptab: str, ttab: str, nxt: str) -> str:
+    """One DuckDB BPE round: count pairs in ``wtab``, pick top, merge."""
+    return f"""
+        {ptab} AS (
+            SELECT syms[i] AS a, syms[i + 1] AS b,
+                   CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+            FROM (
+                SELECT cnt, string_split(trim(seq, '|'), '||') AS syms
+                FROM {wtab}
+            ), unnest(generate_series(1, len(syms) - 1)) AS u(i)
+            WHERE len(syms) >= 2
+            GROUP BY a, b
+        ),
+        {ttab} AS (
+            SELECT a, b FROM {ptab}
+            ORDER BY pair_cnt DESC, a, b LIMIT 1
+        ),
+        {nxt} AS (
+            SELECT w.word, w.cnt,
+                   replace(w.seq, '|' || t.a || '||' || t.b || '|',
+                           '|' || t.a || t.b || '|') AS seq
+            FROM {wtab} w CROSS JOIN {ttab} t
+        )
+"""
+
+
+@register(
+    "bpe_train_merges",
+    oracle=f"""
+        WITH words AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            )
+            WHERE word <> ''
+            GROUP BY word
+        ),
+        w0 AS (
+            SELECT word, cnt,
+                   regexp_replace(word, '(.)', '|\\1|', 'g') AS seq
+            FROM words
+        ),
+        {_pairs_sql("w0", "p1", "t1", "w1").strip()},
+        {_pairs_sql("w1", "p2", "t2", "w2").strip()}
+        SELECT sym AS symbol, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+        FROM (
+            SELECT cnt, unnest(string_split(trim(seq, '|'), '||')) AS sym
+            FROM w2
+        )
+        GROUP BY sym
+        ORDER BY n_occurrences DESC, symbol
+        LIMIT 20
+    """,
+    doc="""Learn 2 BPE merges over the document corpus and
+    report the top-20 resulting symbols by weighted occurrence count.
+    Pair statistics are exact integers over the word-frequency table;
+    the argmax tie-breaks lexicographically; merges apply via the
+    delimiter-encoded replace (see module docstring) — every round is
+    bit-identical across engines, so the learned vocabulary is too.
+
+    Plan: per round, one weighted pair aggregate (map-side combined
+    over |vocab| rows), one TakeOrderedAndProject(1) broadcast back,
+    one map-only merge.  The corpus is touched exactly once (the
+    initial word count); everything after runs on vocabulary-sized
+    data — the property that makes BPE training feasible at 100 TB.""",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = words.withColumn(
+        "seq", F.regexp_replace(F.col("word"), "(.)", r"|$1|")
+    )
+    for _ in range(_ROUNDS):
+        syms = F.split(F.expr("trim(BOTH '|' FROM seq)"), r"\|\|")
+        pairs = (
+            w.where(F.size(syms) >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(syms) - 1),
+                        lambda i: F.struct(
+                            F.element_at(syms, i).alias("a"),
+                            F.element_at(syms, i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy("pr.a", "pr.b")
+            .agg(F.sum("cnt").alias("pair_cnt"))
+        )
+        top = pairs.orderBy(F.col("pair_cnt").desc(), "a", "b").limit(1).select("a", "b")
+        w = w.join(F.broadcast(top)).select(
+            "word",
+            "cnt",
+            F.expr(
+                "replace(seq, '|' || a || '||' || b || '|', '|' || a || b || '|')"
+            ).alias("seq"),
+        )
+    final_syms = F.split(F.expr("trim(BOTH '|' FROM seq)"), r"\|\|")
+    return (
+        w.select("cnt", F.explode(final_syms).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "symbol")
+        .limit(20)
+    )

@@ -172,6 +172,7 @@ def load_all() -> dict[str, Query]:
         stats,
         textstats,
         timeseries,
+        tokenizer,
         tpch,
         tpch2,
         tpch3,
