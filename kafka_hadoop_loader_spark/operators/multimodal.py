@@ -235,3 +235,82 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_frame_sample_batches, schema=schema).orderBy(
         "doc_id", "frame_no"
     )
+
+
+_AUDIO_FRAME = 64  # "samples" (bytes) per analysis frame
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy_scaled", LongType()),
+    ]
+)
+
+
+def _audio_energy_batches(batches):
+    """AUDIO STUB — frame-energy extraction over pseudo-PCM bytes.
+
+    A real deployment would decode compressed audio and window true PCM
+    samples (no codecs in this container).  The stub treats the UTF-8
+    payload bytes as 8-bit samples — the fixtures are pure ASCII, so
+    byte == codepoint and the DuckDB oracle can replay the exact
+    integer arithmetic with string functions.  The windowing, Arrow
+    batch flow, and exact-integer energy math are the real plumbing.
+    """
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            for f in range(0, len(b), _AUDIO_FRAME):
+                frame = b[f : f + _AUDIO_FRAME]
+                d = frame - 96
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "frame_id": f // _AUDIO_FRAME,
+                        "n_samples": int(frame.size),
+                        "energy_scaled": int((d * d).sum()),
+                    }
+                )
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+        SELECT doc_id,
+               (i - 1) // {_AUDIO_FRAME} AS frame_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(CAST(unicode(substr(text, i, 1)) - 96 AS BIGINT)
+                        * CAST(unicode(substr(text, i, 1)) - 96 AS BIGINT)) AS BIGINT)
+                   AS energy_scaled
+        FROM documents, unnest(generate_series(1, length(text))) AS u(i)
+        GROUP BY doc_id, frame_id
+        ORDER BY doc_id, frame_id
+    """,
+    doc="""Audio-style frame feature extraction: window the payload into
+    64-sample frames and compute per-frame energy Σ(sample-96)² — the
+    RMS-energy shape of a voice-activity / silence-trim pass, run as
+    Arrow-batched mapInPandas (numpy per batch, never per-row Python).
+    Energy is EXACT integer arithmetic, so unlike the float feature
+    stub (multimodal_decode) this one is fully oracle-checked: the
+    fixtures are ASCII, byte == codepoint, and DuckDB replays the same
+    sums with string ops.
+
+    Scale: mapInPandas streams frames out as rows — a 10-minute clip
+    becomes ~9k rows, never one giant array; partition-preserving, no
+    shuffle until a consumer aggregates.  The frame grid is the time
+    axis the session/window operators then work over.""",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return payloads.mapInPandas(_audio_energy_batches, _AUDIO_SCHEMA).orderBy(
+        "doc_id", "frame_id"
+    )

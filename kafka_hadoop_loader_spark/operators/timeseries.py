@@ -274,3 +274,184 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle=f"""
+        WITH d AS (
+            SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day_id FROM events
+        ),
+        first_seen AS (
+            SELECT user_id, MIN(day_id) AS first_day FROM d GROUP BY user_id
+        ),
+        new_per_day AS (
+            SELECT first_day AS day_id, CAST(COUNT(*) AS BIGINT) AS n_new
+            FROM first_seen GROUP BY first_day
+        ),
+        days AS (SELECT DISTINCT day_id FROM d)
+        SELECT make_timestamp(dy.day_id * {_US_PER_DAY}) AS day_ts,
+               COALESCE(n.n_new, CAST(0 AS BIGINT)) AS n_new_users,
+               CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+                   ORDER BY dy.day_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_cum_users
+        FROM days dy LEFT JOIN new_per_day n ON n.day_id = dy.day_id
+        ORDER BY day_ts
+    """,
+    doc="""Cumulative distinct-user growth curve: per active day, the
+    number of first-seen users and the running total of users ever
+    seen — the growth-accounting companion to events_retention (same
+    first-seen map, integrated over time instead of cohorted).
+
+    The naive formulation — COUNT(DISTINCT user) OVER (ORDER BY day) —
+    re-scans every prior day per output row (quadratic, and Spark
+    rejects DISTINCT window aggregates outright).  Decomposing into
+    first-seen day + running SUM of a per-day count makes it one
+    groupBy(user).min, one day-level aggregate, and a linear window
+    over O(days) rows — the standard trick for cumulative-distinct at
+    any scale.  All counts exact integers on the epoch-day grid.""",
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts_us DIV {_US_PER_DAY}").alias("day_id")
+    )
+    first_seen = d.groupBy("user_id").agg(F.min("day_id").alias("first_day"))
+    new_per_day = first_seen.groupBy(
+        F.col("first_day").alias("day_id")
+    ).agg(F.count("*").alias("n_new"))
+    days = d.select("day_id").distinct()
+    w = Window.orderBy("day_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(new_per_day, "day_id", "left")
+        .select(
+            "day_id",
+            F.coalesce("n_new", F.lit(0).cast("bigint")).alias("n_new_users"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).cast("bigint").alias("n_cum_users"),
+        )
+        .select(
+            F.timestamp_micros(F.col("day_id") * _US_PER_DAY)
+            .cast("timestamp_ntz")
+            .alias("day_ts"),
+            "n_new_users",
+            "n_cum_users",
+        )
+        .orderBy("day_ts")
+    )
+
+
+@register(
+    "ts_similarity_search",
+    oracle=f"""
+        WITH vecs AS (
+            SELECT user_id,
+                   epoch_us(ts) // {_US_PER_DAY} AS day_id,
+                   CAST((epoch_us(ts) % {_US_PER_DAY}) // {_US_PER_HOUR} AS BIGINT)
+                       AS hour_slot,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events
+            GROUP BY user_id, day_id, hour_slot
+        ),
+        totals AS (
+            SELECT user_id, day_id, CAST(SUM(cnt) AS BIGINT) AS n_events
+            FROM vecs GROUP BY user_id, day_id
+        ),
+        q AS (
+            SELECT user_id AS q_user, day_id AS q_day FROM totals
+            ORDER BY n_events DESC, user_id, day_id LIMIT 1
+        ),
+        dists AS (
+            SELECT t.user_id, t.day_id, t.n_events,
+                   CAST(SUM(
+                       (COALESCE(v.cnt, 0) - COALESCE(qv.cnt, 0))
+                       * (COALESCE(v.cnt, 0) - COALESCE(qv.cnt, 0))
+                   ) AS BIGINT) AS dist2
+            FROM totals t
+            CROSS JOIN q
+            CROSS JOIN unnest(generate_series(0, 23)) AS h(slot)
+            LEFT JOIN vecs v
+              ON v.user_id = t.user_id AND v.day_id = t.day_id
+             AND v.hour_slot = h.slot
+            LEFT JOIN vecs qv
+              ON qv.user_id = q.q_user AND qv.day_id = q.q_day
+             AND qv.hour_slot = h.slot
+            WHERE NOT (t.user_id = q.q_user AND t.day_id = q.q_day)
+            GROUP BY t.user_id, t.day_id, t.n_events
+        )
+        SELECT user_id, day_id, n_events, dist2
+        FROM dists
+        ORDER BY dist2, user_id, day_id
+        LIMIT 10
+    """,
+    doc="""Time-series similarity search (the distributed-subsequence-
+    search shape of the streaming-similarity literature): each (user,
+    day) becomes a 24-dim hourly activity vector; the busiest user-day
+    is the query; output the 10 nearest user-days by exact integer
+    squared Euclidean distance on the hour grid.
+
+    The Spark side stays LONG-FORMAT: distances come from one equi-join
+    on hour_slot against the broadcast 24-row query vector and a
+    map-side-combining sum — never a 24-column pivot, never a crossJoin
+    of series.  Missing hours are implicit zeros: the query vector's
+    per-slot contribution for absent slots is added via the broadcast
+    q-norm complement, keeping the join sparse (only observed slots
+    shuffle) — the sparse-distance decomposition ‖a-b‖² =
+    Σ_observed(a_h-b_h)² + Σ_unobserved(b_h²).
+
+    Scale: |series| × 24 rows shuffle once; at 10^9 series you block on
+    coarse signatures first (knn_cosine_lsh's discipline) and this
+    exact pass ranks candidates only.""",
+)
+def ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    vecs = (
+        e.select(
+            "user_id",
+            F.expr(f"ts_us DIV {_US_PER_DAY}").alias("day_id"),
+            F.expr(f"(ts_us % {_US_PER_DAY}) DIV {_US_PER_HOUR}").alias("hour_slot"),
+        )
+        .groupBy("user_id", "day_id", "hour_slot")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = vecs.groupBy("user_id", "day_id").agg(F.sum("cnt").alias("n_events"))
+    q = (
+        totals.orderBy(F.col("n_events").desc(), "user_id", "day_id")
+        .limit(1)
+        .select(F.col("user_id").alias("q_user"), F.col("day_id").alias("q_day"))
+    )
+    qvec = (
+        vecs.join(
+            F.broadcast(q),
+            (vecs.user_id == F.col("q_user")) & (vecs.day_id == F.col("q_day")),
+        )
+        .select("hour_slot", F.col("cnt").alias("q_cnt"))
+    )
+    # sparse distance: sum over the series' observed slots of
+    # (cnt - q_cnt)^2 - q_cnt^2  (the correction term), plus the full
+    # query norm added back once per series.
+    qnorm = qvec.agg(F.sum(F.col("q_cnt") * F.col("q_cnt")).alias("q_norm2"))
+    obs = (
+        vecs.join(F.broadcast(qvec), "hour_slot", "left")
+        .withColumn("q_cnt", F.coalesce("q_cnt", F.lit(0)))
+        .groupBy("user_id", "day_id")
+        .agg(
+            F.sum(
+                (F.col("cnt") - F.col("q_cnt")) * (F.col("cnt") - F.col("q_cnt"))
+                - F.col("q_cnt") * F.col("q_cnt")
+            ).alias("partial")
+        )
+    )
+    return (
+        obs.join(F.broadcast(qnorm))
+        .join(totals, ["user_id", "day_id"])
+        .join(F.broadcast(q))
+        .where(~((F.col("user_id") == F.col("q_user")) & (F.col("day_id") == F.col("q_day"))))
+        .select(
+            "user_id",
+            "day_id",
+            "n_events",
+            (F.col("partial") + F.col("q_norm2")).alias("dist2"),
+        )
+        .orderBy("dist2", "user_id", "day_id")
+        .limit(10)
+    )

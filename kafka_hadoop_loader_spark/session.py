@@ -82,6 +82,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # A session that plans hundreds of distinct queries (bench: ~150
+        # queries x 2 passes) compiles thousands of whole-stage-codegen
+        # classes; the JVM default ReservedCodeCacheSize (240 MB) fills,
+        # HotSpot stops JIT-compiling, and expression-heavy operators
+        # degrade 2-10x late in the run (measured: text_repetition 1.7s
+        # -> 11s across bench runs).  512 MB keeps the JIT active for
+        # the whole suite — same flag Spark's own docs recommend for
+        # long-lived drivers.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+            ),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

