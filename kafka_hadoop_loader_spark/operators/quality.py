@@ -1,0 +1,175 @@
+"""Data-quality operators: per-column table profiling and referential-
+integrity (FK orphan) auditing.
+
+The loader's landed tables need the same QA surface any warehouse
+gives its raw zone: a one-pass column profile (null rates, distinct
+counts, ranges, top values) feeding ingest monitoring, and FK-orphan
+counts guarding the star schema's joinability (an orphan fact row
+silently vanishes from every inner join — the worst kind of data
+loss).  Output shapes are LONG-FORMAT (one row per column / per FK
+edge) so the profile of a 500-column table is 500 rows, not a
+500-column row.
+
+Determinism: counts and ranges are exact; top values tie-break
+lexicographically; null rates are divisions of exact integers.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.registry import register
+
+_PROFILE_COLS = (
+    ("o_orderstatus", "orders"),
+    ("o_orderpriority", "orders"),
+    ("l_returnflag", "lineitem"),
+    ("l_linestatus", "lineitem"),
+    ("event_type", "events"),
+    ("lang", "documents"),
+    ("source", "documents"),
+)
+
+
+def _profile_one_sql(col: str, tab: str) -> str:
+    return f"""
+        SELECT '{tab}' AS table_name, '{col}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+               CAST(COUNT({col}) - COUNT(*) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 1.0
+                   AS fill_rate,
+               CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               CAST(MIN({col}) AS VARCHAR) AS min_value,
+               CAST(MAX({col}) AS VARCHAR) AS max_value,
+               (SELECT x FROM (
+                   SELECT {col} AS x, COUNT(*) AS c FROM {tab}
+                   WHERE {col} IS NOT NULL
+                   GROUP BY {col} ORDER BY c DESC, x LIMIT 1
+               )) AS top_value
+        FROM {tab}
+    """
+
+
+@register(
+    "table_profile",
+    oracle=" UNION ALL ".join(
+        _profile_one_sql(c, t) for c, t in _PROFILE_COLS
+    )
+    + " ORDER BY table_name, column_name",
+    doc="""One-pass column profiler over the categorical columns of the
+    landed tables: row/null counts, fill rate, exact distinct count,
+    min/max, and the modal value (lexicographic tie-break) — the
+    ingest-monitoring profile a warehouse computes on every load.
+
+    Long-format output: one row per profiled column, so wide tables
+    profile to narrow results.  Each column's statistics are one hash
+    aggregate + one ordered limit(1) for the mode — embarrassingly
+    parallel across columns, and each aggregate is a single pass with
+    map-side combine.  At 100 TB you profile per-partition and re-merge
+    (all these statistics are algebraic except the mode, which merges
+    approximately or via a second pass — kept exact here).""",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for col, tab in _PROFILE_COLS:
+        t = table(spark, sf_dir, tab)
+        stats = t.agg(
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(col)).alias("n_null"),
+            F.expr(
+                f"CAST(COUNT({col}) - COUNT(*) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 1.0"
+            ).alias("fill_rate"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_value"),
+            F.max(col).cast("string").alias("max_value"),
+        )
+        mode = (
+            t.where(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("x"))
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), "x")
+            .limit(1)
+            .select(F.col("x").cast("string").alias("top_value"))
+        )
+        outs.append(
+            stats.join(F.broadcast(mode)).select(
+                F.lit(tab).alias("table_name"),
+                F.lit(col).alias("column_name"),
+                "n_rows",
+                "n_null",
+                "fill_rate",
+                "n_distinct",
+                "min_value",
+                "max_value",
+                "top_value",
+            )
+        )
+    return reduce(DataFrame.unionAll, outs).orderBy("table_name", "column_name")
+
+
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_one_sql(ft: str, fk: str, pt: str, pk: str) -> str:
+    return f"""
+        SELECT '{ft}.{fk}' AS fk_column, '{pt}.{pk}' AS pk_column,
+               CAST(COUNT(*) AS BIGINT) AS n_fact_rows,
+               CAST(SUM(CASE WHEN p.{pk} IS NULL AND f.{fk} IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+               CAST(SUM(CASE WHEN f.{fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_fk
+        FROM {ft} f LEFT JOIN (SELECT DISTINCT {pk} FROM {pt}) p
+          ON f.{fk} = p.{pk}
+    """
+
+
+@register(
+    "fk_orphan_check",
+    oracle=" UNION ALL ".join(_fk_one_sql(*e) for e in _FK_EDGES)
+    + " ORDER BY fk_column",
+    doc="""Referential-integrity audit over every FK edge of the star
+    schema: per edge, the fact row count, orphan count (FK value with
+    no matching PK — rows that silently vanish from inner joins), and
+    NULL-FK count.  The canonical post-load gate before publishing a
+    snapshot.
+
+    Plan: each edge is a left join against the DISTINCT PK projection —
+    the dimension side reduces to its key column and broadcasts; the
+    orphan test is then a map-side null check, so the audit costs one
+    broadcast-join pass per edge over the fact's key column only
+    (column pruning leaves a single-column scan).  All counts exact.""",
+)
+def fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for ft, fk, pt, pk in _FK_EDGES:
+        f = table(spark, sf_dir, ft).select(fk)
+        p = table(spark, sf_dir, pt).select(pk).distinct()
+        joined = f.join(F.broadcast(p), f[fk] == p[pk], "left")
+        outs.append(
+            joined.agg(
+                F.count("*").alias("n_fact_rows"),
+                F.sum(
+                    F.when(p[pk].isNull() & f[fk].isNotNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+                F.sum(F.when(f[fk].isNull(), 1).otherwise(0)).alias("n_null_fk"),
+            ).select(
+                F.lit(f"{ft}.{fk}").alias("fk_column"),
+                F.lit(f"{pt}.{pk}").alias("pk_column"),
+                "n_fact_rows",
+                "n_orphans",
+                "n_null_fk",
+            )
+        )
+    return reduce(DataFrame.unionAll, outs).orderBy("fk_column")

@@ -163,6 +163,7 @@ def load_all() -> dict[str, Query]:
         multimodal,
         pipeline,
         profile,
+        quality,
         scalars,
         search,
         setops,
