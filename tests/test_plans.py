@@ -265,3 +265,27 @@ def test_stats_single_aggregate_pass(spark):
         plan = _plan(spark, name)
         for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
             assert bad not in plan, f"{name} plans {bad}"
+
+
+def test_fk_audit_dimension_side_broadcasts(spark):
+    # Every FK edge's PK projection must broadcast; the fact side must
+    # never shuffle for the audit.
+    plan = _plan(spark, "fk_orphan_check")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ts_similarity_query_side_broadcasts(spark):
+    # The 24-row query vector, its norm, and the query id must all
+    # arrive via broadcast: the series side shuffles only for its own
+    # aggregates.
+    plan = _plan(spark, "ts_similarity_search")
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_mode_is_ordered_limit(spark):
+    # Each column's modal value must come from TakeOrderedAndProject,
+    # not a full sort.
+    plan = _plan(spark, "table_profile")
+    assert "TakeOrderedAndProject" in plan
