@@ -455,3 +455,81 @@ def ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist2", "user_id", "day_id")
         .limit(10)
     )
+
+
+@register(
+    "frequent_sequences",
+    oracle="""
+        WITH seqs AS (
+            SELECT user_id,
+                   list(event_type ORDER BY epoch_us(ts), event_id) AS seq
+            FROM events
+            GROUP BY user_id
+        ),
+        grams AS (
+            SELECT user_id,
+                   seq[i] || '>' || seq[i + 1] || '>' || seq[i + 2] AS trigram
+            FROM seqs, unnest(generate_series(1, len(seq) - 2)) AS u(i)
+            WHERE len(seq) >= 3
+        )
+        SELECT trigram,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM grams
+        GROUP BY trigram
+        ORDER BY n_occurrences DESC, trigram
+        LIMIT 20
+    """,
+    doc="""Sequential-pattern mining (lite): the top-20 most frequent
+    behavioral trigrams — ordered event-type triples a user performs
+    consecutively — with occurrence and distinct-user support counts;
+    the k-gram sweep behind funnel discovery (events_funnel checks ONE
+    known pattern; this surfaces candidates).
+
+    The per-user sequence is assembled ONCE as a sorted array
+    (sort_array over (ts, event_id, type) structs — deterministic
+    total order) and trigrams are sliced IN-ROW, so the only shuffles
+    are the user grouping and the final gram count — no window
+    three-chained-lag pass, no self-joins.  At 100 TB per-user
+    sequences are bounded (sessionize first for unbounded actors);
+    gram counting is a map-side-combining hash aggregate.""",
+)
+def frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    seqs = (
+        e.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ).alias("seq")
+        )
+    )
+    grams = (
+        seqs.where(F.size("seq") >= 3)
+        .select(
+            "user_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("seq") - 2),
+                    lambda i: F.concat_ws(
+                        ">",
+                        F.element_at("seq", i),
+                        F.element_at("seq", i + 1),
+                        F.element_at("seq", i + 2),
+                    ),
+                )
+            ).alias("trigram"),
+        )
+    )
+    return (
+        grams.groupBy("trigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "trigram")
+        .limit(20)
+    )
