@@ -578,3 +578,116 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _RESERVOIR_K)
         .orderBy("source", "rn")
     )
+
+
+_CHUNK_WIN = 500  # chars per training chunk
+_CHUNK_STRIDE = 400  # 100-char overlap between consecutive chunks
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+        WITH offs AS (
+            SELECT doc_id,
+                   CAST(off AS BIGINT) AS chunk_start,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off)
+                        - 1 AS BIGINT) AS chunk_idx,
+                   substr(text, off, {_CHUNK_WIN}) AS chunk
+            FROM documents,
+                 unnest(generate_series(
+                     1, greatest(length(text), 1), {_CHUNK_STRIDE})) AS u(off)
+        )
+        SELECT doc_id, chunk_idx, chunk_start,
+               CAST(length(chunk) AS BIGINT) AS chunk_len,
+               md5(chunk) AS chunk_md5
+        FROM offs
+        ORDER BY doc_id, chunk_idx
+    """,
+    doc=f"""Context-window chunking with overlap — the step that turns
+    variable-length documents into model-sized training windows
+    ({_CHUNK_WIN}-char windows, {_CHUNK_STRIDE}-char stride = 
+    {_CHUNK_WIN - _CHUNK_STRIDE}-char overlap so no boundary context is
+    lost).  Offsets come from an in-row sequence() + posexplode — the
+    fan-out happens inside the row with zero shuffle and no UDF; every
+    document yields >= 1 chunk.  Output carries the chunk's md5 (its
+    dedup/lineage key) rather than the text, which is what a chunk
+    manifest stores at 100 TB; the presentation sort is the only
+    exchange in the plan.""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    offs = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(_CHUNK_STRIDE)
+    )
+    chunk = F.expr(f"substring(text, chunk_start, {_CHUNK_WIN})")
+    return (
+        d.select("doc_id", "text", F.posexplode(offs).alias("idx", "chunk_start"))
+        .select(
+            "doc_id",
+            F.col("idx").cast("bigint").alias("chunk_idx"),
+            F.col("chunk_start").cast("bigint"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_TEMP_SCALE = 10**6  # fixed-point quantum for sqrt(count) weights
+
+
+@register(
+    "sample_temperature",
+    oracle=f"""
+        WITH c AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        ),
+        s AS (
+            SELECT lang, n_docs,
+                   CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)) * {_TEMP_SCALE})
+                        AS BIGINT) AS w_scaled
+            FROM c
+        )
+        SELECT lang, n_docs, w_scaled,
+               CAST(w_scaled AS DOUBLE)
+                   / CAST(SUM(w_scaled) OVER () AS DOUBLE) AS weight,
+               CAST((w_scaled * 1000000) // SUM(w_scaled) OVER ()
+                    AS BIGINT) AS target_per_million
+        FROM s
+        ORDER BY lang
+    """,
+    doc="""Temperature-scaled language mixing (alpha = 0.5): sampling
+    weights proportional to count^alpha flatten the language
+    distribution the way multilingual pretraining mixtures do
+    (up-weights tail languages, down-weights the head).  Exactness:
+    sqrt is IEEE-correctly-rounded so both engines produce the same
+    double, which is immediately quantized to a scaled BIGINT; the
+    normalizing sum is then integer (order-free), and the published
+    weight / per-million target are a single division / integer floor-div
+    off the integer pair.  One tiny hash aggregate + a broadcast-sized
+    window over ~#languages rows — nothing here grows with corpus size
+    except the first count.""",
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy()
+    c = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    s = c.withColumn(
+        "w_scaled",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * _TEMP_SCALE).cast("bigint"),
+    )
+    s = s.withColumn("tot_scaled", F.sum("w_scaled").over(w))
+    return s.select(
+        "lang",
+        "n_docs",
+        "w_scaled",
+        (F.col("w_scaled").cast("double") / F.col("tot_scaled").cast("double")).alias(
+            "weight"
+        ),
+        # integer floor-division (Spark `div` == DuckDB `//`) — a double
+        # quotient truncate-cast could round across the floor boundary
+        F.expr("w_scaled * CAST(1000000 AS BIGINT) div tot_scaled").alias(
+            "target_per_million"
+        ),
+    ).orderBy("lang")

@@ -147,9 +147,9 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
-@register(
-    "knn_cosine_bruteforce",
-    oracle=f"""
+# Shared by knn_cosine_bruteforce and knn_cosine_blocked: both are exact
+# top-K cosine and must produce identical rows, so they share one oracle.
+_BF_ORACLE = f"""
         WITH pairs AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    c.label AS neighbor_label,
@@ -168,7 +168,12 @@ def cosine(a: Column, b: Column) -> Column:
         )
         WHERE rnk <= {K}
         ORDER BY query_id, rnk
-    """,
+    """
+
+
+@register(
+    "knn_cosine_bruteforce",
+    oracle=_BF_ORACLE,
     doc=f"""Exact top-{K} cosine neighbors for the first {N_QUERIES} query
     vectors: broadcast queries x all candidates, JVM fold dot products,
     row_number re-rank.  The correctness baseline for the ANN path.""",
@@ -593,6 +598,114 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "neighbor_label", pair_cos.alias("cos_sim"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= K)
+        .orderBy("query_id", "rnk")
+    )
+
+
+_BLK_SHARDS = 32  # candidate shards; at 100 TB this is the partition count
+_BLK_MARGIN = 16  # extra approx candidates kept per (query, shard)
+
+
+def _blocked_topk_batches(cand_pdf, query_pdf):
+    """Cogrouped numpy kernel: one candidate shard x the full (broadcast
+    -replicated) query set -> per-query approx top-(K+margin) candidate
+    ids via one float64 matrix multiply.
+
+    BLAS reorders the reduction, so these scores are only used to PRUNE;
+    the survivors are re-scored with the exact sequential JVM fold that
+    the oracle hash-matches.  The margin makes the pruning safe: the
+    exact top-K per shard can escape the approx top-(K+margin) only if
+    16 distinct cosines sit within the ~1e-15 BLAS reordering error of
+    each other, which the recall pytest locks in.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if len(cand_pdf) == 0 or len(query_pdf) == 0:
+        return pd.DataFrame({"query_id": [], "neighbor_id": []}).astype(
+            {"query_id": "int64", "neighbor_id": "int64"}
+        )
+    cmat = np.vstack(cand_pdf["c_emb"].to_numpy()).astype(np.float64)
+    qmat = np.vstack(query_pdf["q_emb"].to_numpy()).astype(np.float64)
+    cn = np.linalg.norm(cmat, axis=1)
+    qn = np.linalg.norm(qmat, axis=1)
+    scores = (qmat @ cmat.T) / (qn[:, None] * cn[None, :])  # Q x C
+    keep = min(K + _BLK_MARGIN, scores.shape[1])
+    top = np.argpartition(-scores, keep - 1, axis=1)[:, :keep]  # Q x keep
+    qids = np.repeat(query_pdf["query_id"].to_numpy(), keep)
+    nids = cand_pdf["neighbor_id"].to_numpy()[top.ravel()]
+    return pd.DataFrame({"query_id": qids, "neighbor_id": nids})
+
+
+@register(
+    "knn_cosine_blocked",
+    oracle=_BF_ORACLE,
+    doc=f"""Blocked-matmul exact top-{K} — the vectorized form of
+    knn_cosine_bruteforce and the CPU shape of the GPU brute-force ANN
+    pattern.  Candidates are sharded on pmod(vec_id, {_BLK_SHARDS});
+    the tiny query set is replicated to every shard by a broadcast
+    crossJoin with spark.range (no driver collect), and a cogrouped
+    applyInPandas computes one Q x C float64 matrix product per shard,
+    keeping the approx top-(K+{_BLK_MARGIN}) per query.  Only those
+    ~shards*(K+{_BLK_MARGIN}) survivors per query are re-scored with
+    the exact sequential fold and re-ranked, so the output is
+    bit-identical to the exhaustive oracle while the O(Q*N*D) inner
+    loop runs in BLAS instead of row-at-a-time codegen.  Scale: shard
+    count follows the candidate partition count; queries stay
+    broadcast-sized; the exact re-rank input is O(Q * shards * K).""",
+)
+def knn_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    shards = spark.range(_BLK_SHARDS).select(F.col("id").cast("int").alias("shard"))
+    q_rep = q.crossJoin(F.broadcast(shards))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.pmod(F.col("vec_id"), F.lit(_BLK_SHARDS)).cast("int").alias("shard"),
+    )
+    cand = (
+        c.groupBy("shard")
+        .cogroup(q_rep.groupBy("shard"))
+        .applyInPandas(
+            _blocked_topk_batches,
+            schema=StructType(
+                [
+                    StructField("query_id", LongType()),
+                    StructField("neighbor_id", LongType()),
+                ]
+            ),
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    rescored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("neighbor_label"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= K)
         .orderBy("query_id", "rnk")
     )

@@ -139,6 +139,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # anomaly_rolling_z quantiles_exact bloom_filter_probe
     # graph_pagerank graph_bfs_hops kmeans_embeddings inverted_index
     # keyword_search cooccur_pmi skew_profile interval_overlap_join
+    # chunk_documents sample_temperature knn_cosine_blocked
 )
 
 

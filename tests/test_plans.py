@@ -289,3 +289,21 @@ def test_profile_mode_is_ordered_limit(spark):
     # not a full sort.
     plan = _plan(spark, "table_profile")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_blocked_knn_broadcasts_queries_and_shards(spark):
+    # The shard replication and the re-rank's query-side join must both
+    # be broadcasts; the only Python in the plan is the cogrouped
+    # matmul kernel (FlatMapCoGroupsInPandas), never a row-wise UDF.
+    plan = _plan(spark, "knn_cosine_blocked")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_single_stage_fanout(spark):
+    # posexplode fan-out happens in-row: no join, no aggregate, and the
+    # only exchange is the presentation sort.
+    plan = _plan(spark, "chunk_documents")
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert plan.count("Exchange") <= 2  # rangepartitioning for the sort
