@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_hadoop_loader_spark.catalog import table
-from kafka_hadoop_loader_spark.functions.exact import exact_avg, exact_sum
+from kafka_hadoop_loader_spark.functions.exact import exact_avg, exact_sum, scaled_long
 from kafka_hadoop_loader_spark.registry import register
 
 
@@ -630,4 +630,51 @@ def agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count("presence_mask").cast("bigint").alias("n_slots"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_share_reused_exchange",
+    oracle="""
+        WITH m AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS rev_scaled
+            FROM orders GROUP BY month
+        )
+        SELECT month,
+               CAST(rev_scaled AS DOUBLE) / 100.0 AS revenue,
+               CAST(rev_scaled AS DOUBLE)
+                   / CAST((SELECT MAX(rev_scaled) FROM m) AS DOUBLE)
+                   AS share_of_best
+        FROM m
+        ORDER BY month
+    """,
+    doc="""Share-of-best-month: monthly revenue normalized by the max
+    month, written as per-month agg + broadcast join against the global
+    max OF THAT SAME AGGREGATE.  Catalyst plans the repeated subtree
+    once — the second consumer reads a ReusedExchange instead of
+    re-scanning and re-aggregating (plan-asserted), so the fact table
+    is scanned exactly once.  This exchange-reuse is the free-win that
+    makes 'metric + % of total' dashboard queries cheap at 100 TB:
+    materialize nothing, still pay one scan.  Exactness: revenues stay
+    scaled BIGINTs through the max; the share is one double division.""",
+)
+def agg_share_reused_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.sum(scaled_long(F.col("o_totalprice"), 100)).alias("rev_scaled")
+    )
+    best = m.agg(F.max("rev_scaled").alias("best_scaled"))
+    return (
+        m.crossJoin(F.broadcast(best))
+        .select(
+            "month",
+            (F.col("rev_scaled").cast("double") / 100.0).alias("revenue"),
+            (
+                F.col("rev_scaled").cast("double")
+                / F.col("best_scaled").cast("double")
+            ).alias("share_of_best"),
+        )
+        .orderBy("month")
     )

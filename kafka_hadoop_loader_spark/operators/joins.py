@@ -661,3 +661,126 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey
     """)
+
+
+@register(
+    "join_shuffle_hash",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    doc="""Shuffle-hash join — the third physical join strategy, pinned
+    via the SHUFFLE_HASH hint on the smaller (orders) side.  For
+    fact-fact joins where neither side broadcasts, sort-merge pays two
+    full sorts; shuffle-hash skips both sorts and builds a hash map
+    from the smaller partition — the right call when one side is
+    reliably smaller per key-partition and spill is acceptable.  The
+    plan must show ShuffledHashJoin with NO Sort operators before the
+    join (asserted in tests/test_plans.py).  At 100 TB this is the
+    strategy AQE itself prefers when a post-shuffle side turns out
+    small; the hint form is for when you know it up front.""",
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, li = table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            exact_sum(F.col("l_extendedprice")).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_dpp_root: str | None = None
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events date-partitioned (once per process per sf_dir) and
+    read it back — the hive-layout fact table the loader's time-bucketed
+    sink produces (streaming/loader.py), here reused to demonstrate
+    dynamic partition pruning.  Same per-process temp-root lifecycle as
+    _bucketed_tables: no cross-process races, removed at exit."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    global _dpp_root
+    if _dpp_root is None:
+        _dpp_root = tempfile.mkdtemp(prefix=f"khl_dpp_{os.getpid()}_")
+        atexit.register(shutil.rmtree, _dpp_root, ignore_errors=True)
+
+    apath = os.path.abspath(sf_dir.rstrip("/"))
+    out = os.path.join(_dpp_root, hashlib.md5(apath.encode()).hexdigest()[:8])
+    if not os.path.isdir(out):
+        ev = table(spark, sf_dir, "events")
+        (
+            ev.select(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.date_format("ts", "yyyy-MM-dd").alias("d"),
+            )
+            # one file per day: the write clusters by partition value so
+            # the layout matches what the streaming sink produces
+            .repartition(F.col("d"))
+            .write.partitionBy("d")
+            .mode("overwrite")
+            .parquet(out)
+        )
+    return spark.read.parquet(out)
+
+
+@register(
+    "join_dpp_partitioned",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_value,
+               CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT)
+                   AS n_days
+        FROM events
+        WHERE date_part('day', ts) <= 7
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="""Dynamic partition pruning over the loader's date-partitioned
+    layout: the fact side is events written partitionBy(d) (exactly the
+    time-bucketed directory layout the streaming sink emits, ref
+    SURVEY.md §2.A R7); the dim side is a day dimension whose filter
+    (day-of-month <= 7) is only knowable at run time from the dim scan.
+    Catalyst injects a dynamicpruning subquery into the fact scan's
+    PartitionFilters, so only the matching date directories are read at
+    all — at 100 TB this is the difference between scanning ~23% of
+    partitions and scanning everything.  Plan-asserted in
+    tests/test_plans.py; oracle is the statically-filtered equivalent
+    (pruning must not change the answer).""",
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = _partitioned_events(spark, sf_dir)
+    days = (
+        table(spark, sf_dir, "events")
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct()
+        .where(F.dayofmonth(F.to_date("d")) <= 7)
+    )
+    return (
+        fact.join(F.broadcast(days), "d")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value")).alias("sum_value"),
+            F.countDistinct("d").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

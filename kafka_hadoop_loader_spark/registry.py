@@ -140,6 +140,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # graph_pagerank graph_bfs_hops kmeans_embeddings inverted_index
     # keyword_search cooccur_pmi skew_profile interval_overlap_join
     # chunk_documents sample_temperature knn_cosine_blocked
+    # join_shuffle_hash join_dpp_partitioned agg_share_reused_exchange
 )
 
 

@@ -307,3 +307,31 @@ def test_chunking_is_single_stage_fanout(spark):
     plan = _plan(spark, "chunk_documents")
     assert "Join" not in plan and "HashAggregate" not in plan
     assert plan.count("Exchange") <= 2  # rangepartitioning for the sort
+
+
+def test_shuffle_hash_hint_elides_sorts(spark):
+    # The hint must pin ShuffledHashJoin: no SortMergeJoin, and the only
+    # Sort in the plan is the presentation orderBy.
+    plan = _plan(spark, "join_shuffle_hash")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dpp_reaches_partitioned_scan(spark):
+    # The fact scan must carry a dynamicpruning expression in its
+    # partition filters — the day-dim filter prunes directories at
+    # runtime, not after the scan.
+    plan = _plan(spark, "join_dpp_partitioned")
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_share_of_max_reuses_exchange(spark):
+    # The global-max side must read the per-month aggregate's shuffle,
+    # not replay the scan+aggregate: AQE's final plan shows a
+    # ReusedExchange once the query has run.
+    name = "agg_share_reused_exchange"
+    df = REG[name].fn(spark, SF_DIR)
+    df.collect()
+    from kafka_hadoop_loader_spark.plans.inspect import formatted_plan
+
+    assert "ReusedExchange" in formatted_plan(df)
