@@ -184,3 +184,98 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "ts", "user_id", "event_type", "value", "props", "schema_ver"
     ).orderBy("event_id")
+
+
+_compact_root: str | None = None
+
+
+def _compact_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write (once per process per sf_dir) an intentionally fragmented
+    date-partitioned copy of events — 8 writer tasks hashed on user_id,
+    so every day directory gets up to 8 small files, exactly the layout
+    a parallel streaming sink accumulates — and its compacted rewrite
+    (repartition on the partition column → one file per day).  Same
+    per-process temp-root lifecycle as joins._bucketed_tables."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    global _compact_root
+    if _compact_root is None:
+        _compact_root = tempfile.mkdtemp(prefix=f"khl_compact_{os.getpid()}_")
+        atexit.register(shutil.rmtree, _compact_root, ignore_errors=True)
+
+    tag = hashlib.md5(os.path.abspath(sf_dir.rstrip("/")).encode()).hexdigest()[:8]
+    frag = os.path.join(_compact_root, f"frag_{tag}")
+    compact = os.path.join(_compact_root, f"compact_{tag}")
+    if not os.path.isdir(frag):
+        ev = table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        )
+        ev.repartition(8, F.col("user_id")).write.partitionBy("d").mode(
+            "overwrite"
+        ).parquet(frag)
+    if not os.path.isdir(compact):
+        (
+            spark.read.parquet(frag)
+            .repartition(F.col("d"))
+            .write.partitionBy("d")
+            .mode("overwrite")
+            .parquet(compact)
+        )
+    return frag, compact
+
+
+@register(
+    "compact_small_files",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d') AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               SUM(user_id) AS sum_user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_value,
+               CAST(1 AS BIGINT) AS files_after
+        FROM events
+        GROUP BY d
+        ORDER BY d
+    """,
+    doc="""Small-files compaction (OPTIMIZE/rewrite): the maintenance
+    job every long-running partitioned sink needs.  A fragmented copy
+    of events (8 writer tasks x N days -> up to 8 small files per day
+    directory) is rewritten with a repartition on the partition column
+    so each day becomes exactly one right-sized file.  The query reads
+    the COMPACTED layout and proves both halves of the contract: data
+    identical (per-day counts and exact sums match the oracle computed
+    on the original parquet) and layout fixed (files_after, measured
+    from distinct input_file_name() per day — not assumed — must equal
+    the 1 the oracle states; pytest separately checks the fragmented
+    copy really had more).  At 100 TB, compaction is the difference
+    between a scan planning 10^6 splits and 10^4.""",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, compact = _compact_dirs(spark, sf_dir)
+    return (
+        spark.read.parquet(compact)
+        # partition-column type inference turns d= into DATE; the
+        # contract (and the oracle) use the directory string form
+        .withColumn("d", F.date_format("d", "yyyy-MM-dd"))
+        # project the file name before aggregating (non-deterministic
+        # expressions may not appear inside aggregate arguments)
+        .withColumn("fname", F.input_file_name())
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("user_id").alias("sum_user_id"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("sum_value"),
+            F.countDistinct("fname").alias("files_after"),
+        )
+        .orderBy("d")
+    )

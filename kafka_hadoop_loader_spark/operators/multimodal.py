@@ -314,3 +314,105 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_audio_energy_batches, _AUDIO_SCHEMA).orderBy(
         "doc_id", "frame_id"
     )
+
+
+_POOL_W = 16  # fake image width in pixels (bytes)
+_POOL_K = 4  # pooling kernel (KxK average pool)
+
+_POOL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("py", LongType()),
+        StructField("px", LongType()),
+        StructField("n_px", LongType()),
+        StructField("sum_byte", LongType()),
+        StructField("mean_byte", DoubleType()),
+    ]
+)
+
+
+def _pool_batches(batches):
+    """RESIZE STUB — deterministic average-pool 'thumbnail'.
+
+    A real deployment decodes image bytes and resizes via PIL/opencv
+    (absent in this container); the stub treats the payload as a
+    row-major {W}-wide grayscale grid and {K}x{K} average-pools it with
+    numpy bincount — same Arrow-batched mapInPandas plumbing, schema,
+    and batch shape a real resize kernel would use.  Integer sums stay
+    exact (uint8 sums << 2^53), so the emitted mean is a single exact
+    division both engines reproduce bitwise.
+    """
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(payload, dtype=np.uint8)
+            if b.size == 0:
+                continue
+            idx = np.arange(b.size)
+            py = (idx // _POOL_W) // _POOL_K
+            px = (idx % _POOL_W) // _POOL_K
+            nx = _POOL_W // _POOL_K
+            key = py * nx + px
+            sums = np.bincount(key, weights=b).astype(np.int64)
+            cnts = np.bincount(key)
+            present = np.nonzero(cnts)[0]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": np.full(present.size, int(doc_id)),
+                        "py": present // nx,
+                        "px": present % nx,
+                        "n_px": cnts[present],
+                        "sum_byte": sums[present],
+                        "mean_byte": sums[present] / cnts[present],
+                    }
+                )
+            )
+        yield pd.concat(out) if out else pd.DataFrame(
+            {f.name: [] for f in _POOL_SCHEMA}
+        )
+
+
+@register(
+    "multimodal_image_pool",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        bytes AS (
+            SELECT doc_id, i - 1 AS idx,
+                   CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INTEGER) AS v
+            FROM b, unnest(generate_series(1, n)) AS u(i)
+        )
+        SELECT doc_id,
+               CAST((idx // {_POOL_W}) // {_POOL_K} AS BIGINT) AS py,
+               CAST((idx % {_POOL_W}) // {_POOL_K} AS BIGINT) AS px,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(v) AS BIGINT) AS sum_byte,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_byte
+        FROM bytes
+        GROUP BY doc_id, py, px
+        ORDER BY doc_id, py, px
+    """,
+    doc=f"""Image resize (average-pool {_POOL_K}x{_POOL_K}) over opaque
+    binary payloads: the downsample/thumbnail step of a multimodal
+    training pipeline, run as Arrow-batched mapInPandas with a numpy
+    bincount kernel — one row per pooled pixel, exact integer sums.
+    The pixel 'decode' is the deterministic stub (no codecs in the
+    container, see _pool_batches), which is precisely what makes the
+    kernel oracle-checkable: DuckDB replays it from the hex expansion.
+    Scale: payloads never leave the executor, output is ~1/{_POOL_K**2}
+    of input bytes, and the kernel is O(bytes) with no shuffle before
+    the presentation sort.""",
+)
+def multimodal_image_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return payloads.mapInPandas(_pool_batches, schema=_POOL_SCHEMA).orderBy(
+        "doc_id", "py", "px"
+    )

@@ -141,6 +141,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # keyword_search cooccur_pmi skew_profile interval_overlap_join
     # chunk_documents sample_temperature knn_cosine_blocked
     # join_shuffle_hash join_dpp_partitioned agg_share_reused_exchange
+    # multimodal_image_pool scan_text_lines compact_small_files
 )
 
 

@@ -66,6 +66,23 @@ def _round_trip_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             df.write.mode("overwrite").json(path)
         elif fmt == "orc":
             df.write.mode("overwrite").orc(path)
+        elif fmt == "text":
+            # the reference's R8 output shape: delimited text lines with
+            # a compression codec [pub: …/io/MultiOutputFormat.java]
+            (
+                df.select(
+                    F.concat_ws(
+                        "\t",
+                        F.col("event_id").cast("string"),
+                        F.col("user_id").cast("string"),
+                        F.col("event_type"),
+                        F.col("ts_us").cast("string"),
+                    ).alias("value")
+                )
+                .write.mode("overwrite")
+                .option("compression", "gzip")
+                .text(path)
+            )
         else:
             df.write.mode("overwrite").option("header", True).csv(path)
         _round_trips[key] = path
@@ -221,3 +238,30 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d", "h")
     )
+
+
+@register(
+    "scan_text_lines",
+    oracle=_SLICE_AGG_ORACLE,
+    doc="""Gzip text-lines scan — the closest batch analogue of the
+    reference's output format (text lines + compression codec, R8
+    [pub: …/io/MultiOutputFormat.java]): the events slice is written as
+    tab-delimited gzip text, read back with spark.read.text, parsed by
+    a JVM-side split + casts (no UDF), and aggregated; the oracle
+    aggregates the original parquet, proving the text round-trip is
+    lossless.  Scale note: unlike plain text, GZIP FILES ARE NOT
+    SPLITTABLE — each .gz becomes exactly one task, so the writer's
+    parallelism caps the reader's.  Real deployments size write tasks
+    to ~128 MB of compressed text or use a splittable codec; the
+    parquet sink path avoids the issue entirely.""",
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = spark.read.text(_round_trip_path(spark, sf_dir, "text"))
+    parts = F.split(F.col("value"), "\t")
+    back = lines.select(
+        parts.getItem(0).cast("long").alias("event_id"),
+        parts.getItem(1).cast("long").alias("user_id"),
+        parts.getItem(2).alias("event_type"),
+        parts.getItem(3).cast("long").alias("ts_us"),
+    )
+    return _slice_agg(back)

@@ -67,3 +67,29 @@ def test_partitioned_sink_layout_and_pruning(spark, tmp_path):
         if f.endswith(".parquet")
     ]
     assert len(files_in_bucket) == 1
+
+
+def test_compaction_reduces_files_per_day(spark):
+    """The fragmented copy must really be fragmented (8 hashed writer
+    tasks -> >1 file in at least one day directory) and the compacted
+    rewrite must land exactly one data file per day."""
+    import glob
+    import os
+
+    from kafka_hadoop_loader_spark.operators.layout import _compact_dirs
+    from tests.conftest import SF_DIR
+
+    frag, compact = _compact_dirs(spark, SF_DIR)
+
+    def files_per_day(root):
+        return {
+            os.path.basename(d): len(glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(os.path.join(root, "d=*"))
+        }
+
+    frag_counts = files_per_day(frag)
+    compact_counts = files_per_day(compact)
+    assert frag_counts and compact_counts
+    assert max(frag_counts.values()) > 1
+    assert set(compact_counts.values()) == {1}
+    assert sum(1 for v in frag_counts.values() if v > 1) >= 1
