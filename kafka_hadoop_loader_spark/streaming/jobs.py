@@ -276,3 +276,55 @@ def upsert_state_foreach_batch(records: DataFrame, state_dir: str):
             shutil.rmtree(old_dir)
 
     return records.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
+
+
+def views_with_optional_click_stream(
+    views: DataFrame, clicks: DataFrame, attribution: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view emits exactly
+    once — joined to a same-user click inside the attribution window if
+    one arrives, or null-padded once the watermark proves no click can
+    still come.  This is the conversion-rate complement of the inner
+    attribution join: the unmatched side is the signal (views that
+    converted vs. didn't).
+
+    Outer-ness is what makes the watermark LOAD-BEARING for
+    correctness, not just state sizing: a null-padded row may only be
+    emitted when event time has provably passed view_ts + attribution,
+    so results trail the watermark — the inherent completeness/latency
+    trade of outer stream joins.  State stays bounded exactly as in the
+    inner case."""
+    v = views.withWatermark("event_ts", attribution).alias("v")
+    c = clicks.withWatermark("event_ts", attribution).alias("c")
+    return v.join(
+        c,
+        F.expr(
+            "v.user_id = c.user_id"
+            " AND c.event_ts >= v.event_ts"
+            f" AND c.event_ts <= v.event_ts + INTERVAL {attribution}"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("v.event_id").alias("view_id"),
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.event_ts").alias("view_ts"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.event_ts").alias("click_ts"),
+    )
+
+
+def dedup_within_watermark_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup on event_id alone via
+    dropDuplicatesWithinWatermark — the replay-protection form for the
+    REAL at-least-once case, where a redelivered record carries the
+    same id but a jittered timestamp (broker retry, producer re-send
+    with fresh ingest time).  Plain dropDuplicates([id, ts]) would pass
+    both copies; keying state on id alone with a watermark-bounded
+    retention window dedups them while still letting state expire.
+    State per key lives ~watermark, so memory is bounded by the id
+    arrival rate times the horizon, independent of stream length."""
+    return events.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

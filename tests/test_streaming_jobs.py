@@ -330,3 +330,67 @@ def test_stream_static_enrichment(spark, tmp_path):
     cats = {r.event_type: r.category for r in rows}
     assert cats == {"click": "engagement", "view": "engagement",
                     "error": "unknown"}
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """Every view emits exactly once: converted views carry their click,
+    unconverted views emit null-padded once the watermark passes their
+    eligibility window (forced here by a far-future sentinel event)."""
+    recs = [
+        # user 0: view then click 5min later -> matched row
+        {"event_id": 0, "ts": BASE_US, "user_id": 0,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 1, "ts": BASE_US + 300_000_000, "user_id": 0,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        # user 1: view, click only after the 10-min window -> null-padded
+        {"event_id": 2, "ts": BASE_US, "user_id": 1,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": BASE_US + 1_200_000_000, "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+    ]
+    _write_events(str(tmp_path / "in" / "a.jsonl"), recs)
+    # watermark pushers in LATER micro-batches: null-padded rows only
+    # emit in a batch that runs with the watermark already past the
+    # view's eligibility window, so two sentinel batches follow.  The
+    # global watermark is the MIN across both inputs, so each sentinel
+    # batch carries BOTH a view and a click to advance both sides.
+    for i, fname in ((1, "b.jsonl"), (2, "c.jsonl")):
+        _write_events(
+            str(tmp_path / "in" / fname),
+            [{"event_id": 90 + i, "ts": BASE_US + i * 86_400_000_000,
+              "user_id": 9, "event_type": et, "value": 1.0, "props": "{}"}
+             for et in ("view", "click")],
+        )
+    cfg = LoaderConfig(input_path=str(tmp_path / "in"), max_files_per_trigger=1)
+    raw = transform(cfg, _read_stream(spark, cfg))
+    src = raw.selectExpr(
+        "from_json(payload, 'event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string') AS r",
+        "event_ts",
+    ).select("r.event_id", "r.user_id", "r.event_type", "event_ts")
+    views = src.where("event_type = 'view'")
+    clicks = src.where("event_type = 'click'")
+    df = jobs.views_with_optional_click_stream(views, clicks)
+    _run_to_memory(df, "ssleft_t", "append")
+    rows = spark.sql("SELECT * FROM ssleft_t ORDER BY view_id").collect()
+    got = [(r.view_id, r.user_id, r.click_id) for r in rows if r.user_id != 9]
+    assert got == [(0, 0, 1), (2, 1, None)]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Redelivered records with the SAME id but jittered timestamps must
+    collapse to one row — the case dropDuplicates([id, ts]) misses."""
+    recs = [
+        {"event_id": 7, "ts": BASE_US, "user_id": 0,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        # same id redelivered 3s later (producer retry w/ new ingest ts)
+        {"event_id": 7, "ts": BASE_US + 3_000_000, "user_id": 0,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 8, "ts": BASE_US + 60_000_000, "user_id": 1,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+    ]
+    _write_events(str(tmp_path / "in" / "a.jsonl"), recs)
+    df = jobs.dedup_within_watermark_stream(_stream(spark, tmp_path))
+    _run_to_memory(df, "dedup_wm_t", "append")
+    rows = spark.sql("SELECT event_id FROM dedup_wm_t ORDER BY event_id").collect()
+    assert [r.event_id for r in rows] == [7, 8]
