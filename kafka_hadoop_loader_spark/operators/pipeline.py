@@ -691,3 +691,194 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "target_per_million"
         ),
     ).orderBy("lang")
+
+
+@register(
+    "pipeline_funnel",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text, n_chars FROM documents
+            WHERE doc_id % 97 <> 0
+        ),
+        t AS (
+            SELECT doc_id, text, n_chars, string_split(text, ' ') AS w
+            FROM d
+        ),
+        q AS (
+            SELECT doc_id, text FROM t
+            WHERE CAST(len(w) AS BIGINT) >= {_QG_MIN_TOKENS}
+              AND CAST(n_chars AS DOUBLE) / CAST(len(w) AS DOUBLE)
+                      >= {_QG_MIN_AVG_LEN}
+              AND CAST(n_chars AS DOUBLE) / CAST(len(w) AS DOUBLE)
+                      <= {_QG_MAX_AVG_LEN}
+              AND CAST(len(list_distinct(w)) AS DOUBLE)
+                      / CAST(len(w) AS DOUBLE) >= {_QG_MIN_TTR}
+              AND CAST(len(list_filter(w, x -> x IN {_QG_STOPWORDS!r}))
+                       AS DOUBLE) / CAST(len(w) AS DOUBLE)
+                      <= {_QG_MAX_STOP}
+        ),
+        canon AS (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM q
+        ),
+        c2 AS (SELECT doc_id FROM canon WHERE rn = 1),
+        allg AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g3
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents) w,
+                 unnest(generate_series(1, len(ws) - 2)) AS u(i)
+            WHERE len(ws) >= 3
+        ),
+        bench AS (
+            SELECT DISTINCT g3 FROM allg WHERE doc_id % 97 = 0
+        ),
+        contam AS (
+            SELECT DISTINCT g.doc_id
+            FROM allg g JOIN bench b USING (g3)
+            WHERE g.doc_id % 97 <> 0
+        ),
+        c3 AS (
+            SELECT doc_id FROM c2
+            WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        ),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         {_PHASH_SQL.format(
+                             x="'split:' || CAST(doc_id AS VARCHAR)")}
+                             % 100 AS b
+                  FROM c3)
+        )
+        SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'corpus' AS stage,
+                   (SELECT COUNT(*) FROM d) AS n_docs
+            UNION ALL
+            SELECT 1, 'quality_pass', (SELECT COUNT(*) FROM q)
+            UNION ALL
+            SELECT 2, 'deduped', (SELECT COUNT(*) FROM c2)
+            UNION ALL
+            SELECT 3, 'decontaminated', (SELECT COUNT(*) FROM c3)
+            UNION ALL
+            SELECT 4, 'split_train',
+                   (SELECT COUNT(*) FROM sp WHERE split = 'train')
+            UNION ALL
+            SELECT 5, 'split_val',
+                   (SELECT COUNT(*) FROM sp WHERE split = 'val')
+            UNION ALL
+            SELECT 6, 'split_test',
+                   (SELECT COUNT(*) FROM sp WHERE split = 'test')
+        )
+        ORDER BY stage_idx
+    """,
+    doc="""End-to-end training-data funnel: the whole pre-tokenization
+    pipeline — quality gate, exact dedup (keep-first), benchmark
+    decontamination, hash split — composed in one report that shows how
+    many documents survive each stage.  Every stage reuses the exact
+    semantics of its standalone operator (quality_gate, dedup_exact,
+    decontaminate_ngram, sample_hash_split), so the funnel doubles as
+    an integration test that the stages compose.  Shape at scale: the
+    per-doc flags are map-side; the dedup window shuffles once on the
+    text hash; the contamination check is one broadcast semi-join on
+    the (tiny) benchmark gram set; the seven output rows are unioned
+    scalar aggregates.  This is the report a data-engineering team
+    pins to the wall of every pretraining run.""",
+)
+def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE pass computes every per-doc flag; the seven funnel counts are
+    # conditional sums of the flags, transposed to long form via stack.
+    # (The first, 7-branch formulation re-planned the documents scan per
+    # stage — 7 scans for 7 numbers.  The flags form is the 100 TB
+    # shape: one scan, one window shuffle, one broadcast semi-join.)
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").where(
+        F.col("doc_id") % 97 != 0
+    )
+    w = F.split("text", " ")
+    n_tok = F.size(w).cast("bigint")
+    avg_len = F.col("n_chars").cast("double") / n_tok.cast("double")
+    ttr = F.size(F.array_distinct(w)).cast("double") / n_tok.cast("double")
+    stop = (
+        F.size(F.filter(w, lambda x: x.isin(*_QG_STOPWORDS))).cast("double")
+        / n_tok.cast("double")
+    )
+    pass_q = (
+        (n_tok >= _QG_MIN_TOKENS)
+        & (avg_len >= _QG_MIN_AVG_LEN)
+        & (avg_len <= _QG_MAX_AVG_LEN)
+        & (ttr >= _QG_MIN_TTR)
+        & (stop <= _QG_MAX_STOP)
+    )
+    flags = d.select(
+        "doc_id", "text", pass_q.alias("pass_q"), F.md5("text").alias("h")
+    )
+    # canonical = the min-doc_id quality-passer of its hash group
+    # (filtered-min window == the rn=1-over-quality-rows of the oracle)
+    wnd = Window.partitionBy("h")
+    flags = flags.withColumn(
+        "canon",
+        F.col("pass_q")
+        & (F.col("doc_id") == F.min(F.when(F.col("pass_q"), F.col("doc_id"))).over(wnd)),
+    )
+
+    alldocs = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    g3 = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ws, i),
+            F.element_at(ws, i + 1),
+            F.element_at(ws, i + 2),
+        ),
+    )
+    grams = spread(alldocs, "doc_id").where(F.size(ws) >= 3).select(
+        "doc_id", F.explode(F.array_distinct(g3)).alias("g3")
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("g3").distinct()
+    contam = (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g3", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(True))
+    )
+    flags = flags.join(F.broadcast(contam), "doc_id", "left").withColumn(
+        "clean", F.col("canon") & F.col("contam").isNull()
+    )
+
+    bucket = _phash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    flags = flags.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+
+    one = lambda c: F.sum(c.cast("bigint"))  # noqa: E731
+    counts = flags.agg(
+        F.count("*").alias("c0"),
+        one(F.col("pass_q")).alias("c1"),
+        one(F.col("canon")).alias("c2"),
+        one(F.col("clean")).alias("c3"),
+        one(F.col("clean") & (F.col("split") == "train")).alias("c4"),
+        one(F.col("clean") & (F.col("split") == "val")).alias("c5"),
+        one(F.col("clean") & (F.col("split") == "test")).alias("c6"),
+    )
+    stages = (
+        "corpus",
+        "quality_pass",
+        "deduped",
+        "decontaminated",
+        "split_train",
+        "split_val",
+        "split_test",
+    )
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), '{s}', c{i}" for i, s in enumerate(stages)
+    )
+    return counts.selectExpr(
+        f"stack(7, {stack_args}) AS (stage_idx, stage, n_docs)"
+    ).orderBy("stage_idx")
