@@ -264,21 +264,36 @@ def _audio_energy_batches(batches):
     import pandas as pd
 
     for pdf in batches:
-        out = []
+        # fully vectorized: per-frame sums via bincount on the frame id
+        # (a python dict per frame measured ~6x slower at sf0.1).  The
+        # bincount weights are float64 but exact: |d*d| <= 160^2 and a
+        # frame sums <= 64 of them, far inside the 2^53 integer range.
+        ids, fids, ns, es = [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
-            for f in range(0, len(b), _AUDIO_FRAME):
-                frame = b[f : f + _AUDIO_FRAME]
-                d = frame - 96
-                out.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "frame_id": f // _AUDIO_FRAME,
-                        "n_samples": int(frame.size),
-                        "energy_scaled": int((d * d).sum()),
-                    }
-                )
-        yield pd.DataFrame(out)
+            if b.size == 0:
+                continue
+            fid = np.arange(b.size) // _AUDIO_FRAME
+            d = b - 96
+            e = np.bincount(fid, weights=d * d).astype(np.int64)
+            n = np.bincount(fid)
+            ids.append(np.full(e.size, int(doc_id)))
+            fids.append(np.arange(e.size))
+            ns.append(n)
+            es.append(e)
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "frame_id": np.concatenate(fids),
+                    "n_samples": np.concatenate(ns),
+                    "energy_scaled": np.concatenate(es),
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {"doc_id": [], "frame_id": [], "n_samples": [], "energy_scaled": []}
+            ).astype("int64")
 
 
 @register(
