@@ -533,3 +533,53 @@ def frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "trigram")
         .limit(20)
     )
+
+
+@register(
+    "events_user_lifetime",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+               CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT)
+                   AS span_us,
+               CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+                   AS n_active_days,
+               CASE WHEN COUNT(*) > 1
+                    THEN CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE)
+                         / CAST(COUNT(*) - 1 AS DOUBLE)
+                    ELSE NULL END AS avg_gap_us
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc="""Per-user lifetime/tenure profile: event count, first/last
+    activity, span, distinct active days, and mean inter-event gap —
+    the per-entity activity summary every engagement/churn model starts
+    from.  All time arithmetic is on integer epoch-µs (ts_us), the gap
+    is one exact division of integers, and active days use integer
+    day ids — engine-exact throughout.  One hash aggregate with
+    map-side partials; countDistinct on the day id expands to the usual
+    two-phase plan, both phases keyed on user_id so nothing reshuffles
+    between them.""",
+)
+def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    day = F.expr("ts_us DIV 86400000000")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("first_us"),
+            F.max("ts_us").alias("last_us"),
+            (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
+            F.countDistinct(day).alias("n_active_days"),
+            F.when(
+                F.count("*") > 1,
+                (F.max("ts_us") - F.min("ts_us")).cast("double")
+                / (F.count("*") - 1).cast("double"),
+            ).alias("avg_gap_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -142,7 +142,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # chunk_documents sample_temperature knn_cosine_blocked
     # join_shuffle_hash join_dpp_partitioned agg_share_reused_exchange
     # multimodal_image_pool scan_text_lines compact_small_files
-    # pipeline_funnel
+    # pipeline_funnel graph_triangles events_user_lifetime
 )
 
 
