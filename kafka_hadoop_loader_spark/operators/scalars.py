@@ -244,3 +244,59 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "fn_struct_bitwise",
+    oracle="""
+        SELECT o_orderkey,
+               ({'k': o_orderkey, 'c': o_custkey}).k + 1 AS st_key_next,
+               ({'k': o_orderkey, 'c': o_custkey}).c AS st_cust,
+               o_orderkey & o_custkey AS b_and,
+               o_orderkey | o_custkey AS b_or,
+               xor(o_orderkey, o_custkey) AS b_xor,
+               o_orderkey << 3 AS shl3,
+               o_orderkey >> 1 AS shr1,
+               CAST(bit_count(o_orderkey) AS INTEGER) AS popcnt,
+               greatest(o_orderkey, o_custkey * 10, 1000) AS g3,
+               least(o_orderkey, o_custkey * 10, 1000) AS l3,
+               nullif(o_custkey % 5, 0) AS nz_mod,
+               coalesce(nullif(o_custkey % 5, 0), -1) AS nz_mod_filled
+        FROM orders
+        WHERE o_orderkey < 2000
+        ORDER BY o_orderkey
+    """,
+    doc="""Struct construction/field access + the bitwise family
+    (AND/OR/XOR/shifts/popcount) + n-ary conditionals
+    (greatest/least/nullif/coalesce) — the expression-matrix rows not
+    covered by the string/date/math/array/map/json tours.  Structs are
+    built then immediately field-accessed so the output stays scalar
+    (nested columns don't canonicalize in the driver's pandas hash);
+    Catalyst collapses the construct+access to the field expression, so
+    the struct costs nothing at any scale.  All integer ops — exact on
+    both engines by definition.""",
+)
+def fn_struct_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    st = F.struct(F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c"))
+    return (
+        o.where(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            (st.getField("k") + 1).alias("st_key_next"),
+            st.getField("c").alias("st_cust"),
+            F.col("o_orderkey").bitwiseAND(F.col("o_custkey")).alias("b_and"),
+            F.col("o_orderkey").bitwiseOR(F.col("o_custkey")).alias("b_or"),
+            F.col("o_orderkey").bitwiseXOR(F.col("o_custkey")).alias("b_xor"),
+            F.shiftleft("o_orderkey", 3).alias("shl3"),
+            F.shiftright("o_orderkey", 1).alias("shr1"),
+            F.bit_count("o_orderkey").alias("popcnt"),
+            F.greatest("o_orderkey", F.col("o_custkey") * 10, F.lit(1000)).alias("g3"),
+            F.least("o_orderkey", F.col("o_custkey") * 10, F.lit(1000)).alias("l3"),
+            F.nullif(F.col("o_custkey") % 5, F.lit(0)).alias("nz_mod"),
+            F.coalesce(F.nullif(F.col("o_custkey") % 5, F.lit(0)), F.lit(-1)).alias(
+                "nz_mod_filled"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
