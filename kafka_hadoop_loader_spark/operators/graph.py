@@ -279,3 +279,62 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_triangles").desc(), "nation")
     )
+
+
+@register(
+    "sql_recursive_reach",
+    oracle="""
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey
+        ),
+        reach(node, hop) AS (
+            SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
+            UNION ALL
+            SELECT CAST(e.dst AS BIGINT), r.hop + 1
+            FROM reach r JOIN edges e ON e.src = r.node
+            WHERE r.hop < 2
+        )
+        SELECT n.n_name AS nation,
+               CAST(MIN(r.hop) AS BIGINT) AS min_hops,
+               CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM reach r JOIN nation n ON n.n_nationkey = r.node
+        GROUP BY nation
+        ORDER BY min_hops, nation
+    """,
+    doc="""Recursive CTE (Spark 4 WITH RECURSIVE): bounded transitive
+    closure of the trade graph from nation 0 — min-hop distance and
+    path multiplicity within 2 hops, expressed in the SQL-native
+    recursive form instead of the hand-unrolled iteration
+    graph_bfs_hops uses.  The recursion is depth-bounded by the hop
+    predicate (the engine-independent way to terminate on a cyclic
+    graph) and each step is a join against the (deduplicated,
+    broadcastable) edge list.  Executed through spark.sql over temp
+    views — the second operator exercising the SQL parser path
+    end-to-end.  Scale: each recursive step is one ordinary hash join;
+    frontier size, not total graph size, bounds the working set.""",
+)
+def sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _trade_edges(spark, sf_dir).where(F.col("src") != F.col("dst")).select(
+        "src", "dst"
+    ).distinct().createOrReplaceTempView("khl_rec_edges")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("khl_rec_nation")
+    return spark.sql("""
+        WITH RECURSIVE reach(node, hop) AS (
+            SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
+            UNION ALL
+            SELECT CAST(e.dst AS BIGINT), r.hop + CAST(1 AS BIGINT)
+            FROM reach r JOIN khl_rec_edges e ON e.src = r.node
+            WHERE r.hop < 2
+        )
+        SELECT n.n_name AS nation,
+               CAST(MIN(r.hop) AS BIGINT) AS min_hops,
+               CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM reach r JOIN khl_rec_nation n ON n.n_nationkey = r.node
+        GROUP BY n.n_name
+        ORDER BY min_hops, nation
+    """)

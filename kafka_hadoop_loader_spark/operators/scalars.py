@@ -300,3 +300,71 @@ def fn_struct_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+        WITH j AS (
+            SELECT event_id,
+                   '{"k":' || CAST(user_id % 100 AS VARCHAR)
+                   || ',"tags":["t' || CAST(event_id % 3 AS VARCHAR)
+                   || '","x"],"meta":{"u":' || CAST(user_id AS VARCHAR)
+                   || '}}' AS doc,
+                   props
+            FROM events
+            WHERE event_id < 5000
+        )
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS props_k,
+               CAST(json_extract(doc, '$.k') AS INTEGER) AS k_int,
+               CAST(json_extract(doc, '$.meta.u') AS BIGINT) AS meta_u,
+               json_extract_string(doc, '$.tags[0]') AS tag0,
+               CAST(NULL AS VARCHAR) AS k_as_string_try,
+               CAST(json_array_length(json_extract(doc, '$.tags')) AS INTEGER)
+                   AS n_tags
+        FROM j
+        ORDER BY event_id
+    """,
+    doc="""VARIANT semi-structured type (Spark 4): parse_json turns the
+    props JSON string and a constructed nested document into the binary
+    VARIANT encoding; typed path extraction via variant_get (nested
+    object path, array index), try_variant_get returning NULL on a type
+    mismatch instead of failing, and array cardinality — the
+    shred-on-read pattern that replaces string re-parsing per access.
+    At 100 TB, VARIANT's advantage is decode-once: the binary encoding
+    is ~an order of magnitude cheaper to path-extract than re-tokenizing
+    JSON text per field (and parquet shredding can push extraction to
+    the scan).  Oracle replays the same paths with DuckDB's JSON ops on
+    the identical strings; the try-mismatch column is the NULL contract
+    itself.""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(F.col("event_id") < 5000)
+    doc = F.format_string(
+        '{"k":%d,"tags":["t%d","x"],"meta":{"u":%d}}',
+        F.col("user_id") % 100,
+        F.col("event_id") % 3,
+        F.col("user_id"),
+    )
+    v = F.parse_json(doc)
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("props_k"),
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.meta.u", "bigint").alias("meta_u"),
+        F.try_variant_get(v, "$.tags[0]", "string").alias("tag0"),
+        # wrong-type extraction must yield NULL, not error (an object
+        # can't cast to int; note variant->string never fails — it
+        # serializes the value as JSON text instead)
+        F.try_variant_get(v, "$.meta", "int").cast("string").alias("k_as_string_try"),
+        F.try_variant_get(v, "$.tags", "array<string>").alias("tags_arr"),
+    ).select(
+        "event_id",
+        "props_k",
+        "k_int",
+        "meta_u",
+        "tag0",
+        "k_as_string_try",
+        F.size("tags_arr").alias("n_tags"),
+    ).orderBy("event_id")

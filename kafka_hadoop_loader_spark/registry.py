@@ -143,7 +143,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # join_shuffle_hash join_dpp_partitioned agg_share_reused_exchange
     # multimodal_image_pool scan_text_lines compact_small_files
     # pipeline_funnel graph_triangles events_user_lifetime
-    # fn_struct_bitwise
+    # fn_struct_bitwise fn_variant sql_recursive_reach
+    # scan_python_datasource
 )
 
 

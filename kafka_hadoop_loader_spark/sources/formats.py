@@ -265,3 +265,92 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(3).cast("long").alias("ts_us"),
     )
     return _slice_agg(back)
+
+
+def _make_jsonl_reader(options):
+    from pyspark.sql.datasource import DataSourceReader
+
+    class _JsonlLoaderReader(DataSourceReader):
+        """Reader half of the Python DataSource below: one input
+        partition per .json file (the split granularity the loader's
+        own sink produces), rows parsed with the stdlib json module."""
+
+        def __init__(self, opts):
+            self._path = opts.get("path")
+
+        def partitions(self):
+            import glob
+
+            from pyspark.sql.datasource import InputPartition
+
+            return [
+                InputPartition(p)
+                for p in sorted(glob.glob(os.path.join(self._path, "*.json")))
+            ]
+
+        def read(self, partition):
+            import json
+
+            with open(partition.value) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    r = json.loads(line)
+                    yield (
+                        r["event_id"],
+                        r["user_id"],
+                        r["event_type"],
+                        r["ts_us"],
+                    )
+
+    return _JsonlLoaderReader(options)
+
+
+def _make_jsonl_datasource():
+    from pyspark.sql.datasource import DataSource
+
+    class JsonlLoaderSource(DataSource):
+        """Custom Python DataSource (Spark 4 API): a from-scratch
+        parallel reader for the loader's JSON-lines output, the
+        pluggable-source seam the reference filled with a custom Hadoop
+        InputFormat [pub: …/io/KafkaInputFormat.java]."""
+
+        @classmethod
+        def name(cls):
+            return "khl_jsonl"
+
+        def schema(self):
+            return "event_id bigint, user_id bigint, event_type string, ts_us bigint"
+
+        def reader(self, schema):
+            return _make_jsonl_reader(self.options)
+
+    return JsonlLoaderSource
+
+
+@register(
+    "scan_python_datasource",
+    oracle=_SLICE_AGG_ORACLE,
+    doc="""Custom Python DataSource (Spark 4's pyspark.sql.datasource
+    API): the engine's own registered source format ("khl_jsonl") reads
+    the events slice back from JSON-lines with one InputPartition per
+    file and a pure-Python row parser — the modern equivalent of the
+    reference's custom Hadoop InputFormat seam (KafkaInputFormat: a
+    from-scratch source plugged into the framework's split/read
+    lifecycle).  The oracle aggregates the original parquet, proving
+    the custom source is lossless.  Scale notes: partitions() defines
+    the parallelism contract exactly like InputSplits did; a real
+    deployment returns one partition per file-range and reads via
+    Arrow batches (DataSourceReader also supports that), and anything
+    hot should stay on the built-in JVM readers — this seam is for
+    systems Spark has NO connector for.""",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _round_trip_path(spark, sf_dir, "json")
+    spark.dataSource.register(_make_jsonl_datasource())
+    back = (
+        spark.read.format("khl_jsonl")
+        .option("path", path)
+        .load()
+    )
+    return _slice_agg(back)
