@@ -186,3 +186,64 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("tok") >= 8)
         .orderBy("doc_id", "pos")
     )
+
+
+_SEG = 10  # words per segment
+
+
+@register(
+    "udtf_python_api",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents WHERE doc_id < 2000
+        )
+        SELECT doc_id,
+               CAST((s - 1) // {_SEG} AS BIGINT) AS seg_idx,
+               CAST(LEAST({_SEG}, len(ws) - s + 1) AS INTEGER) AS n_words,
+               ws[s] AS first_word,
+               ws[LEAST(s + {_SEG} - 1, len(ws))] AS last_word
+        FROM w, unnest(generate_series(1, len(ws), {_SEG})) AS u(s)
+        ORDER BY doc_id, seg_idx
+    """,
+    doc=f"""Python UDTF via the real Spark 4 @udtf class API (eval ->
+    yield, Arrow-optimized transfer, registered + invoked through SQL's
+    LATERAL table-function syntax) — the genuinely-custom-table-function
+    seam, complementing udtf_tokens which shows the same SHAPE compiled
+    to a JVM posexplode.  Segments documents into {_SEG}-word windows
+    with per-segment stats.  The division of labor the pair
+    demonstrates: if the fan-out is expressible as explode, use the
+    JVM form (udtf_tokens); reach for a Python UDTF only when per-row
+    expansion logic is real code — and then mark it Arrow-optimized, as
+    here.  Bounded to doc_id < 2000: per-row Python is the slow path by
+    design.""",
+)
+def udtf_python_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, seg_idx bigint, n_words int,"
+            " first_word string, last_word string"
+        ),
+        useArrow=True,
+    )
+    class SegmentUdtf:
+        def eval(self, doc_id, text):
+            words = text.split(" ")
+            for i in range(0, len(words), _SEG):
+                seg = words[i : i + _SEG]
+                yield doc_id, i // _SEG, len(seg), seg[0], seg[-1]
+
+    spark.udtf.register("khl_segments", SegmentUdtf)
+    table(spark, sf_dir, "documents").where(F.col("doc_id") < 2000).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("khl_udtf_docs")
+    return spark.sql("""
+        SELECT u.doc_id AS doc_id, u.seg_idx AS seg_idx,
+               u.n_words AS n_words, u.first_word AS first_word,
+               u.last_word AS last_word
+        FROM khl_udtf_docs AS d,
+        LATERAL khl_segments(d.doc_id, d.text) AS u
+        ORDER BY doc_id, seg_idx
+    """)

@@ -144,7 +144,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # multimodal_image_pool scan_text_lines compact_small_files
     # pipeline_funnel graph_triangles events_user_lifetime
     # fn_struct_bitwise fn_variant sql_recursive_reach
-    # scan_python_datasource
+    # scan_python_datasource udtf_python_api
 )
 
 

@@ -394,3 +394,34 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     _run_to_memory(df, "dedup_wm_t", "append")
     rows = spark.sql("SELECT event_id FROM dedup_wm_t ORDER BY event_id").collect()
     assert [r.event_id for r in rows] == [7, 8]
+
+
+def test_stateful_stats_on_rocksdb_state_store(spark, tmp_path):
+    """The stateful operator must run unchanged on the RocksDB state
+    store provider — the backend that holds 100 GB+ of streaming state
+    per executor off-heap (the default HDFSBackedStateStore keeps state
+    in JVM memory).  Same cumulative-count semantics, different
+    checkpoint backend."""
+    recs = [
+        {"event_id": i, "ts": BASE_US + i * 60_000_000, "user_id": i % 2,
+         "event_type": "click", "value": float(i), "props": "{}"}
+        for i in range(6)
+    ]
+    _write_events(str(tmp_path / "in" / "a.jsonl"), recs)
+    df = jobs.user_running_stats_stream(_stream(spark, tmp_path))
+    q = (
+        df.writeStream.format("memory")
+        .queryName("rocks_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM rocks_t ORDER BY user_id").collect()
+    assert [(r.user_id, r.n_events) for r in rows] == [(0, 3), (1, 3)]
