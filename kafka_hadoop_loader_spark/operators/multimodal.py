@@ -431,3 +431,78 @@ def multimodal_image_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_pool_batches, schema=_POOL_SCHEMA).orderBy(
         "doc_id", "py", "px"
     )
+
+
+_ARROW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload_bytes", LongType()),
+        StructField("crc_like", LongType()),
+    ]
+)
+
+
+def _arrow_checksum_batches(batches):
+    """mapInArrow kernel: zero-copy pyarrow RecordBatch in, RecordBatch
+    out — no pandas materialization at all.  Computes payload length
+    and a positional byte checksum Σ (i+1)·byte[i] mod 2^31 per row
+    (CRC stand-in; exact integer arithmetic, oracle-replayable)."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        n = np.empty(len(payloads), dtype=np.int64)
+        crc = np.empty(len(payloads), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            b = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+            n[i] = b.size
+            crc[i] = int((b * (np.arange(b.size) + 1)).sum() % (1 << 31))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(n), pa.array(crc)],
+            names=["doc_id", "payload_bytes", "crc_like"],
+        )
+
+
+@register(
+    "multimodal_arrow_checksum",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        bytes AS (
+            SELECT doc_id, i, n,
+                   CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT) AS v
+            FROM b, unnest(generate_series(1, n)) AS u(i)
+        )
+        SELECT doc_id,
+               CAST(COALESCE(MAX(n), 0) AS BIGINT) AS payload_bytes,
+               CAST(COALESCE(SUM(v * i), 0) % 2147483648 AS BIGINT)
+                   AS crc_like
+        FROM bytes
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="""mapInArrow over binary payloads: the third Python-execution
+    tier after pandas UDFs and mapInPandas — the Arrow RecordBatch
+    flows straight from the JVM into pyarrow with NO pandas conversion,
+    which is the right interface when the kernel is numpy/pyarrow-
+    native and per-batch pandas boxing would only add copies (binary
+    columns especially: pandas wraps each payload in a Python bytes
+    object; Arrow keeps one contiguous buffer).  Computes a positional
+    checksum per payload — the integrity fingerprint a multimodal
+    ingest writes next to each blob.  Exact integer math, oracle
+    replayed from the hex expansion.  Zero shuffle before the
+    presentation sort.""",
+)
+def multimodal_arrow_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    payloads = d.where(F.length("text") > 0).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return payloads.mapInArrow(_arrow_checksum_batches, _ARROW_SCHEMA).orderBy(
+        "doc_id"
+    )

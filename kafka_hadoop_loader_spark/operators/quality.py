@@ -173,3 +173,63 @@ def fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionAll, outs).orderBy("fk_column")
+
+
+@register(
+    "observe_metrics_audit",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_value,
+               CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_props,
+               CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        FROM events
+    """,
+    doc="""Pipeline observability via df.observe(): row count, exact
+    value sum, null audit, and time bounds are collected as named
+    metrics ON the write pass itself — the load job and its
+    data-quality audit share one scan, instead of the audit re-reading
+    what was just written.  The observed frame is driven through a noop
+    sink (the loader's write stands in); Observation.get returns the
+    metrics exactly once.  This is Spark's AccumulatorV2-descendant
+    metrics channel: per-task partials merge on the driver, cost ~zero.
+    The returned 1-row frame is built from those metrics — the only
+    operator where driver-side values are the PRODUCT, which is what
+    observe() is for (the alternative, a second full aggregate query,
+    is what it saves).  The oracle recomputes the same aggregates
+    directly — proving the observed metrics equal the ground truth.""",
+)
+def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    e = table(spark, sf_dir, "events")
+    obs = Observation()
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0
+        ).alias("sum_value"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_props"),
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["sum_value"],
+                m["n_null_props"],
+                m["min_ts_us"],
+                m["max_ts_us"],
+            )
+        ],
+        "n_rows bigint, sum_value double, n_null_props bigint,"
+        " min_ts_us bigint, max_ts_us bigint",
+    )
