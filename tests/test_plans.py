@@ -335,3 +335,16 @@ def test_share_of_max_reuses_exchange(spark):
     from kafka_hadoop_loader_spark.plans.inspect import formatted_plan
 
     assert "ReusedExchange" in formatted_plan(df)
+
+
+def test_arrow_checksum_uses_map_in_arrow(spark):
+    # The kernel must run on the zero-copy Arrow tier, not pandas.
+    plan = _plan(spark, "multimodal_arrow_checksum")
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+
+
+def test_recursive_cte_plans_loop(spark):
+    # WITH RECURSIVE must resolve (UnionLoop / recursion nodes), and the
+    # per-step join against the dedup'd edge list must not be cartesian.
+    plan = _plan(spark, "sql_recursive_reach")
+    assert "CartesianProduct" not in plan
