@@ -368,3 +368,51 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_as_string_try",
         F.size("tags_arr").alias("n_tags"),
     ).orderBy("event_id")
+
+
+@register(
+    "fn_try_safe",
+    oracle="""
+        SELECT c_custkey,
+               TRY_CAST(c_name AS INTEGER) AS name_as_int,
+               TRY_CAST(substr(c_name, 10) AS BIGINT) AS suffix_as_int,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE CAST(c_custkey AS DOUBLE)
+                         / CAST(c_custkey % 7 AS DOUBLE) END AS safe_div,
+               TRY_CAST('2024-13-45' AS DATE) AS bad_date,
+               TRY_CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS good_cast
+        FROM customer
+        WHERE c_custkey < 2000
+        ORDER BY c_custkey
+    """,
+    doc="""ANSI-safety functions: try_cast and try_divide return NULL on
+    malformed input / division by zero instead of failing the 10-hour
+    job at row 3 billion — the error-containment contract a production
+    pipeline runs under (spark.sql.ansi.enabled=true makes plain casts
+    THROW; the try_* family is the per-expression opt-out).  NULL-on-
+    failure semantics are proven against the oracle: DuckDB TRY_CAST
+    for the casts, an explicit zero-guard CASE for the division (which
+    is exactly what try_divide compiles to).  Stateless map, fused into
+    the scan.""",
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.where(F.col("c_custkey") < 2000)
+        .select(
+            "c_custkey",
+            F.expr("try_cast(c_name AS int)").alias("name_as_int"),
+            F.expr("try_cast(substring(c_name, 10) AS bigint)").alias(
+                "suffix_as_int"
+            ),
+            F.try_divide(
+                F.col("c_custkey").cast("double"),
+                (F.col("c_custkey") % 7).cast("double"),
+            ).alias("safe_div"),
+            F.expr("try_cast('2024-13-45' AS date)").alias("bad_date"),
+            F.expr("try_cast(cast(c_custkey AS string) AS bigint)").alias(
+                "good_cast"
+            ),
+        )
+        .orderBy("c_custkey")
+    )

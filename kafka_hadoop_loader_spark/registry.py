@@ -145,7 +145,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # pipeline_funnel graph_triangles events_user_lifetime
     # fn_struct_bitwise fn_variant sql_recursive_reach
     # scan_python_datasource udtf_python_api
-    # multimodal_arrow_checksum observe_metrics_audit
+    # multimodal_arrow_checksum observe_metrics_audit fn_try_safe
 )
 
 
