@@ -354,3 +354,80 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return _slice_agg(back)
+
+
+_ctas_done: set[str] = set()
+
+
+@register(
+    "sql_ctas_insert",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'F'
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS total
+        FROM t
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    doc="""SQL DDL/DML lifecycle: CREATE TABLE ... USING parquet AS
+    SELECT (CTAS) materializes half the orders, INSERT INTO appends a
+    filtered second batch, and the engine's catalog serves the managed
+    table back for the final aggregate — the create/append/query loop
+    every warehouse table lives through, exercised through the SQL
+    parser (parameterized spark.sql for the predicates).  Table data
+    lives under the per-process temp root (same lifecycle discipline as
+    the bucketed/partitioned fixtures: no cross-process races, removed
+    at exit); the write happens once per process, re-runs only re-scan.
+    Oracle recomputes the CTAS ∪ INSERT contents directly from the
+    source — catalog plumbing must not change the data.""",
+)
+def sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir.rstrip("/")).encode()).hexdigest()[:8]
+    tname = f"khl_ctas_{tag}"
+    data_dir = os.path.join(_temp_root(), tname)
+    if tname not in _ctas_done or not os.path.isdir(data_dir):
+        table(spark, sf_dir, "orders").createOrReplaceTempView(f"khl_orders_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        spark.sql(
+            f"""
+            CREATE TABLE {tname}
+            USING parquet LOCATION '{data_dir}'
+            AS SELECT o_orderkey, o_orderstatus, o_totalprice
+               FROM khl_orders_{tag} WHERE o_orderkey % :m = 0
+            """,
+            args={"m": 2},
+        )
+        spark.sql(
+            f"""
+            INSERT INTO {tname}
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM khl_orders_{tag}
+            WHERE o_orderkey % :m = 1 AND o_orderstatus = :st
+            """,
+            args={"m": 2, "st": "F"},
+        )
+        _ctas_done.add(tname)
+    return (
+        spark.table(tname)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
