@@ -678,3 +678,46 @@ def agg_share_reused_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "agg_filtered_bool",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000)
+                    AS BIGINT) AS n_big,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        FILTER (WHERE o_orderpriority = '1-URGENT')
+                    AS DOUBLE) / 100.0 AS urgent_total,
+               bool_or(o_totalprice > 400000) AS any_huge,
+               bool_and(o_totalprice > 1000) AS all_over_1k
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    doc="""Filtered aggregates (the SQL FILTER (WHERE ...) clause) and
+    boolean aggregates (any/every): conditional facets of one group-by
+    computed in a single pass — the idiom that replaces N separate
+    filtered sub-queries with one scan and N conditional accumulators
+    (Catalyst compiles FILTER to the same conditional-sum form the
+    CASE-pivot TPC-H queries use).  COALESCE-free: a filter matching
+    no rows yields NULL for SUM and false-domain semantics for
+    every/any, identical in both engines.  Executed through spark.sql
+    to exercise the FILTER parser syntax specifically.""",
+)
+def agg_filtered_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("khl_fagg_orders")
+    return spark.sql("""
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        FILTER (WHERE o_orderpriority = '1-URGENT')
+                    AS DOUBLE) / 100.0 AS urgent_total,
+               any(o_totalprice > 400000) AS any_huge,
+               every(o_totalprice > 1000) AS all_over_1k
+        FROM khl_fagg_orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """)
