@@ -452,15 +452,31 @@ def _arrow_checksum_batches(batches):
 
     for batch in batches:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        payloads = batch.column("payload").to_pylist()
-        n = np.empty(len(payloads), dtype=np.int64)
-        crc = np.empty(len(payloads), dtype=np.int64)
-        for i, p in enumerate(payloads):
-            b = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
-            n[i] = b.size
-            crc[i] = int((b * (np.arange(b.size) + 1)).sum() % (1 << 31))
+        arr = batch.column("payload")
+        if len(arr) == 0:
+            continue
+        # buffer-level vectorization, no per-row Python: an Arrow binary
+        # array is (offsets, one contiguous value buffer), so all rows'
+        # bytes process as one numpy pass + a reduceat on row starts.
+        # (the to_pylist per-row loop measured ~3x slower under bench
+        # contention.)  Upstream filter guarantees every payload is
+        # non-empty, which reduceat requires.
+        odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        offs = np.frombuffer(arr.buffers()[1], dtype=odt)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        starts, ends = offs[:-1] - offs[0], offs[1:] - offs[0]
+        seg = data[offs[0] : offs[-1]].astype(np.int64)
+        lens = ends - starts
+        weights = np.arange(seg.size) - np.repeat(starts, lens) + 1
+        sums = np.add.reduceat(seg * weights, starts)
         yield pa.RecordBatch.from_arrays(
-            [pa.array(ids, pa.int64()), pa.array(n), pa.array(crc)],
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(lens),
+                pa.array(sums % (1 << 31)),
+            ],
             names=["doc_id", "payload_bytes", "crc_like"],
         )
 
