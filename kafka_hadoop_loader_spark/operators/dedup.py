@@ -745,19 +745,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc, shingle) pairs with map-side partial aggregation -- much faster
     # than 60 sequential array folds (measured ~20s -> ~2s at sf0.1), and
     # the shape that distributes: the shuffle carries 60 ints per doc.
+    # accumulate ones-counts, not ±1 votes: sum((hv>>b)&1) needs no
+    # conditional branch per element, and the ±1 vote sign is recovered
+    # exactly as 2*ones_b > n (votes_b = 2*ones_b - n on integers) —
+    # same signature bits, leaner codegen for the 64-accumulator agg
     votes = ex.groupBy("doc_id").agg(
+        F.count("*").alias("ng"),
         *[
-            F.sum(
-                F.when(F.shiftright("hv", bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{bit}")
+            F.sum(F.shiftright("hv", bit).bitwiseAND(F.lit(1))).alias(f"o{bit}")
             for bit in range(_SIM_BITS)
-        ]
+        ],
     )
     sig = F.lit(0).cast("long")
     for bit in range(_SIM_BITS):
         sig = sig.bitwiseOR(
             F.when(
-                F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)
+                F.col(f"o{bit}") * 2 > F.col("ng"),
+                F.shiftleft(F.lit(1).cast("long"), bit),
             ).otherwise(0)
         )
     sigs = votes.select("doc_id", sig.alias("sig"))
