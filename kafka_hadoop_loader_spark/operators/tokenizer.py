@@ -104,6 +104,22 @@ def _pairs_sql(wtab: str, ptab: str, ttab: str, nxt: str) -> str:
     data — the property that makes BPE training feasible at 100 TB.""",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _learn_merged_vocab(spark, sf_dir)
+    final_syms = F.split(F.expr("trim(BOTH '|' FROM seq)"), r"\|\|")
+    return (
+        w.select("cnt", F.explode(final_syms).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "symbol")
+        .limit(20)
+    )
+
+
+def _learn_merged_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE training loop: word-frequency table -> ``_ROUNDS`` merge
+    rounds -> (word, cnt, seq) with merged symbol sequences.  Shared by
+    bpe_train_merges (vocabulary report) and bpe_encode_corpus (apply
+    the learned segmentation back to the corpus)."""
     d = spread(table(spark, sf_dir, "documents"))
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -141,11 +157,87 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "replace(seq, '|' || a || '||' || b || '|', '|' || a || b || '|')"
             ).alias("seq"),
         )
-    final_syms = F.split(F.expr("trim(BOTH '|' FROM seq)"), r"\|\|")
+    return w
+
+
+_ENC_ROUNDS_SQL = "\n        ".join(
+    _pairs_sql(f"w{i}", f"p{i + 1}", f"t{i + 1}", f"w{i + 1}").strip() + ","
+    for i in range(_ROUNDS)
+)
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=f"""
+        WITH words AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            )
+            WHERE word <> ''
+            GROUP BY word
+        ),
+        w0 AS (
+            SELECT word, cnt,
+                   regexp_replace(word, '(.)', '|\\1|', 'g') AS seq
+            FROM words
+        ),
+        {_ENC_ROUNDS_SQL}
+        vocab AS (
+            SELECT word,
+                   CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT)
+                       AS n_sym,
+                   CAST(length(word) AS BIGINT) AS n_chars_w
+            FROM w{_ROUNDS}
+        ),
+        dw AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_chars_w) AS BIGINT) AS n_chars,
+               CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars_w) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE)
+                   AS chars_per_token
+        FROM dw JOIN vocab USING (word)
+        WHERE word <> ''
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="""Apply the learned BPE segmentation back to the corpus: join
+    each document's words against the trained vocabulary's merged
+    symbol sequences and report per-document token counts and
+    compression (chars per token) — the tokenize step that follows
+    bpe_train_merges, and the number (tokens per doc) every training-
+    data budget is denominated in.  The join is corpus-words ⨝ vocab
+    on the word — vocabulary-sized build side, the exact shape of a
+    production tokenizer's vocab lookup; everything upstream reuses
+    the training loop (one corpus scan, vocabulary-sized rounds).
+    Exact integers end-to-end; the ratio is one division.""",
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _learn_merged_vocab(spark, sf_dir)
+    syms = F.split(F.expr("trim(BOTH '|' FROM seq)"), r"\|\|")
+    vocab = w.select(
+        "word",
+        F.size(syms).cast("bigint").alias("n_sym"),
+        F.length("word").cast("bigint").alias("n_chars_w"),
+    )
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    dw = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).where(
+        F.col("word") != ""
+    )
     return (
-        w.select("cnt", F.explode(final_syms).alias("symbol"))
-        .groupBy("symbol")
-        .agg(F.sum("cnt").alias("n_occurrences"))
-        .orderBy(F.col("n_occurrences").desc(), "symbol")
-        .limit(20)
+        dw.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_chars_w").alias("n_chars"),
+            F.sum("n_sym").alias("n_tokens"),
+            (
+                F.sum("n_chars_w").cast("double") / F.sum("n_sym").cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
     )

@@ -146,7 +146,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # fn_struct_bitwise fn_variant sql_recursive_reach
     # scan_python_datasource udtf_python_api
     # multimodal_arrow_checksum observe_metrics_audit fn_try_safe
-    # sql_ctas_insert agg_filtered_bool
+    # sql_ctas_insert agg_filtered_bool bpe_encode_corpus
 )
 
 
