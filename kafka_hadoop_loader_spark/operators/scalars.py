@@ -416,3 +416,49 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "fn_collation_ci",
+    oracle="""
+        SELECT lower(c_mktsegment) AS seg_ci,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_names,
+               min(upper(c_name)) AS first_name_ci
+        FROM customer
+        GROUP BY seg_ci
+        ORDER BY seg_ci
+    """,
+    doc="""Collation-aware comparison (Spark 4 COLLATE): grouping and
+    min() under UNICODE_CI compare case-insensitively at the TYPE
+    level — the collation travels with the column through every
+    operator, instead of wrapping each use-site in lower() and hoping
+    nobody forgets one.  Engine-portability note baked into the query
+    shape: a CI-collated string's IDENTITY (which representative
+    survives) is engine-specific, so the output projects explicit
+    lower()/upper() canonical forms — the collation governs the
+    COMPARISON semantics (group membership, the min ordering), while
+    the output stays bit-portable.  That split — collate for
+    semantics, canonicalize for output — is the right discipline at
+    any scale.""",
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    seg_ci = F.expr("c_mktsegment COLLATE UNICODE_CI")
+    return (
+        c.groupBy(seg_ci.alias("seg"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(F.expr("c_name COLLATE UNICODE_CI")).alias("n_names"),
+            F.min(F.upper(F.expr("c_name COLLATE UNICODE_CI"))).alias(
+                "first_name_ci"
+            ),
+        )
+        .select(
+            F.lower(F.col("seg").cast("string")).alias("seg_ci"),
+            "n",
+            "n_names",
+            F.col("first_name_ci").cast("string"),
+        )
+        .orderBy("seg_ci")
+    )
