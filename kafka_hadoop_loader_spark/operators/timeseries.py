@@ -583,3 +583,79 @@ def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_pipeline_report",
+    oracle="""
+        WITH f AS (
+            SELECT event_id, user_id, value,
+                   epoch_us(ts) AS ts_us,
+                   row_number() OVER (PARTITION BY event_id
+                                      ORDER BY epoch_us(ts), user_id)
+                       AS rn,
+                   (value IS NOT NULL AND value >= 0) AS valid
+            FROM events
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c1,
+                   CAST(SUM(CASE WHEN rn = 1 AND valid THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c2,
+                   CAST(COUNT(DISTINCT CASE WHEN rn = 1 AND valid
+                                            THEN user_id END) AS BIGINT)
+                       AS c3,
+                   CAST(COUNT(DISTINCT CASE WHEN rn = 1 AND valid
+                                            THEN ts_us // 3600000000 END)
+                        AS BIGINT) AS c4
+            FROM f
+        )
+        SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage, c0 AS n
+            FROM m
+            UNION ALL SELECT 1, 'deduped', c1 FROM m
+            UNION ALL SELECT 2, 'valid', c2 FROM m
+            UNION ALL SELECT 3, 'distinct_users', c3 FROM m
+            UNION ALL SELECT 4, 'hours_covered', c4 FROM m
+        )
+        ORDER BY stage_idx
+    """,
+    doc="""The loader's end-to-end ingest audit (the events-side twin of
+    pipeline_funnel): raw count → replay-dedup survivors (keep-first on
+    event_id, the batch mirror of the streaming dropDuplicates) →
+    validity gate → distinct users and distinct hours covered — the
+    five numbers an ingest run reports before its output is trusted.
+    One scan, one window shuffle on event_id, conditional sums +
+    conditional COUNT(DISTINCT)s in a single aggregate, transposed to
+    long form.  At 100 TB the same plan holds: the dedup window keys on
+    event_id (uniformly distributed), and the final aggregate is one
+    row.""",
+)
+def events_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy("ts_us", "user_id")
+    f = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        "ts_us",
+        F.row_number().over(w).alias("rn"),
+        (F.col("value").isNotNull() & (F.col("value") >= 0)).alias("valid"),
+    )
+    first = F.col("rn") == 1
+    keep = first & F.col("valid")
+    m = f.agg(
+        F.count("*").alias("c0"),
+        F.sum(first.cast("bigint")).alias("c1"),
+        F.sum(keep.cast("bigint")).alias("c2"),
+        F.countDistinct(F.when(keep, F.col("user_id"))).alias("c3"),
+        F.countDistinct(F.when(keep, F.expr("ts_us DIV 3600000000"))).alias("c4"),
+    )
+    stages = ("raw", "deduped", "valid", "distinct_users", "hours_covered")
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), '{s}', c{i}" for i, s in enumerate(stages)
+    )
+    return m.selectExpr(
+        f"stack(5, {stack_args}) AS (stage_idx, stage, n)"
+    ).orderBy("stage_idx")
