@@ -431,3 +431,86 @@ def sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_overwrite_done: set[str] = set()
+
+
+@register(
+    "insert_overwrite_day",
+    oracle="""
+        WITH src AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS d, user_id, value
+            FROM events
+        ),
+        mn AS (SELECT min(d) AS d0 FROM src)
+        SELECT d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(
+                   CASE WHEN d = (SELECT d0 FROM mn) THEN value * 2
+                        ELSE value END * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_value
+        FROM src
+        GROUP BY d
+        ORDER BY d
+    """,
+    doc="""Dynamic partition overwrite (INSERT OVERWRITE with
+    partitionOverwriteMode=dynamic): restate exactly one day of a
+    date-partitioned table — the backfill primitive.  The first day's
+    rows are rewritten with corrected (here: doubled) values; every
+    other day's directory is untouched because dynamic mode only
+    replaces partitions the INSERT produces (static mode would wipe
+    the whole table — the classic backfill footgun this op exists to
+    demonstrate).  The restated day is picked by a scalar subquery, no
+    driver collect.  Idempotent: re-running the restatement yields the
+    same state, so the registered query is re-executable.  Oracle
+    states the expected post-restatement content from the source of
+    truth.  At 100 TB this is the nightly correction job: cost is one
+    day's partition, not the table.""",
+)
+def insert_overwrite_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir.rstrip("/")).encode()).hexdigest()[:8]
+    tname = f"khl_ovw_{tag}"
+    data_dir = os.path.join(_temp_root(), tname)
+    src = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+    )
+    if tname not in _overwrite_done or not os.path.isdir(data_dir):
+        src.createOrReplaceTempView(f"khl_ovw_src_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        spark.sql(
+            f"""
+            CREATE TABLE {tname}
+            USING parquet
+            PARTITIONED BY (d)
+            LOCATION '{data_dir}'
+            AS SELECT event_id, user_id, value, d FROM khl_ovw_src_{tag}
+            """
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.sql(
+            f"""
+            INSERT OVERWRITE TABLE {tname}
+            SELECT event_id, user_id, value * 2 AS value, d
+            FROM khl_ovw_src_{tag}
+            WHERE d = (SELECT min(d) FROM khl_ovw_src_{tag})
+            """
+        )
+        _overwrite_done.add(tname)
+    return (
+        spark.table(tname)
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("sum_value"),
+        )
+        .orderBy("d")
+    )
