@@ -709,3 +709,173 @@ def knn_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= K)
         .orderBy("query_id", "rnk")
     )
+
+
+_PQ_M, _PQ_K, _PQ_SUB = 4, 4, 16  # 4 subspaces x 16 dims, 4 codes each
+_PQ_NQ, _PQ_TOPK = 10, 5
+_PQ_SCALE, _PQ_OFFSET = 10_000, 100_000  # ml.py's non-negative exact grid
+
+
+@register(
+    "knn_pq_adc",
+    oracle=f"""
+        WITH longv AS (
+            SELECT vec_id, i AS dim, (i - 1) // {_PQ_SUB} AS m,
+                   CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_PQ_SCALE})
+                        AS BIGINT) + {_PQ_OFFSET} AS v
+            FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        ),
+        seeds AS (
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                       AS cid
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+        ),
+        cent0 AS (
+            SELECT s.cid, l.m, l.dim, l.v AS c
+            FROM seeds s JOIN longv l ON l.vec_id = s.vec_id
+        ),
+        d1 AS (
+            SELECT l.vec_id, c.m, c.cid,
+                   CAST(SUM((l.v - c.c) * (l.v - c.c)) AS BIGINT) AS dist2
+            FROM longv l JOIN cent0 c ON c.dim = l.dim
+            GROUP BY l.vec_id, c.m, c.cid
+        ),
+        a1 AS (
+            SELECT vec_id, m, cid FROM (
+                SELECT vec_id, m, cid,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY dist2, cid) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ),
+        cent1 AS (
+            SELECT a.cid, l.m, l.dim,
+                   CAST(SUM(l.v) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
+            FROM a1 a JOIN longv l ON l.vec_id = a.vec_id AND l.m = a.m
+            GROUP BY a.cid, l.m, l.dim
+        ),
+        d2 AS (
+            SELECT l.vec_id, c.m, c.cid,
+                   CAST(SUM((l.v - c.c) * (l.v - c.c)) AS BIGINT) AS dist2
+            FROM longv l JOIN cent1 c ON c.dim = l.dim
+            GROUP BY l.vec_id, c.m, c.cid
+        ),
+        codes AS (
+            SELECT vec_id, m, cid FROM (
+                SELECT vec_id, m, cid,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY dist2, cid) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        ),
+        qd AS (
+            SELECT vec_id AS query_id, m, cid, dist2
+            FROM d2 WHERE vec_id < {_PQ_NQ}
+        ),
+        adc AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   CAST(SUM(q.dist2) AS BIGINT) AS adc_dist2
+            FROM codes c JOIN qd q ON q.m = c.m AND q.cid = c.cid
+            WHERE c.vec_id <> q.query_id
+            GROUP BY q.query_id, c.vec_id
+        )
+        SELECT query_id, neighbor_id, adc_dist2,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist2, neighbor_id)
+                          AS rnk
+            FROM adc
+        )
+        WHERE rnk <= {_PQ_TOPK}
+        ORDER BY query_id, rnk
+    """,
+    doc=f"""Product quantization ANN (PQ + asymmetric distance): split
+    the 64-dim vectors into {_PQ_M} x {_PQ_SUB}-dim subspaces, learn a
+    {_PQ_K}-centroid codebook per subspace (one Lloyd iteration,
+    deterministic first-{_PQ_K} init — the kmeans_embeddings doctrine
+    per subspace), encode every vector as {_PQ_M} one-byte-able codes,
+    and answer top-{_PQ_TOPK} queries by ADC: per-query distance =
+    Σ_subspace lookup(query-to-centroid table, candidate's code) — the
+    memory-bound trick behind FAISS-style billion-vector search (codes
+    are {_PQ_M} small ints per vector instead of 64 floats; the
+    query's {_PQ_M}x{_PQ_K} lookup table is computed once).  On the
+    scaled integer grid every distance, assignment, codebook update,
+    and ADC sum is exact BIGINT math, so the whole index AND the
+    search results hash-match the oracle — a property float PQ cannot
+    offer.  Plan: codebooks ({_PQ_M * _PQ_K * _PQ_SUB} rows) broadcast;
+    per-vector encode is a map-side-combining aggregate; ADC joins the
+    broadcast {_PQ_NQ * _PQ_M * _PQ_K}-row query table against codes.
+    At 10^9 vectors the codes table is the only big operand — which is
+    the entire point of PQ.""",
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    longv = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "val")
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("dim"),
+        F.floor(F.col("d0") / _PQ_SUB).cast("bigint").alias("m"),
+        (
+            F.round(F.col("val").cast("double") * _PQ_SCALE).cast("long")
+            + _PQ_OFFSET
+        ).alias("v"),
+    )
+    seeds = (
+        emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("bigint")
+            .alias("cid"),
+        )
+    )
+    cent0 = seeds.join(longv, "vec_id").select("cid", "m", "dim", F.col("v").alias("c"))
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = (
+            longv.alias("l")
+            .join(F.broadcast(cent).alias("c"), F.col("l.dim") == F.col("c.dim"))
+            .groupBy(
+                F.col("l.vec_id").alias("vec_id"),
+                F.col("c.m").alias("m"),
+                F.col("c.cid").alias("cid"),
+            )
+            .agg(
+                F.sum(
+                    (F.col("l.v") - F.col("c.c")) * (F.col("l.v") - F.col("c.c"))
+                ).alias("dist2")
+            )
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("dist2", "cid")
+        return d.withColumn("rn", F.row_number().over(w))
+
+    a1 = assign(cent0).where(F.col("rn") == 1).select("vec_id", "m", "cid")
+    cent1 = (
+        a1.join(longv, ["vec_id", "m"])
+        .groupBy("cid", "m", "dim")
+        .agg(F.expr("CAST(SUM(v) AS BIGINT) div COUNT(*)").alias("c"))
+    )
+    d2 = assign(cent1)
+    codes = d2.where(F.col("rn") == 1).select("vec_id", "m", "cid")
+    qd = d2.where(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "m", "cid", "dist2"
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["m", "cid"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dist2").alias("adc_dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= _PQ_TOPK)
+        .orderBy("query_id", "rnk")
+    )
