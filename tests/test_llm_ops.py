@@ -262,3 +262,31 @@ def test_cms_overestimate_guarantee(spark):
     rows = REG["sketch_cms_heavy_hitters"].fn(spark, SF_DIR).collect()
     assert rows and all(r.overcount >= 0 for r in rows)
     assert all(r.est_cnt >= r.true_cnt for r in rows)
+
+
+def test_pq_adc_recall(spark):
+    """PQ/ADC+refine recovers most of the exact L2 top-5 (PQ quantizes
+    L2 distance, so L2 — not cosine — is its ground truth).  Exact-
+    integer arithmetic makes this deterministic: recall is a fixed
+    number for the fixture (0.7), not a distribution."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from kafka_hadoop_loader_spark import registry
+    from tests.conftest import SF_DIR
+
+    reg = registry.load_all()
+    pq = reg["knn_pq_adc"].fn(spark, SF_DIR).collect()
+    tab = pq_.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    V = np.vstack(tab["embedding"].to_numpy()).astype(np.float64)
+    ids = tab["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    V, ids = V[order], ids[order]
+    recalls = []
+    for q in range(10):
+        d = ((V - V[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        top5 = set(ids[np.argsort(d)[:5]])
+        got = {r.neighbor_id for r in pq if r.query_id == q}
+        recalls.append(len(got & top5) / 5)
+    assert sum(recalls) / len(recalls) >= 0.5
