@@ -882,3 +882,96 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.selectExpr(
         f"stack(7, {stack_args}) AS (stage_idx, stage, n_docs)"
     ).orderBy("stage_idx")
+
+
+@register(
+    "url_canonicalize",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Docs/'
+                   || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&q='
+                   || lang || '&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+                       AS url
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1))
+                       AS host,
+                   regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1)
+                       AS path,
+                   regexp_extract(url, '\\?(.*)$', 1) AS query
+            FROM u
+        ),
+        cleaned AS (
+            SELECT doc_id, host, path,
+                   array_to_string(
+                       list_filter(string_split(query, '&'),
+                                   p -> p NOT LIKE 'utm_%'),
+                       '&') AS clean_query
+            FROM parts
+        )
+        SELECT doc_id, host, path, clean_query,
+               'https://' || host || path
+               || CASE WHEN clean_query <> '' THEN '?' || clean_query
+                       ELSE '' END AS canonical_url,
+               md5('https://' || host || path
+                   || CASE WHEN clean_query <> '' THEN '?' || clean_query
+                           ELSE '' END) AS url_key
+        FROM cleaned
+        ORDER BY doc_id
+    """,
+    doc="""URL canonicalization — the first step of web-corpus dedup
+    (same page, many spellings): parse host/path/query with Spark's
+    parse_url, lowercase the host, drop the default port, strip
+    utm_* tracking parameters with an in-row higher-order filter, and
+    emit the canonical form plus its md5 dedup key.  The demo URLs are
+    constructed from fixture columns (mixed case, port, tracking
+    params all present so each rule provably fires).  Stateless map,
+    zero shuffle before the presentation sort; the url_key column is
+    what dedup_exact groups on in a real web pipeline.  Oracle parses
+    with regexes — proving parse_url's semantics, not assuming them.""",
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM:443/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&q="),
+        F.col("lang"),
+        F.lit("&utm_campaign=c"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    parts = d.select(
+        "doc_id",
+        url.alias("url"),
+        F.lower(F.parse_url(url, F.lit("HOST"))).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )
+    clean_q = F.array_join(
+        F.filter(
+            F.split("query", "&"), lambda p: ~p.startswith("utm_")
+        ),
+        "&",
+    )
+    cleaned = parts.select("doc_id", "host", "path", clean_q.alias("clean_query"))
+    canonical = F.concat(
+        F.lit("https://"),
+        F.col("host"),
+        F.col("path"),
+        F.when(
+            F.col("clean_query") != "", F.concat(F.lit("?"), F.col("clean_query"))
+        ).otherwise(""),
+    )
+    return cleaned.select(
+        "doc_id",
+        "host",
+        "path",
+        "clean_query",
+        canonical.alias("canonical_url"),
+        F.md5(canonical).alias("url_key"),
+    ).orderBy("doc_id")
