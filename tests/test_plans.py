@@ -348,3 +348,12 @@ def test_recursive_cte_plans_loop(spark):
     # per-step join against the dedup'd edge list must not be cartesian.
     plan = _plan(spark, "sql_recursive_reach")
     assert "CartesianProduct" not in plan
+
+
+def test_pq_codebooks_and_queries_broadcast(spark):
+    # Codebooks (both iterations), the query ADC table, and the
+    # shortlist must all arrive via broadcast; candidates never
+    # re-shuffle for them.
+    plan = _plan(spark, "knn_pq_adc")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
