@@ -850,6 +850,10 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             + _PQ_OFFSET
         ).alias("v"),
     )
+    # five consumers derive from the long view (seeds' centroids, two
+    # assignment passes, both re-rank sides) — persist so the explode
+    # runs once, the same discipline as the LSH/IVF indexes
+    longv = longv.persist()
     seeds = (
         emb.select("vec_id")
         .orderBy("vec_id")
