@@ -721,3 +721,60 @@ def agg_filtered_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """)
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+        SELECT COALESCE(l_returnflag, '(all)') AS rflag,
+               COALESCE(l_linestatus, '(all)') AS lstatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rflag,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                    AS BIGINT) AS gid,
+               CASE CAST(GROUPING(l_returnflag) * 2
+                         + GROUPING(l_linestatus) AS INTEGER)
+                    WHEN 0 THEN 'detail'
+                    WHEN 1 THEN 'per_flag'
+                    ELSE 'grand_total' END AS level,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY gid, rflag, lstatus
+    """,
+    doc="""GROUPING()/GROUPING_ID over a ROLLUP: the disambiguation
+    functions that distinguish a REAL null key from a subtotal row —
+    without them, rollup output is unusable on nullable dimensions
+    (a null-keyed detail row and the subtotal row look identical).
+    The grouping id doubles as the level label every pivoted report
+    keys on.  agg_rollup shows the subtotal mechanics; this shows the
+    metadata contract.  Note the bit order: Spark's grouping_id()
+    numbers bits left-to-right over the grouping set, so the portable
+    form used here composes GROUPING() bits explicitly — identical in
+    both engines by construction.""",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    g_r = F.grouping("l_returnflag").cast("bigint")
+    g_l = F.grouping("l_linestatus").cast("bigint")
+    gid = g_r * 2 + g_l
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            g_r.alias("g_rflag"),
+            gid.alias("gid"),
+            F.when(gid == 0, "detail")
+            .when(gid == 1, "per_flag")
+            .otherwise("grand_total")
+            .alias("level"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("lstatus"),
+            "g_rflag",
+            "gid",
+            "level",
+            "n_rows",
+        )
+        .orderBy("gid", "rflag", "lstatus")
+    )

@@ -148,7 +148,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # multimodal_arrow_checksum observe_metrics_audit fn_try_safe
     # sql_ctas_insert agg_filtered_bool bpe_encode_corpus
     # fn_collation_ci events_pipeline_report insert_overwrite_day
-    # knn_pq_adc url_canonicalize
+    # knn_pq_adc url_canonicalize agg_grouping_id
 )
 
 
