@@ -506,3 +506,49 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_neg"
         ),
     )
+
+
+@register(
+    "stats_mad_robust",
+    oracle="""
+        WITH med AS (
+            SELECT o_orderpriority, median(o_totalprice) AS med_price
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o.o_orderpriority,
+               MIN(m.med_price) AS med_price,
+               median(abs(o.o_totalprice - m.med_price)) AS mad_price,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o JOIN med m USING (o_orderpriority)
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    doc="""Median absolute deviation — the robust spread statistic
+    (stddev is wrecked by one outlier; MAD isn't, which is why data
+    quality monitors alarm on MAD bands).  Two rank-based passes: the
+    per-group median, broadcast back for |x - med|, then the median of
+    the deviations.  Exactness: medians interpolate (a+b)/2 on
+    identical doubles, the deviation is one exact subtraction — every
+    value bit-matches the oracle, no distributional estimator drift.
+    Plan: two hash aggregates over the same grouping key with a
+    broadcast join between them — the first aggregate's exchange is
+    reused for the second (same key), so the fact side shuffles
+    once.""",
+)
+def stats_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med_price")
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("med_price").alias("med_price"),
+            F.median(F.abs(F.col("o_totalprice") - F.col("med_price"))).alias(
+                "mad_price"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -659,3 +659,56 @@ def events_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.selectExpr(
         f"stack(5, {stack_args}) AS (stage_idx, stage, n)"
     ).orderBy("stage_idx")
+
+
+@register(
+    "events_activity_islands",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day_id
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, day_id,
+                   day_id - row_number() OVER (PARTITION BY user_id
+                                               ORDER BY day_id) AS island
+            FROM days
+        )
+        SELECT user_id,
+               CAST(MIN(day_id) AS BIGINT) AS start_day,
+               CAST(MAX(day_id) AS BIGINT) AS end_day,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM marked
+        GROUP BY user_id, island
+        ORDER BY user_id, start_day
+    """,
+    doc="""Gaps-and-islands: contiguous runs of active days per user via
+    the classic ``value - row_number()`` constant-per-run trick — a
+    streak/tenure idiom distinct from session windows (those gap on
+    event-time deltas; this runs on the integer day grid, so a single
+    event at 23:59 and one at 00:01 next day still extend the streak).
+    One distinct + one window + one aggregate, all partitioned on
+    user_id — a single shuffle end-to-end since every operator reuses
+    the same partitioning.  Day ids are exact integers (ts_us DIV
+    86.4e9), so runs and their endpoints are engine-identical.""",
+)
+def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.expr("ts_us DIV 86400000000").alias("day_id")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_id")
+    marked = days.withColumn(
+        "island", F.col("day_id") - F.row_number().over(w)
+    )
+    return (
+        marked.groupBy("user_id", "island")
+        .agg(
+            F.min("day_id").alias("start_day"),
+            F.max("day_id").alias("end_day"),
+            F.count("*").alias("n_days"),
+        )
+        .select("user_id", "start_day", "end_day", "n_days")
+        .orderBy("user_id", "start_day")
+    )
