@@ -975,3 +975,63 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical.alias("canonical_url"),
         F.md5(canonical).alias("url_key"),
     ).orderBy("doc_id")
+
+
+_PRI_K = 5
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+        WITH pri AS (
+            SELECT doc_id, source, n_chars,
+                   1 + {_PHASH_SQL.format(
+                       x="'pri:' || CAST(doc_id AS VARCHAR)")} % 1099511627776
+                       AS u
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(n_chars AS DOUBLE) / CAST(u AS DOUBLE)
+                                    DESC,
+                                doc_id
+                   ) AS rnk
+            FROM pri
+        )
+        WHERE rnk <= {_PRI_K}
+        ORDER BY source, rnk
+    """,
+    doc=f"""Weighted priority sampling (Duffield-Lund-Thorup): top-{_PRI_K}
+    documents per source by priority weight/u, u a salted portable-hash
+    uniform — longer documents are proportionally likelier to be drawn,
+    and the inclusion decisions support unbiased subset-sum estimation
+    (the scheme's defining property).  Like every sampler here the draw
+    is a pure function of the stable id: reproducible across engines,
+    reruns, and repartitions, composable with the other hash-salted
+    decisions.  Both engines evaluate the identical double quotient
+    w/u (one IEEE division of identical operands), ties broken by id.
+    Plan: window top-k per group — map-side rank pruning before the one
+    shuffle on source.""",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    u = (
+        _phash(F.concat(F.lit("pri:"), F.col("doc_id").cast("string")))
+        % F.lit(1099511627776).cast("long")
+    ) + 1
+    pri = F.col("n_chars").cast("double") / u.cast("double")
+    w = Window.partitionBy("source").orderBy(pri.desc(), F.col("doc_id"))
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .where(F.col("rnk") <= _PRI_K)
+        .orderBy("source", "rnk")
+    )
