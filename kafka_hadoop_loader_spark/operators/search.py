@@ -300,3 +300,136 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_ab").desc(), "tok_a", "tok_b")
         .limit(50)
     )
+
+
+_SC_DF_DIV = 8  # rare-term cap = n_docs/8 (scales with corpus)
+_SC_TOPK = 20
+
+
+@register(
+    "doc_sparse_cosine",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY term
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        w AS (
+            SELECT t.doc_id, t.term,
+                   t.tf * ((SELECT n_docs FROM n) - d.df + 1) AS wt
+            FROM tf t JOIN df d USING (term)
+            WHERE d.df <= (SELECT n_docs FROM n) // {_SC_DF_DIV}
+        ),
+        norms AS (
+            SELECT doc_id, CAST(SUM(wt * wt) AS BIGINT) AS ss
+            FROM w GROUP BY doc_id
+        ),
+        dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(SUM(a.wt * b.wt) AS BIGINT) AS dot,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+            FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b, n_shared_terms,
+               CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE)))
+                   AS cos_sim,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                       ORDER BY CAST(dot AS DOUBLE)
+                                / (sqrt(CAST(na0.ss AS DOUBLE))
+                                   * sqrt(CAST(nb0.ss AS DOUBLE))) DESC,
+                                doc_a, doc_b) AS rnk
+            FROM dots d0
+            JOIN norms na0 ON na0.doc_id = d0.doc_a
+            JOIN norms nb0 ON nb0.doc_id = d0.doc_b
+        ) d
+        JOIN norms na ON na.doc_id = d.doc_a
+        JOIN norms nb ON nb.doc_id = d.doc_b
+        WHERE rnk <= {_SC_TOPK}
+        ORDER BY rnk
+    """,
+    doc=f"""Sparse vector-space document similarity: TF x linear-IDF
+    weights (rational — ln() is not bit-portable, N-df+1 is), pairs
+    generated ONLY through shared rare terms (df <= n_docs/{_SC_DF_DIV}
+    — the posting-length pruning that keeps the self-join sum-of-df²
+    instead of all-pairs; the cap is RELATIVE so it tracks corpus
+    growth), exact integer dot products, cosine from IEEE sqrt of
+    integer norms.  The lexical complement of the embedding-based
+    knn_cosine_* family — this is BM25's skeleton with portable
+    arithmetic.  Top-{_SC_TOPK} pairs overall.  Scale: identical to
+    dedup_ngram_jaccard's shape — cost is Σ df² over retained terms,
+    tunable by the df cap; norms and weights are two hash aggregates
+    over the token stream.""",
+)
+def doc_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") <= F.expr(f"n_docs div {_SC_DF_DIV}"))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * (F.col("n_docs") - F.col("df") + 1)).alias("wt"),
+        )
+        .persist()
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).alias("ss"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"),
+            F.count("*").alias("n_shared_terms"),
+        )
+    )
+    scored = (
+        dots.join(F.broadcast(norms.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("ss", "ss_a")), "doc_a")
+        .join(F.broadcast(norms.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("ss", "ss_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_terms",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("ss_a").cast("double"))
+                   * F.sqrt(F.col("ss_b").cast("double")))
+            ).alias("cos_sim"),
+        )
+    )
+    # global top-k via orderBy+limit (TakeOrderedAndProject — each task
+    # contributes its local top-k, no single-partition window over the
+    # full candidate set); the rank is assigned after, over k rows
+    top = scored.orderBy(F.col("cos_sim").desc(), "doc_a", "doc_b").limit(_SC_TOPK)
+    wnd = Window.orderBy(F.col("cos_sim").desc(), "doc_a", "doc_b")
+    return (
+        top.withColumn("rnk", F.row_number().over(wnd).cast("bigint"))
+        .select("doc_a", "doc_b", "n_shared_terms", "cos_sim", "rnk")
+        .orderBy("rnk")
+    )
