@@ -778,3 +778,47 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "rflag", "lstatus")
     )
+
+
+@register(
+    "agg_argminmax",
+    oracle="""
+        SELECT o_orderpriority,
+               arg_max(o_orderkey,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+                       + o_orderkey) AS biggest_order,
+               arg_min(o_orderkey,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+                       + o_orderkey) AS smallest_order,
+               max(o_totalprice) AS max_price,
+               min(o_totalprice) AS min_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="""arg-min/arg-max (max_by/min_by): fetch the KEY of the extreme
+    row in one aggregate — replacing the self-join-on-max or window+
+    filter idioms with a single map-side-combinable accumulator (the
+    partial state is just (best_key, best_value), which is why it
+    scales like min/max).  Determinism discipline: arbitrary among
+    ties, so the comparison value is a composite integer
+    (scaled_price * 10^7 + orderkey) that is UNIQUE per row — both
+    engines must select the identical row, making the operator
+    oracle-checkable (naked max_by(price) would not be).""",
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    ckey = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10000000)
+        + F.col("o_orderkey")
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", ckey).alias("biggest_order"),
+            F.min_by("o_orderkey", ckey).alias("smallest_order"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_totalprice").alias("min_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -150,7 +150,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # fn_collation_ci events_pipeline_report insert_overwrite_day
     # knn_pq_adc url_canonicalize agg_grouping_id
     # events_activity_islands stats_mad_robust
-    # sample_weighted_priority doc_sparse_cosine
+    # sample_weighted_priority doc_sparse_cosine agg_argminmax
 )
 
 
