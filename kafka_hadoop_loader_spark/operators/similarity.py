@@ -931,3 +931,75 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _PQ_TOPK)
         .orderBy("query_id", "rnk")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH b AS (
+            SELECT vec_id,
+                   [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+            FROM embeddings
+        ),
+        rng AS (
+            SELECT vec_id, v,
+                   list_min(v) AS vmin, list_max(v) AS vmax
+            FROM b
+        ),
+        q AS (
+            SELECT vec_id, vmin, vmax,
+                   [CAST(ROUND((x - vmin) * 255.0 / (vmax - vmin)) AS BIGINT)
+                    FOR x IN v] AS codes
+            FROM rng
+            WHERE vmax > vmin
+        )
+        SELECT vec_id, vmin, vmax,
+               CAST(list_sum(codes) AS BIGINT) AS code_sum,
+               CAST(list_sum([c * c FOR c IN codes]) AS BIGINT)
+                   AS code_sq_sum,
+               CAST(list_min(codes) AS BIGINT) AS code_min,
+               CAST(list_max(codes) AS BIGINT) AS code_max
+        FROM q
+        ORDER BY vec_id
+    """,
+    doc="""Int8 scalar quantization of embedding vectors — the 4x
+    compression every serving/cache tier applies before ANN: per-vector
+    affine map (v - min) * 255/(max - min) rounded to 0..255 codes.
+    Entirely in-row higher-order functions: zero shuffle, zero Python —
+    quantization is a map over the scan, exactly how it runs over
+    100 TB of vectors.  Exactness: min/max/affine are IEEE ops on
+    identical doubles, and the round lands on identical doubles in both
+    engines (the scaled_long convention), so the integer codes — here
+    audited via sum/sum-of-squares/min/max — hash-match.  Codes span
+    the full 0..255 range by construction (min→0, max→255), which the
+    code_min/code_max columns prove per row.""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    b = emb.select("vec_id", v.alias("v"))
+    rng = b.select(
+        "vec_id", "v", F.array_min("v").alias("vmin"), F.array_max("v").alias("vmax")
+    ).where(F.col("vmax") > F.col("vmin"))
+    codes = F.transform(
+        "v",
+        lambda x: F.round(
+            (x - F.col("vmin")) * 255.0 / (F.col("vmax") - F.col("vmin"))
+        ).cast("long"),
+    )
+    q = rng.select("vec_id", "vmin", "vmax", codes.alias("codes"))
+    csum = F.aggregate(
+        "codes", F.lit(0).cast("bigint"), lambda acc, c: acc + c
+    )
+    csq = F.aggregate(
+        "codes", F.lit(0).cast("bigint"), lambda acc, c: acc + c * c
+    )
+    return q.select(
+        "vec_id",
+        "vmin",
+        "vmax",
+        csum.alias("code_sum"),
+        csq.alias("code_sq_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+    ).orderBy("vec_id")

@@ -712,3 +712,64 @@ def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "start_day", "end_day", "n_days")
         .orderBy("user_id", "start_day")
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts), event_id)
+                       AS next_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT event_type AS cur, next_type AS nxt,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY cur, nxt
+        ),
+        tot AS (
+            SELECT cur, CAST(SUM(n) AS BIGINT) AS n_out FROM pairs GROUP BY cur
+        )
+        SELECT p.cur, p.nxt, p.n, t.n_out,
+               CAST(p.n AS DOUBLE) / CAST(t.n_out AS DOUBLE) AS p_next
+        FROM pairs p JOIN tot t USING (cur)
+        ORDER BY cur, nxt
+    """,
+    doc="""First-order Markov transition matrix of user behavior:
+    P(next event type | current) from per-user time-ordered sequences
+    — the behavioral model behind next-action prediction and anomaly
+    scoring (frequent_sequences mines the top patterns; this is the
+    full normalized matrix).  lead() over (user, time) builds the
+    transitions in one window pass; probabilities are exact single
+    divisions of integer counts.  Ties in event time are broken by
+    event_id so the sequence — and therefore the matrix — is
+    engine-identical.  One window shuffle on user_id + two tiny
+    aggregates; the matrix is |event_types|² rows regardless of
+    stream size.""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("cur"), F.col("next_type").alias("nxt")
+    ).agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("n_out"))
+    return (
+        pairs.join(F.broadcast(tot), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            "n_out",
+            (F.col("n").cast("double") / F.col("n_out").cast("double")).alias(
+                "p_next"
+            ),
+        )
+        .orderBy("cur", "nxt")
+    )

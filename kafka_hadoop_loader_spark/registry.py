@@ -151,6 +151,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # knn_pq_adc url_canonicalize agg_grouping_id
     # events_activity_islands stats_mad_robust
     # sample_weighted_priority doc_sparse_cosine agg_argminmax
+    # events_markov_transitions embedding_quantize_int8
 )
 
 
