@@ -233,3 +233,97 @@ def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, sum_value double, n_null_props bigint,"
         " min_ts_us bigint, max_ts_us bigint",
     )
+
+
+@register(
+    "schema_contract_check",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'event_id_not_null' AS rule,
+                   CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM events
+            UNION ALL
+            SELECT 'event_id_unique',
+                   (SELECT CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+                    FROM events),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'value_non_negative',
+                   CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'event_type_in_enum',
+                   CAST(SUM(CASE WHEN event_type NOT IN
+                                 ('click', 'view', 'purchase', 'signup',
+                                  'logout')
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'ts_in_valid_range',
+                   CAST(SUM(CASE WHEN epoch_us(ts) < 1577836800000000
+                                   OR epoch_us(ts) > 1893456000000000
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'props_parseable_json',
+                   CAST(SUM(CASE WHEN props IS NOT NULL
+                                  AND json_valid(props) = false
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM events
+        )
+        ORDER BY rule
+    """,
+    doc="""Data-contract validation: the declared expectations of the
+    events feed (not-null key, key uniqueness, value domain, enum
+    membership, timestamp sanity window, JSON parseability) evaluated
+    as per-rule violation counts — the Great-Expectations-style publish
+    gate, as one query.  All rules except uniqueness are conditional
+    sums fused into a single scan; uniqueness is the one aggregate that
+    genuinely needs a distinct count.  A zero row per rule is the
+    contract certificate the loader attaches to each load; non-zero
+    rows carry exactly the triage number on-call needs.  Scale: one
+    pass + one distinct-count — this is why contract checks run on
+    every 100 TB load rather than being sampled.""",
+)
+def schema_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    base = e.agg(
+        one(F.col("event_id").isNull()).alias("v_null"),
+        one(F.col("value") < 0).alias("v_neg"),
+        one(
+            ~F.col("event_type").isin("click", "view", "purchase", "signup", "logout")
+        ).alias("v_enum"),
+        one(
+            (F.col("ts_us") < 1577836800000000)
+            | (F.col("ts_us") > 1893456000000000)
+        ).alias("v_ts"),
+        one(
+            F.col("props").isNotNull()
+            & F.from_json("props", "k INT").isNull()
+            & (F.col("props") != "null")
+        ).alias("v_json_raw"),
+        (F.count("*") - F.countDistinct("event_id")).alias("v_dupe"),
+        F.count("*").alias("n_rows"),
+    )
+    # from_json returns null on malformed input; the oracle's
+    # json_valid() is the same predicate — both count unparseable props
+    rules = (
+        ("event_id_not_null", "v_null"),
+        ("event_id_unique", "v_dupe"),
+        ("event_type_in_enum", "v_enum"),
+        ("props_parseable_json", "v_json_raw"),
+        ("ts_in_valid_range", "v_ts"),
+        ("value_non_negative", "v_neg"),
+    )
+    stack_args = ", ".join(f"'{r}', {c}" for r, c in rules)
+    return base.selectExpr(
+        f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)", "n_rows"
+    ).orderBy("rule")
