@@ -522,3 +522,74 @@ def multimodal_arrow_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInArrow(_arrow_checksum_batches, _ARROW_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+_SHOT_THRESH = 20_000  # |Δ energy| boundary threshold (scaled integer)
+
+
+@register(
+    "multimodal_shot_boundaries",
+    oracle=f"""
+        WITH frames AS (
+            SELECT doc_id,
+                   (i - 1) // {_AUDIO_FRAME} AS frame_id,
+                   CAST(SUM(CAST(unicode(substr(text, i, 1)) - 96 AS BIGINT)
+                            * CAST(unicode(substr(text, i, 1)) - 96
+                                   AS BIGINT)) AS BIGINT) AS energy
+            FROM documents, unnest(generate_series(1, length(text))) AS u(i)
+            GROUP BY doc_id, frame_id
+        ),
+        deltas AS (
+            SELECT doc_id, frame_id, energy,
+                   abs(energy - lag(energy) OVER (PARTITION BY doc_id
+                                                  ORDER BY frame_id))
+                       AS delta
+            FROM frames
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN delta > {_SHOT_THRESH} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boundaries,
+               CAST(MIN(CASE WHEN delta > {_SHOT_THRESH} THEN frame_id END)
+                    AS BIGINT) AS first_boundary,
+               CAST(MAX(delta) AS BIGINT) AS max_delta
+        FROM deltas
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc=f"""Shot-boundary detection — the temporal segmentation step of a
+    video/audio pipeline: per-frame energies (the multimodal_audio_energy
+    features) diffed with lag() per document; a jump above
+    {_SHOT_THRESH} marks a boundary (scene cut / silence break).  Emits
+    the per-asset segmentation summary a media-curation pipeline stores:
+    frame count, boundary count, first cut position, peak delta.
+    Composition story: mapInPandas feature extraction feeds an ordinary
+    window — once features are rows, media ops ARE relational ops.
+    Exact integer energies end-to-end.  One window shuffle on doc_id +
+    one aggregate on the same key.""",
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(table(spark, sf_dir, "documents"))
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    frames = payloads.mapInPandas(_audio_energy_batches, _AUDIO_SCHEMA)
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    deltas = frames.select(
+        "doc_id",
+        "frame_id",
+        F.abs(
+            F.col("energy_scaled") - F.lag("energy_scaled").over(w)
+        ).alias("delta"),
+    )
+    hit = F.col("delta") > _SHOT_THRESH
+    return (
+        deltas.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_boundaries"),
+            F.min(F.when(hit, F.col("frame_id"))).alias("first_boundary"),
+            F.max("delta").alias("max_delta"),
+        )
+        .orderBy("doc_id")
+    )

@@ -152,7 +152,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # events_activity_islands stats_mad_robust
     # sample_weighted_priority doc_sparse_cosine agg_argminmax
     # events_markov_transitions embedding_quantize_int8
-    # schema_contract_check
+    # schema_contract_check multimodal_shot_boundaries
 )
 
 
