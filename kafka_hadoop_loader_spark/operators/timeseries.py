@@ -773,3 +773,62 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur", "nxt")
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, value, epoch_us(ts) AS ts_us, event_id,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY epoch_us(ts), event_id)
+                       AS next_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(next_us - ts_us) AS BIGINT) AS total_us,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                        * (next_us - ts_us)) AS DOUBLE)
+                   / (CAST(SUM(next_us - ts_us) AS DOUBLE) * 100.0)
+                   AS twap
+        FROM seq
+        WHERE next_us IS NOT NULL AND next_us > ts_us
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc="""Time-weighted average (TWAP): each observation holds until
+    the next one, so its weight is the interval it was live — the
+    correct mean for irregularly-sampled state (sensor readings,
+    prices, quality scores); the naive row-mean over-weights bursts.
+    One lead() window per user builds the intervals; the weighted sum
+    is exact (scaled-int value × integer µs duration; headroom 1e4·1e13
+    per term, well inside int64 for per-user horizons), closed by one
+    division.  Zero-duration intervals (ties) are excluded on both
+    sides.  Window and aggregate share the user_id partitioning — one
+    shuffle.""",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        "ts_us",
+        F.lead("ts_us").over(w).alias("next_us"),
+    ).where(F.col("next_us").isNotNull() & (F.col("next_us") > F.col("ts_us")))
+    dur = F.col("next_us") - F.col("ts_us")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(dur).alias("total_us"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long") * dur).cast(
+                    "double"
+                )
+                / (F.sum(dur).cast("double") * 100.0)
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
