@@ -552,3 +552,96 @@ def stats_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "stats_winsorize",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        cuts AS (
+            SELECT event_type,
+                   MAX(CASE WHEN rn = greatest(1, (n * 5) // 100)
+                            THEN value END) AS p05,
+                   MAX(CASE WHEN rn = greatest(1, (n * 95) // 100)
+                            THEN value END) AS p95
+            FROM ranked GROUP BY event_type
+        )
+        SELECT r.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               c.p05, c.p95,
+               CAST(SUM(CASE WHEN r.value < c.p05 THEN 1
+                             WHEN r.value > c.p95 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clamped,
+               CAST(SUM(CAST(ROUND(
+                   CASE WHEN r.value < c.p05 THEN c.p05
+                        WHEN r.value > c.p95 THEN c.p95
+                        ELSE r.value END * 100) AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS winsorized_mean
+        FROM ranked r JOIN cuts c USING (event_type)
+        GROUP BY r.event_type, c.p05, c.p95
+        ORDER BY r.event_type
+    """,
+    doc="""Winsorized mean: clamp each group's values at rank-exact
+    p05/p95 before averaging — the robust-mean complement to MAD
+    (trimming kills the tail, winsorizing caps it; both de-fang
+    outliers that wreck plain averages in telemetry).  The cut points
+    are rank-SELECTED (row_number = floor(n·q), tie-broken by id), not
+    interpolated — so they are actual data values both engines pick
+    identically; the clamped mean is an exact scaled-integer sum and
+    one division.  Two window passes and the final aggregate all
+    partition on event_type — one shuffle total.""",
+)
+def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1), F.expr("(n * 5) div 100")),
+                F.col("value"),
+            )
+        ).alias("p05"),
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1), F.expr("(n * 95) div 100")),
+                F.col("value"),
+            )
+        ).alias("p95"),
+    )
+    clamped = F.when(F.col("value") < F.col("p05"), F.col("p05")).when(
+        F.col("value") > F.col("p95"), F.col("p95")
+    ).otherwise(F.col("value"))
+    out_of_band = F.when(
+        (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")), 1
+    ).otherwise(0)
+    return (
+        ranked.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(out_of_band).cast("bigint").alias("n_clamped"),
+            (
+                F.sum(F.round(clamped * 100).cast("long")).cast("double")
+                / (F.count("*").cast("double") * 100.0)
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "event_type", "n", "p05", "p95", "n_clamped", "winsorized_mean"
+        )
+        .orderBy("event_type")
+    )

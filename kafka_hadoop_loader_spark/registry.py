@@ -153,7 +153,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # sample_weighted_priority doc_sparse_cosine agg_argminmax
     # events_markov_transitions embedding_quantize_int8
     # schema_contract_check multimodal_shot_boundaries
-    # events_time_weighted_avg
+    # events_time_weighted_avg stats_winsorize
 )
 
 
