@@ -645,3 +645,98 @@ def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_BK_MIN_SUP = 3
+
+
+@register(
+    "basket_part_affinity",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey % 100 AS part_bucket
+            FROM lineitem
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+              FROM lineitem),
+        sup AS (
+            SELECT part_bucket, CAST(COUNT(*) AS BIGINT) AS n_orders_with
+            FROM items GROUP BY part_bucket
+        ),
+        pairs AS (
+            SELECT a.part_bucket AS part_a, b.part_bucket AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.part_bucket < b.part_bucket
+            GROUP BY part_a, part_b
+            HAVING COUNT(*) >= {_BK_MIN_SUP}
+        )
+        SELECT p.part_a, p.part_b, p.n_both,
+               sa.n_orders_with AS n_a, sb.n_orders_with AS n_b,
+               CAST(p.n_both * (SELECT n_orders FROM n) AS DOUBLE)
+                   / CAST(sa.n_orders_with * sb.n_orders_with AS DOUBLE)
+                   AS lift
+        FROM pairs p
+        JOIN sup sa ON sa.part_bucket = p.part_a
+        JOIN sup sb ON sb.part_bucket = p.part_b
+        ORDER BY lift DESC, part_a, part_b
+        LIMIT 25
+    """,
+    doc=f"""Market-basket affinity (association-rule mining): co-purchase
+    lift between part buckets within orders — support counts from one
+    distinct-pairs self-join keyed on the order (pairs per order are
+    bounded by basket size², so the join is Σ basket² — never
+    all-pairs-of-parts), lift = P(a,b)/(P(a)·P(b)) computed as ONE
+    division of exact integer products.  Min-support {_BK_MIN_SUP}
+    prunes noise pairs before ranking.  The bucketing (partkey % 100)
+    stands in for a product taxonomy level.  Scale: the same plan runs
+    basket analysis on 10^10 orders — the order-keyed self-join
+    shuffles on l_orderkey once; support and the scalar total are
+    broadcast back.""",
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("part_bucket")
+    ).distinct()
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    sup = items.groupBy("part_bucket").agg(F.count("*").alias("n_orders_with"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.part_bucket") < F.col("b.part_bucket")),
+        )
+        .groupBy(
+            F.col("a.part_bucket").alias("part_a"),
+            F.col("b.part_bucket").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= _BK_MIN_SUP)
+    )
+    sa = sup.select(
+        F.col("part_bucket").alias("part_a"), F.col("n_orders_with").alias("n_a")
+    )
+    sb = sup.select(
+        F.col("part_bucket").alias("part_b"), F.col("n_orders_with").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_both") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(25)
+    )

@@ -832,3 +832,79 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_CONC_WIN_US = 30 * 60 * 1_000_000  # presence window per event
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT epoch_us(ts) AS t, 1 AS delta, event_id
+            FROM events
+            UNION ALL
+            SELECT epoch_us(ts) + {_CONC_WIN_US}, -1, event_id
+            FROM events
+        ),
+        sweep AS (
+            SELECT t, delta,
+                   SUM(delta) OVER (ORDER BY t, delta DESC, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS concurrent,
+                   t // 86400000000 AS day_id
+            FROM bounds
+        )
+        SELECT CAST(day_id AS BIGINT) AS day_id,
+               CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent,
+               CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_opens
+        FROM sweep
+        GROUP BY day_id
+        ORDER BY day_id
+    """,
+    doc=f"""Peak concurrency by sweep-line: every event opens a
+    30-minute presence interval; +1/-1 boundary points sorted by time
+    with a running sum give the exact concurrent-presence curve, and
+    the per-day MAX of that curve is the capacity-planning number
+    (simultaneous sessions) that windowed counts only approximate.
+    Determinism: boundary ties order (time, closes-after-opens wait —
+    opens first via delta DESC, then event_id), identical in both
+    engines, so the curve — and its peaks — match exactly.  The
+    running sum is a global-order scan: at 100 TB you run the same
+    sweep per shard-able key (here the day would become the partition
+    after a boundary-day fixup); the demo keeps the single ordered
+    pass explicit.""",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    opens = e.select(
+        F.col("ts_us").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    closes = e.select(
+        (F.col("ts_us") + _CONC_WIN_US).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    bounds = opens.unionAll(closes)
+    w = Window.orderBy(F.col("t"), F.col("delta").desc(), F.col("event_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = bounds.select(
+        "t",
+        "delta",
+        F.sum("delta").over(w).alias("concurrent"),
+        F.expr("t DIV 86400000000").alias("day_id"),
+    )
+    return (
+        sweep.groupBy("day_id")
+        .agg(
+            F.max("concurrent").alias("peak_concurrent"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_opens"),
+        )
+        .orderBy("day_id")
+    )

@@ -154,6 +154,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # events_markov_transitions embedding_quantize_int8
     # schema_contract_check multimodal_shot_boundaries
     # events_time_weighted_avg stats_winsorize
+    # basket_part_affinity events_peak_concurrency
 )
 
 
