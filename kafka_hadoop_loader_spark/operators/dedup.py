@@ -851,3 +851,68 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id_a", "doc_id_b")
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, md5(text) AS h FROM documents
+            WHERE doc_id % 10 <> 0
+        ),
+        incoming AS (
+            SELECT doc_id, md5(text) AS h FROM documents
+            WHERE doc_id % 10 = 0
+        ),
+        within AS (
+            SELECT doc_id, h,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM incoming
+        ),
+        flagged AS (
+            SELECT w.doc_id, w.h,
+                   (w.rn > 1) AS dup_within_batch,
+                   (c.min_id IS NOT NULL) AS dup_vs_corpus,
+                   c.min_id AS corpus_match_id
+            FROM within w
+            LEFT JOIN (SELECT h, CAST(MIN(doc_id) AS BIGINT) AS min_id
+                       FROM corpus GROUP BY h) c USING (h)
+        )
+        SELECT doc_id, dup_within_batch, dup_vs_corpus, corpus_match_id,
+               (NOT dup_within_batch AND NOT dup_vs_corpus) AS accept
+        FROM flagged
+        ORDER BY doc_id
+    """,
+    doc="""Incremental dedup — the shape that actually runs in
+    production: a NEW batch (doc_id % 10 = 0 stands in for today's
+    arrivals) is checked (a) within itself (keep-first window on the
+    content hash) and (b) against the EXISTING corpus's hash index
+    (aggregated to one min-id row per hash, then a left join) — the
+    batch never joins corpus-x-corpus, so daily cost is
+    O(batch + matching index partitions), not O(corpus²).  At 100 TB
+    the corpus side is a bucketed-by-hash materialized index table and
+    this join prunes to the batch's hash buckets.  Emits the per-doc
+    accept/reject decision with provenance (which corpus doc it
+    collided with) — the audit trail an ingest gate needs.""",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    incoming = d.where(F.col("doc_id") % 10 == 0)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    within = incoming.withColumn("rn", F.row_number().over(w))
+    idx = corpus.groupBy("h").agg(F.min("doc_id").alias("corpus_match_id"))
+    flagged = within.join(idx, "h", "left").select(
+        "doc_id",
+        (F.col("rn") > 1).alias("dup_within_batch"),
+        F.col("corpus_match_id").isNotNull().alias("dup_vs_corpus"),
+        "corpus_match_id",
+    )
+    return flagged.select(
+        "*",
+        (~F.col("dup_within_batch") & ~F.col("dup_vs_corpus")).alias("accept"),
+    ).orderBy("doc_id")

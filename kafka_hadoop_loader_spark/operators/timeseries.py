@@ -908,3 +908,71 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_id")
     )
+
+
+@register(
+    "orders_cohort_revenue",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   MIN(strftime(o_orderdate, '%Y-%m')) AS cohort
+            FROM orders GROUP BY o_custkey
+        ),
+        tagged AS (
+            SELECT f.cohort,
+                   strftime(o.o_orderdate, '%Y-%m') AS ym,
+                   o.o_totalprice
+            FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        ),
+        monthly AS (
+            SELECT cohort, ym,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+            FROM tagged GROUP BY cohort, ym
+        )
+        SELECT cohort, ym,
+               CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+               CAST(SUM(rev_c) OVER (PARTITION BY cohort
+                                     ORDER BY ym
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS DOUBLE)
+                   / 100.0 AS cumulative_revenue
+        FROM monthly
+        ORDER BY cohort, ym
+    """,
+    doc="""Cohort revenue / LTV curve: customers are stamped with their
+    first-order month (the cohort), every later order's revenue
+    accrues to that cohort's month, and a running sum per cohort gives
+    the cumulative-LTV curve finance projects from (events_retention
+    is this matrix's count-form twin).  The first-order stamp is a
+    MIN-aggregate broadcast back to the fact (no window over the raw
+    orders); revenues stay scaled BIGINTs through the running sum, so
+    every cell of the matrix is exact.  Shape: two aggregates + one
+    broadcast join + a cohort-partitioned window over the tiny monthly
+    matrix — the fact table is scanned twice and shuffled once.""",
+)
+def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_format("o_orderdate", "yyyy-MM")).alias("cohort")
+    )
+    tagged = o.join(F.broadcast(firsts), "o_custkey").select(
+        "cohort",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        "o_totalprice",
+    )
+    monthly = tagged.groupBy("cohort", "ym").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("ym")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "cohort",
+        "ym",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        (F.sum("rev_c").over(w).cast("double") / 100.0).alias(
+            "cumulative_revenue"
+        ),
+    ).orderBy("cohort", "ym")

@@ -155,6 +155,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # schema_contract_check multimodal_shot_boundaries
     # events_time_weighted_avg stats_winsorize
     # basket_part_affinity events_peak_concurrency
+    # orders_cohort_revenue dedup_incremental_batch
 )
 
 
