@@ -976,3 +976,64 @@ def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_revenue"
         ),
     ).orderBy("cohort", "ym")
+
+
+@register(
+    "events_dau_wau_mau",
+    oracle="""
+        WITH presence AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day_id
+            FROM events
+        ),
+        spine AS (SELECT DISTINCT day_id FROM presence)
+        SELECT s.day_id,
+               CAST(COUNT(DISTINCT CASE WHEN p.day_id = s.day_id
+                                        THEN p.user_id END) AS BIGINT)
+                   AS dau,
+               CAST(COUNT(DISTINCT CASE WHEN p.day_id > s.day_id - 7
+                                        THEN p.user_id END) AS BIGINT)
+                   AS wau,
+               CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS mau
+        FROM spine s
+        JOIN presence p
+          ON p.day_id <= s.day_id AND p.day_id > s.day_id - 28
+        GROUP BY s.day_id
+        ORDER BY s.day_id
+    """,
+    doc="""DAU/WAU/MAU: rolling distinct active users over 1/7/28-day
+    trailing windows — THE engagement dashboard, and the query shape
+    that defeats naive windowing (COUNT DISTINCT cannot slide as a
+    frame aggregate because distinctness doesn't decompose).  The
+    scalable form used here: reduce the stream to the (user, day)
+    presence grid first — |users|·|active days| rows instead of raw
+    events — then a range join of the day spine against at most 28
+    days of presence per output day, with the three horizons as
+    conditional distinct counts in ONE aggregate.  At 100 TB the
+    presence grid is the stored daily rollup this query reads instead
+    of raw events; everything after is proportional to users×28.""",
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    presence = e.select(
+        "user_id", F.expr("ts_us DIV 86400000000").alias("day_id")
+    ).distinct()
+    spine = presence.select("day_id").distinct().withColumnRenamed("day_id", "d")
+    joined = spine.join(
+        presence,
+        (F.col("day_id") <= F.col("d")) & (F.col("day_id") > F.col("d") - 28),
+    )
+    return (
+        joined.groupBy("d")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day_id") == F.col("d"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(F.col("day_id") > F.col("d") - 7, F.col("user_id"))
+            ).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+        .select(F.col("d").alias("day_id"), "dau", "wau", "mau")
+        .orderBy("day_id")
+    )
