@@ -1035,3 +1035,67 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _PRI_K)
         .orderBy("source", "rnk")
     )
+
+
+_CUR_BANDS = 10
+
+
+@register(
+    "curriculum_order",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct(string_split(text, ' ')))
+                        AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                       AS difficulty
+            FROM documents
+        ),
+        banded AS (
+            SELECT doc_id, difficulty,
+                   CAST(ntile({_CUR_BANDS}) OVER (ORDER BY difficulty, doc_id)
+                        AS BIGINT) AS band
+            FROM s
+        )
+        SELECT doc_id, band,
+               CAST(row_number() OVER (
+                   PARTITION BY band
+                   ORDER BY {_PHASH_SQL.format(
+                       x="'cur:' || CAST(doc_id AS VARCHAR)")}, doc_id
+               ) AS BIGINT) AS seq_in_band
+        FROM banded
+        ORDER BY band, seq_in_band
+    """,
+    doc=f"""Curriculum data ordering: rank documents by a difficulty
+    proxy (type-token ratio — lexical diversity), cut into
+    {_CUR_BANDS} equal-frequency bands (ntile), and give each band a
+    DETERMINISTIC shuffle via the salted portable hash — easy bands
+    first, random within band, reproducible everywhere.  This is the
+    data-ordering knob of curriculum training, expressed so the
+    schedule is a pure function of content ids (re-runs and engine
+    changes cannot silently reorder the curriculum).  Two windows: the
+    global ntile (at 100 TB: replace with rank-against-broadcast-
+    quantile-cuts from quantiles_exact, same bands without the global
+    sort) and a per-band shuffle that partitions cleanly.""",
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    difficulty = (
+        F.size(F.array_distinct(w)).cast("double") / F.size(w).cast("double")
+    )
+    s = d.select("doc_id", difficulty.alias("difficulty"))
+    wb = Window.orderBy("difficulty", "doc_id")
+    banded = s.select(
+        "doc_id", F.ntile(_CUR_BANDS).over(wb).cast("bigint").alias("band")
+    )
+    hkey = _phash(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
+    ws = Window.partitionBy("band").orderBy(hkey.asc(), F.col("doc_id").asc())
+    return (
+        banded.select(
+            "doc_id",
+            "band",
+            F.row_number().over(ws).cast("bigint").alias("seq_in_band"),
+        )
+        .orderBy("band", "seq_in_band")
+    )
