@@ -156,7 +156,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # events_time_weighted_avg stats_winsorize
     # basket_part_affinity events_peak_concurrency
     # orders_cohort_revenue dedup_incremental_batch
-    # events_dau_wau_mau curriculum_order
+    # events_dau_wau_mau curriculum_order reference_loader_parity
 )
 
 

@@ -514,3 +514,79 @@ def insert_overwrite_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+_parity_done: set[str] = set()
+
+
+@register(
+    "reference_loader_parity",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d') AS d,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+               CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+               SUM(user_id) AS sum_user_id
+        FROM events
+        GROUP BY d, h
+        ORDER BY d, h
+    """,
+    doc="""The reference's COMPLETE batch-side job as one query
+    [pub: HadoopJobMapper.java + MultiOutputFormat.java, R1-R8]:
+    consume the message stream (JSON lines — the loader's input form,
+    written once per process), parse payloads with a declared schema,
+    extract the event timestamp from the payload (R6), bucket into
+    d=YYYY-MM-DD/h=HH, write the time-partitioned columnar layout with
+    a pre-write repartition on the bucket columns (R7, one file per
+    bucket), then read the WHOLE layout back and prove it byte-complete
+    against the source of truth: per-bucket counts, id ranges, and
+    checksums must equal the oracle computed on the original parquet.
+    sink_partitioned proves single-day pruning; this is the full-load
+    parity certificate — a user of the reference switching to this
+    engine runs exactly this job.""",
+)
+def reference_loader_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir.rstrip("/")).encode()).hexdigest()[:8]
+    out = os.path.join(_temp_root(), f"parity_{tag}")
+    if f"parity_{tag}" not in _parity_done or not os.path.isdir(out):
+        # the loader's input: JSON lines (Kafka-payload stand-in)
+        raw = spark.read.schema(_EVENTS_SLICE_SCHEMA).json(
+            _round_trip_path(spark, sf_dir, "json")
+        )
+        bucketed = raw.select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.date_format(
+                F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz"),
+                "yyyy-MM-dd",
+            ).alias("d"),
+            F.format_string(
+                "%02d", F.hour(F.timestamp_micros(F.col("ts_us")))
+            ).alias("h"),
+        )
+        (
+            bucketed.repartition(F.col("d"), F.col("h"))
+            .write.partitionBy("d", "h")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        _parity_done.add(f"parity_{tag}")
+    # partition-type inference turns d= into DATE; the contract (and
+    # the oracle) use the directory string form
+    back = spark.read.parquet(out).withColumn(
+        "d", F.date_format("d", "yyyy-MM-dd")
+    )
+    return (
+        back.groupBy("d", F.col("h").cast("bigint").alias("h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+            F.sum("user_id").alias("sum_user_id"),
+        )
+        .orderBy("d", "h")
+    )
