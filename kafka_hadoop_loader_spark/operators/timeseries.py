@@ -1037,3 +1037,46 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d").alias("day_id"), "dau", "wau", "mau")
         .orderBy("day_id")
     )
+
+
+@register(
+    "events_seasonality_profile",
+    oracle="""
+        SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_value,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY dow, hod
+        ORDER BY dow, hod
+    """,
+    doc="""Weekly seasonality profile: the (day-of-week × hour-of-day)
+    activity matrix — the fingerprint that staffing, anomaly baselines,
+    and traffic forecasts are all read off.  Spark's dayofweek is
+    1-based and DuckDB's 0-based (the documented scalars.py
+    cross-engine delta, normalized here with +1); hours come off the
+    same NTZ microsecond timeline both engines share.  One hash
+    aggregate with map-side combine into at most 168 cells — the
+    output is constant-size no matter how many years of events flow
+    in, which is what makes this a standing dashboard query at any
+    scale.""",
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.dayofweek("ts").cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hod")
+    )
