@@ -740,3 +740,91 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(25)
     )
+
+
+@register(
+    "supplier_lead_time",
+    oracle="""
+        SELECT l.l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_shipments,
+               CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE))) AS BIGINT)
+                   AS total_days,
+               CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_lead_days,
+               CAST(MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE))) AS BIGINT)
+                   AS max_lead_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_suppkey
+        ORDER BY l.l_suppkey
+    """,
+    doc="""Supplier lead-time analysis: order-to-ship day counts per
+    supplier — the operational SLA metric, and the canonical
+    derived-duration aggregate (the measure lives across TWO tables, so
+    it only exists after the join).  Day differences are exact integers
+    on both engines' date arithmetic; the mean is one division.  The
+    fact-fact join shuffles on the order key once; the supplier
+    aggregate re-shuffles only (suppkey, 3 ints) per lineitem.""",
+)
+def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lead = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_shipments"),
+            F.sum(lead).alias("total_days"),
+            (F.sum(lead).cast("double") / F.count("*").cast("double")).alias(
+                "avg_lead_days"
+            ),
+            F.max(lead).alias("max_lead_days"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+@register(
+    "quantiles_interpolated",
+    oracle="""
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.50) AS p50,
+               quantile_cont(value, 0.75) AS p75,
+               quantile_cont(value, 0.90) AS p90,
+               quantile_cont(value, 0.75) - quantile_cont(value, 0.25)
+                   AS iqr
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="""Interpolated (continuous) quantiles + IQR: the PERCENTILE_CONT
+    family, complementing quantiles_exact's rank-selected discrete form.
+    Verified bit-identical across engines: both compute the same
+    linear interpolation (1-f)·a + f·b on the two bracketing order
+    statistics — identical doubles in, identical IEEE products out —
+    so even these "continuous" statistics hash-match, no rounding
+    convention needed.  At scale the exact sort-based percentile gives
+    way to approx_percentile's mergeable sketch (rows-only by design);
+    this pins the exact semantics the sketch approximates.""",
+)
+def quantiles_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.25).alias("p25"),
+            F.percentile("value", 0.50).alias("p50"),
+            F.percentile("value", 0.75).alias("p75"),
+            F.percentile("value", 0.90).alias("p90"),
+            (F.percentile("value", 0.75) - F.percentile("value", 0.25)).alias(
+                "iqr"
+            ),
+        )
+        .orderBy("event_type")
+    )

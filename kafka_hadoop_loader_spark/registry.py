@@ -157,7 +157,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # basket_part_affinity events_peak_concurrency
     # orders_cohort_revenue dedup_incremental_batch
     # events_dau_wau_mau curriculum_order reference_loader_parity
-    # events_seasonality_profile
+    # events_seasonality_profile supplier_lead_time
+    # quantiles_interpolated
 )
 
 
