@@ -462,3 +462,63 @@ def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_ci")
     )
+
+
+@register(
+    "fn_array_setops",
+    oracle="""
+        WITH halves AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(
+                       string_split(text, ' ')[1:len(string_split(text, ' ')) // 2]
+                   )) AS first_half,
+                   list_sort(list_distinct(
+                       string_split(text, ' ')[len(string_split(text, ' ')) // 2 + 1:]
+                   )) AS second_half
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(first_half) AS INTEGER) AS n_first,
+               CAST(len(second_half) AS INTEGER) AS n_second,
+               CAST(len(list_intersect(first_half, second_half)) AS INTEGER)
+                   AS n_common,
+               CAST(len(list_filter(first_half,
+                                    x -> NOT list_contains(second_half, x)))
+                    AS INTEGER) AS n_dropped,
+               CAST(len(list_filter(second_half,
+                                    x -> NOT list_contains(first_half, x)))
+                    AS INTEGER) AS n_new
+        FROM halves
+        ORDER BY doc_id
+    """,
+    doc="""Array set algebra (array_intersect / array_except) applied as
+    vocabulary-churn analysis: split each document in half and measure
+    shared, dropped, and newly-introduced words between the halves —
+    the drift diagnostic run between corpus snapshots, here in-row.
+    All in-row higher-order functions over sorted distinct arrays:
+    zero shuffle, zero UDF; set sizes are exact integers.  (DuckDB
+    lacks list_except, so the oracle derives it as a filtered
+    NOT-contains — same semantics, independently expressed.)""",
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    fh = F.sort_array(F.array_distinct(F.slice(w, 1, F.floor(n / 2).cast("int"))))
+    sh = F.sort_array(
+        F.array_distinct(
+            F.expr(
+                "slice(split(text, ' '), CAST(size(split(text, ' ')) / 2 AS INT)"
+                " + 1, size(split(text, ' ')))"
+            )
+        )
+    )
+    halves = d.select("doc_id", fh.alias("first_half"), sh.alias("second_half"))
+    return halves.select(
+        "doc_id",
+        F.size("first_half").alias("n_first"),
+        F.size("second_half").alias("n_second"),
+        F.size(F.array_intersect("first_half", "second_half")).alias("n_common"),
+        F.size(F.array_except("first_half", "second_half")).alias("n_dropped"),
+        F.size(F.array_except("second_half", "first_half")).alias("n_new"),
+    ).orderBy("doc_id")

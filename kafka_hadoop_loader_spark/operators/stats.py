@@ -828,3 +828,94 @@ def quantiles_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+        WITH anchor AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS d0 FROM orders
+        ),
+        rfm AS (
+            SELECT o_custkey,
+                   date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                             (SELECT d0 FROM anchor)) AS recency_days,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS monetary_c
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey, recency_days, frequency,
+                   CAST(monetary_c AS DOUBLE) / 100.0 AS monetary,
+                   CAST(6 - ntile(5) OVER (ORDER BY recency_days, o_custkey)
+                        AS BIGINT) AS r_score,
+                   CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+                        AS BIGINT) AS f_score,
+                   CAST(ntile(5) OVER (ORDER BY monetary_c, o_custkey)
+                        AS BIGINT) AS m_score
+            FROM rfm
+        )
+        SELECT o_custkey, recency_days, frequency, monetary,
+               r_score, f_score, m_score,
+               CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                    WHEN r_score >= 4 THEN 'recent'
+                    WHEN f_score >= 4 THEN 'loyal_lapsing'
+                    WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+                    ELSE 'regular' END AS segment
+        FROM scored
+        ORDER BY o_custkey
+    """,
+    doc="""RFM segmentation — recency/frequency/monetary quintile scores
+    and the marketing segments they imply, the most-deployed customer
+    analysis in existence.  Recency anchors on the dataset's max date
+    via a scalar subquery (broadcast, no driver round-trip); monetary
+    stays a scaled BIGINT through scoring so quintile boundaries are
+    exact; every ntile is tie-broken by customer id, so all three
+    scores — and the CASE segments — are engine-identical.  Shape: one
+    customer aggregate, then three ntiles over the customer-sized
+    result (at 10^9 customers: rank against broadcast quantile cuts
+    instead of global ntile, same scores).""",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("d0"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_c"
+            ),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("d0", "last_d").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary_c",
+        )
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy("frequency", "o_custkey")
+    wm = Window.orderBy("monetary_c", "o_custkey")
+    scored = rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_c").cast("double") / 100.0).alias("monetary"),
+        (F.lit(6) - F.ntile(5).over(wr)).cast("bigint").alias("r_score"),
+        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
+        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal_lapsing")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.select("*", seg.alias("segment")).orderBy("o_custkey")

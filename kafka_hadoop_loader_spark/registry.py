@@ -158,7 +158,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # orders_cohort_revenue dedup_incremental_batch
     # events_dau_wau_mau curriculum_order reference_loader_parity
     # events_seasonality_profile supplier_lead_time
-    # quantiles_interpolated
+    # quantiles_interpolated orders_rfm_segments fn_array_setops
 )
 
 
