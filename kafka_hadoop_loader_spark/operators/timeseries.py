@@ -1080,3 +1080,110 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+@register(
+    "events_longest_streak",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+                       AS pos
+            FROM events
+        ),
+        hits AS (
+            SELECT user_id, pos,
+                   pos - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY pos) AS grp
+            FROM seq WHERE value >= 50
+        ),
+        runs AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS run_len
+            FROM hits GROUP BY user_id, grp
+        )
+        SELECT user_id,
+               CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(SUM(run_len) AS BIGINT) AS n_hits
+        FROM runs
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc="""Longest conditional streak: each user's longest run of
+    consecutive high-value events (value >= 50) in event order — the
+    run-length-encoding form of gaps-and-islands, keyed on sequence
+    position instead of calendar day (events_activity_islands' twin
+    for within-session behavior: hot hands, consecutive failures,
+    consecutive conversions).  Two row_numbers whose difference is
+    constant within a run, then two aggregates — every operator
+    partitions on user_id, so the whole pipeline rides one shuffle.
+    Event-time ties break by event_id; counts are exact.""",
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w1 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e = table(spark, sf_dir, "events")
+    seq = e.select("user_id", "value", F.row_number().over(w1).alias("pos"))
+    w2 = Window.partitionBy("user_id").orderBy("pos")
+    hits = seq.where(F.col("value") >= 50).withColumn(
+        "grp", F.col("pos") - F.row_number().over(w2)
+    )
+    runs = hits.groupBy("user_id", "grp").agg(F.count("*").alias("run_len"))
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("run_len").alias("longest_streak"),
+            F.count("*").alias("n_runs"),
+            F.sum("run_len").alias("n_hits"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_type_diversity",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(cnt * cnt) AS DOUBLE)
+                   / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+                   AS simpson_index,
+               (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+                   / CAST(SUM(cnt * cnt) AS DOUBLE) AS effective_types
+        FROM c
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc="""Behavioral diversity via the Simpson index: Σpᵢ² (the
+    probability two random events share a type) and its inverse, the
+    effective number of types — the PORTABLE concentration/diversity
+    statistic (Shannon entropy needs ln(), which is not bit-identical
+    across libms; Simpson is pure rational arithmetic on counts, so it
+    hash-matches).  Same family as text_gini_diversity, here over the
+    behavioral stream.  Two chained aggregates on user_id — one
+    shuffle; integer sums of squares stay far inside int64.""",
+)
+def events_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    tot = F.sum("cnt")
+    sq = F.sum(F.col("cnt") * F.col("cnt"))
+    return (
+        c.groupBy("user_id")
+        .agg(
+            tot.alias("n_events"),
+            F.count("*").alias("n_types"),
+            (sq.cast("double") / (tot.cast("double") * tot.cast("double"))).alias(
+                "simpson_index"
+            ),
+            ((tot.cast("double") * tot.cast("double")) / sq.cast("double")).alias(
+                "effective_types"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -159,6 +159,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # events_dau_wau_mau curriculum_order reference_loader_parity
     # events_seasonality_profile supplier_lead_time
     # quantiles_interpolated orders_rfm_segments fn_array_setops
+    # events_longest_streak events_type_diversity
 )
 
 
