@@ -1099,3 +1099,67 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band", "seq_in_band")
     )
+
+
+@register(
+    "pack_padding_waste",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN n_tokens <= 64 THEN 64
+                        WHEN n_tokens <= 128 THEN 128
+                        WHEN n_tokens <= 256 THEN 256
+                        ELSE 512 END AS bucket_len
+            FROM t
+        )
+        SELECT bucket_len,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS payload_tokens,
+               CAST(SUM(bucket_len - n_tokens) AS BIGINT) AS padding_tokens,
+               CAST(SUM(n_tokens) AS DOUBLE)
+                   / CAST(SUM(CAST(bucket_len AS BIGINT)) AS DOUBLE)
+                   AS utilization
+        FROM b
+        GROUP BY bucket_len
+        ORDER BY bucket_len
+    """,
+    doc="""Padding-waste audit: if each document trained as its own
+    padded sequence (bucketed to 64/128/256/512), how many tokens are
+    payload vs pad — the utilization number that justifies
+    pack_sequences (concat-packing wastes ~0%; length-bucketed padding
+    typically wastes 20-40%).  Per-bucket counts, waste, and the
+    utilization ratio as one exact division.  Stateless bucketing +
+    one aggregate; this is the report that decides the packing policy
+    for a training run, computed before committing to either.""",
+)
+def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    bucket = (
+        F.when(n_tok <= 64, 64)
+        .when(n_tok <= 128, 128)
+        .when(n_tok <= 256, 256)
+        .otherwise(512)
+        .cast("bigint")
+    )
+    b = d.select(n_tok.alias("n_tokens"), bucket.alias("bucket_len"))
+    return (
+        b.groupBy("bucket_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("payload_tokens"),
+            F.sum(F.col("bucket_len") - F.col("n_tokens")).alias(
+                "padding_tokens"
+            ),
+            (
+                F.sum("n_tokens").cast("double")
+                / F.sum("bucket_len").cast("double")
+            ).alias("utilization"),
+        )
+        .orderBy("bucket_len")
+    )

@@ -919,3 +919,67 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.select("*", seg.alias("segment")).orderBy("o_custkey")
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+        WITH rev AS (
+            SELECT s.s_nationkey, l.l_suppkey,
+                   SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                       AS rev_c
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey, l.l_suppkey
+        )
+        SELECT n.n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(rev_c) AS DOUBLE) / 100.0 AS total_revenue,
+               CAST(SUM((rev_c // 100) * (rev_c // 100)) AS DOUBLE)
+                   / (CAST(SUM(rev_c // 100) AS DOUBLE)
+                      * CAST(SUM(rev_c // 100) AS DOUBLE)) AS hhi
+        FROM rev JOIN nation n ON n.n_nationkey = rev.s_nationkey
+        GROUP BY nation
+        ORDER BY nation
+    """,
+    doc="""Supplier concentration by Herfindahl-Hirschman index: Σ of
+    squared revenue shares per nation — the antitrust/market-structure
+    statistic, and the supply-chain-risk number (HHI → 1 means one
+    supplier owns the nation's volume).  Same portable-rational family
+    as the Simpson index: squares and sums of scaled-BIGINT revenues,
+    one division at the end — no logs, bit-exact.  Two aggregates
+    (supplier revenue, then nation roll-up) + a broadcast nation join.
+    int64 headroom is the one real constraint: cents-scaled revenues
+    square past int64, so the HHI term uses whole-currency units
+    (rev_c DIV 100, identical floor in both engines) — shares of
+    dollar-rounded revenues, squared safely.""",
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "rev_c"
+            )
+        )
+    )
+    tot = F.sum("rev_c")
+    return (
+        rev.join(F.broadcast(n), rev.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            (tot.cast("double") / 100.0).alias("total_revenue"),
+            (
+                F.sum(F.expr("(rev_c div 100) * (rev_c div 100)")).cast("double")
+                / (
+                    F.sum(F.expr("rev_c div 100")).cast("double")
+                    * F.sum(F.expr("rev_c div 100")).cast("double")
+                )
+            ).alias("hhi"),
+        )
+        .orderBy("nation")
+    )

@@ -160,6 +160,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # events_seasonality_profile supplier_lead_time
     # quantiles_interpolated orders_rfm_segments fn_array_setops
     # events_longest_streak events_type_diversity
+    # pack_padding_waste supplier_concentration_hhi
 )
 
 
