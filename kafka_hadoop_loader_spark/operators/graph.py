@@ -338,3 +338,96 @@ def sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         ORDER BY min_hops, nation
     """)
+
+
+@register(
+    "nation_trade_balance",
+    oracle="""
+        WITH flows AS (
+            SELECT c.c_nationkey AS cust_n, s.s_nationkey AS supp_n,
+                   SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                       AS rev_c
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey
+            GROUP BY cust_n, supp_n
+        ),
+        exp AS (
+            SELECT supp_n AS nk, CAST(SUM(rev_c) AS BIGINT) AS exports_c
+            FROM flows GROUP BY supp_n
+        ),
+        imp AS (
+            SELECT cust_n AS nk, CAST(SUM(rev_c) AS BIGINT) AS imports_c
+            FROM flows GROUP BY cust_n
+        )
+        SELECT n.n_name AS nation,
+               CAST(COALESCE(e.exports_c, 0) AS DOUBLE) / 100.0 AS exports,
+               CAST(COALESCE(i.imports_c, 0) AS DOUBLE) / 100.0 AS imports,
+               CAST(COALESCE(e.exports_c, 0) - COALESCE(i.imports_c, 0)
+                    AS DOUBLE) / 100.0 AS balance
+        FROM nation n
+        LEFT JOIN exp e ON e.nk = n.n_nationkey
+        LEFT JOIN imp i ON i.nk = n.n_nationkey
+        ORDER BY nation
+    """,
+    doc="""Trade balance per nation: cross-border revenue where the
+    nation supplies (exports) vs consumes (imports), and the net — the
+    economics-view closure over the same trade graph PageRank/BFS/
+    triangles traverse topologically.  Domestic flows are excluded
+    (they're neither).  Exact cents throughout; the balance is an
+    integer difference cast once.  The flow matrix is |nations|² rows,
+    so both roll-ups and the nation joins are broadcast-scale no
+    matter the fact volume.""",
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation")
+    flows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("cust_n"),
+            F.col("s_nationkey").alias("supp_n"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "rev_c"
+            )
+        )
+    )
+    exp = flows.groupBy(F.col("supp_n").alias("nk")).agg(
+        F.sum("rev_c").alias("exports_c")
+    )
+    imp = flows.groupBy(F.col("cust_n").alias("nk")).agg(
+        F.sum("rev_c").alias("imports_c")
+    )
+    return (
+        n.join(F.broadcast(exp), n.n_nationkey == exp.nk, "left")
+        .join(F.broadcast(imp), n.n_nationkey == imp.nk, "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            (F.coalesce("exports_c", F.lit(0)).cast("double") / 100.0).alias(
+                "exports"
+            ),
+            (F.coalesce("imports_c", F.lit(0)).cast("double") / 100.0).alias(
+                "imports"
+            ),
+            (
+                (
+                    F.coalesce("exports_c", F.lit(0))
+                    - F.coalesce("imports_c", F.lit(0))
+                ).cast("double")
+                / 100.0
+            ).alias("balance"),
+        )
+        .orderBy("nation")
+    )

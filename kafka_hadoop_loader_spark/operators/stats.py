@@ -983,3 +983,75 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "events_bot_regularity",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_us(ts), event_id)
+                    - epoch_us(ts)) // 1000000 AS gap_s
+            FROM events
+        ),
+        m AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap_s) AS BIGINT) AS s1,
+                   CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+            FROM gaps WHERE gap_s IS NOT NULL
+            GROUP BY user_id
+            HAVING COUNT(*) >= 5
+        )
+        SELECT user_id, n_gaps,
+               CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+               (CAST(s2 AS DOUBLE) * CAST(n_gaps AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE))
+                   AS gap_variance,
+               ((CAST(s2 AS DOUBLE) * CAST(n_gaps AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                * 100 < CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   AS suspected_bot
+        FROM m
+        ORDER BY user_id
+    """,
+    doc="""Bot/automation detection by inter-event regularity: humans
+    have bursty, high-variance gaps; schedulers fire metronomically.
+    Per user: mean and population variance of second-granularity gaps
+    from exact integer moments (Σg, Σg² — the agg_stats_exact doctrine;
+    µs gaps are floored to seconds first so the squared sums stay far
+    inside int64), and a coefficient-of-variation flag (variance <
+    mean²/100, i.e. CV < 0.1) evaluated on the EXACT integer cross
+    products so the boolean can't flip on float drift.  One window +
+    one aggregate, both on user_id.""",
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = e.select(
+        "user_id",
+        F.expr("(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
+               " - ts_us) DIV 1000000").alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    m = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap_s").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+        )
+        .where(F.col("n_gaps") >= 5)
+    )
+    n_, s1, s2 = (F.col(c).cast("double") for c in ("n_gaps", "s1", "s2"))
+    var = (s2 * n_ - s1 * s1) / (n_ * n_)
+    return m.select(
+        "user_id",
+        "n_gaps",
+        (s1 / n_).alias("mean_gap_s"),
+        var.alias("gap_variance"),
+        ((s2 * n_ - s1 * s1) * 100 < s1 * s1).alias("suspected_bot"),
+    ).orderBy("user_id")

@@ -161,6 +161,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # quantiles_interpolated orders_rfm_segments fn_array_setops
     # events_longest_streak events_type_diversity
     # pack_padding_waste supplier_concentration_hhi
+    # events_bot_regularity nation_trade_balance
 )
 
 
