@@ -822,3 +822,50 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "orders_basket_size_dist",
+    oracle="""
+        WITH sizes AS (
+            SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT n_lines,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) AS DOUBLE)
+                   / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS order_share,
+               CAST(n_lines * COUNT(*) AS BIGINT) AS n_items
+        FROM sizes
+        GROUP BY n_lines
+        ORDER BY n_lines
+    """,
+    doc="""Basket-size distribution — the count-of-counts idiom: first
+    aggregate lineitems per order, then aggregate the sizes themselves
+    (how many 1-line orders, 2-line orders, ...).  Two chained hash
+    aggregates; the second input is |orders| rows, its output at most
+    max-basket-size rows, so the share denominator (a window over ~7
+    rows) is trivially global.  Count-of-counts is the shape behind
+    degree distributions, word-frequency-of-frequencies (Good-Turing),
+    and file-size histograms — all exact integers plus one share
+    division.""",
+)
+def orders_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    dist = sizes.groupBy("n_lines").agg(F.count("*").alias("n_orders"))
+    w = Window.partitionBy()
+    return (
+        dist.select(
+            "n_lines",
+            "n_orders",
+            (
+                F.col("n_orders").cast("double")
+                / F.sum("n_orders").over(w).cast("double")
+            ).alias("order_share"),
+            (F.col("n_lines") * F.col("n_orders")).alias("n_items"),
+        )
+        .orderBy("n_lines")
+    )

@@ -1187,3 +1187,59 @@ def events_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(epoch_us(ts) // 86400000000) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        daily AS (
+            SELECT DISTINCT e.user_id,
+                   epoch_us(e.ts) // 86400000000 AS day_id
+            FROM events e
+        )
+        SELECT CAST(d.day_id AS BIGINT) AS day_id,
+               CAST(SUM(CASE WHEN d.day_id = f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS new_users,
+               CAST(SUM(CASE WHEN d.day_id > f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS returning_users,
+               CAST(SUM(CASE WHEN d.day_id = f.first_day THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS new_share
+        FROM daily d JOIN firsts f USING (user_id)
+        GROUP BY d.day_id
+        ORDER BY d.day_id
+    """,
+    doc="""New vs returning daily actives — the growth-accounting split
+    (every DAU is either acquired today or retained from before).
+    First-seen day per user is one MIN aggregate broadcast back onto
+    the distinct (user, day) presence grid; the split is conditional
+    sums and one exact share division.  Composes with events_dau_wau_mau
+    (same presence grid) and events_retention (the cohort view of the
+    same fact).  Day ids are exact integers; one presence shuffle +
+    one broadcast join.""",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    day = F.expr("ts_us DIV 86400000000")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily = e.select("user_id", day.alias("day_id")).distinct()
+    is_new = F.col("day_id") == F.col("first_day")
+    return (
+        daily.join(F.broadcast(firsts), "user_id")
+        .groupBy("day_id")
+        .agg(
+            F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint").alias("new_users"),
+            F.sum(F.when(F.col("day_id") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+            (
+                F.sum(F.when(is_new, 1).otherwise(0)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("new_share"),
+        )
+        .orderBy("day_id")
+    )

@@ -162,6 +162,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # events_longest_streak events_type_diversity
     # pack_padding_waste supplier_concentration_hhi
     # events_bot_regularity nation_trade_balance
+    # events_new_vs_returning orders_basket_size_dist
 )
 
 
