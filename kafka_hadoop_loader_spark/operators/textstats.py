@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.catalog import spread, table
 from kafka_hadoop_loader_spark.registry import register
 
 # Small fixed stopword list for quality scoring (fixture vocabulary).
@@ -395,4 +395,59 @@ def text_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini_diversity"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+        WITH tf AS (
+            SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            )
+            WHERE term <> ''
+            GROUP BY source, term
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+        FROM tf
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="""Hapax legomena ratio per source: the share of vocabulary
+    seen exactly once — the corpus-health lexical statistic (natural
+    text runs ~40-60% hapax; far below signals boilerplate/duplication,
+    far above signals OCR noise or tokenizer breakage), and the n₁
+    count that Good-Turing smoothing is built from (the word-frequency
+    cousin of orders_basket_size_dist's count-of-counts).  Two chained
+    aggregates — (source, term) counts, then frequency-class counts —
+    with one exact share division.""",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    hapax = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count("*").alias("vocab_size"),
+            F.sum("cnt").alias("n_tokens"),
+            hapax.cast("bigint").alias("n_hapax"),
+            (hapax.cast("double") / F.count("*").cast("double")).alias(
+                "hapax_ratio"
+            ),
+        )
+        .orderBy("source")
     )

@@ -1243,3 +1243,64 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_id")
     )
+
+
+@register(
+    "orders_reorder_cycle",
+    oracle="""
+        WITH seq AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                             lag(CAST(o_orderdate AS DATE))
+                                 OVER (PARTITION BY o_custkey
+                                       ORDER BY CAST(o_orderdate AS DATE),
+                                                o_orderkey),
+                             CAST(o_orderdate AS DATE)) AS gap_days
+            FROM orders
+        )
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_reorders,
+               CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+               CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+               CAST(SUM(gap_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS avg_gap_days
+        FROM seq
+        WHERE gap_days IS NOT NULL
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 2
+        ORDER BY o_custkey
+    """,
+    doc="""Reorder cycle: per-customer gaps between consecutive orders
+    (lag over the order sequence, date ties broken by order key) —
+    the purchase-cadence metric behind replenishment forecasts and
+    churn-risk clocks (a customer N× past their own average gap is
+    lapsing).  Day gaps are exact date arithmetic; the mean is one
+    division; customers with fewer than two gaps are excluded so every
+    statistic is well-defined.  Window and aggregate share the
+    customer partitioning — one shuffle.""",
+)
+def orders_reorder_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    gap = F.datediff(
+        F.col("o_orderdate").cast("date"),
+        F.lag(F.col("o_orderdate").cast("date")).over(w),
+    ).cast("long")
+    seq = o.select("o_custkey", gap.alias("gap_days")).where(
+        F.col("gap_days").isNotNull()
+    )
+    return (
+        seq.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_reorders"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+            (F.sum("gap_days").cast("double") / F.count("*").cast("double")).alias(
+                "avg_gap_days"
+            ),
+        )
+        .where(F.col("n_reorders") >= 2)
+        .orderBy("o_custkey")
+    )

@@ -163,6 +163,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # pack_padding_waste supplier_concentration_hhi
     # events_bot_regularity nation_trade_balance
     # events_new_vs_returning orders_basket_size_dist
+    # text_hapax_ratio orders_reorder_cycle
 )
 
 
