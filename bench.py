@@ -78,17 +78,20 @@ def main() -> None:
                 )
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total wall-clock, all registered queries, noop sink",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total wall-clock, all registered queries, noop sink",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    # The driver's BENCH artifact stores only the tail of stdout, which
+    # truncates the per-query dict once the registry is this large — so
+    # also write the complete payload to a stable path for
+    # round-over-round diffing.
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -90,3 +90,29 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All fixture tables as a dict (convenience for composites/tests)."""
     return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+_PERSISTED: dict[str, DataFrame] = {}
+
+
+def managed_persist(key: str, df: DataFrame) -> DataFrame:
+    """persist() with a per-site registry so repeated invocations don't leak.
+
+    Operators that reuse an intermediate across several consumers persist
+    it, but the returned DataFrame is materialized by the CALLER (driver /
+    bench), so the operator can never unpersist it itself.  In a
+    long-lived process (bench reruns, driver rotation, pytest session)
+    naked persist() therefore accumulates cached partitions in executor
+    storage.  This helper evicts the PREVIOUS invocation's cache for the
+    same site before persisting the new plan: storage is bounded at one
+    copy per site, and the current result's cache stays alive for its
+    consumers exactly as before.
+    """
+    prev = _PERSISTED.pop(key, None)
+    if prev is not None and prev is not df:
+        try:
+            prev.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _PERSISTED[key] = df.persist()
+    return df

@@ -104,18 +104,41 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct",
-    oracle=None,  # approximate by design: driver records rows-only
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs_exact,
+               COUNT(*) AS n_orders,
+               TRUE AS approx_within_5pct
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     doc="""approx_count_distinct (HyperLogLog++): the scale path for
-    distinct counts — no expand, mergeable sketches.  Tested in pytest
-    against exact counts with rsd tolerance.""",
+    distinct counts — no expand, mergeable sketches.  The estimate is a
+    deterministic function of the input set (fixed hash), so the oracle
+    contract is a tolerance envelope: the query emits the EXACT distinct
+    count plus a boolean asserting the HLL estimate (rsd=0.02) landed
+    within ±5% of it; the oracle computes the exact count and expects
+    TRUE.  A drifting estimator flips the boolean and hash-fails.  At
+    scale the exact column is dropped and only the sketch runs.""",
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("n_custs_exact"),
             F.count("*").alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_custs_exact",
+            "n_orders",
+            (
+                F.abs(F.col("approx") - F.col("n_custs_exact"))
+                <= 0.05 * F.col("n_custs_exact")
+            ).alias("approx_within_5pct"),
         )
         .orderBy("o_orderpriority")
     )
@@ -785,10 +808,10 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority,
                arg_max(o_orderkey,
-                       CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000000
                        + o_orderkey) AS biggest_order,
                arg_min(o_orderkey,
-                       CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000000
                        + o_orderkey) AS smallest_order,
                max(o_totalprice) AS max_price,
                min(o_totalprice) AS min_price
@@ -802,14 +825,16 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial state is just (best_key, best_value), which is why it
     scales like min/max).  Determinism discipline: arbitrary among
     ties, so the comparison value is a composite integer
-    (scaled_price * 10^7 + orderkey) that is UNIQUE per row — both
+    (scaled_price * 10^9 + orderkey) that is UNIQUE per row while
+    orderkey < 10^9 (TPC-H reaches that around sf≈170; headroom:
+    max scaled_price ≈ 6·10^7, so the product stays ≤ 6·10^16 ≪ 2^63) — both
     engines must select the identical row, making the operator
     oracle-checkable (naked max_by(price) would not be).""",
 )
 def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     ckey = (
-        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10000000)
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(1000000000)
         + F.col("o_orderkey")
     )
     return (

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_hadoop_loader_spark.catalog import spread, table
+from kafka_hadoop_loader_spark.catalog import managed_persist, spread, table
 from kafka_hadoop_loader_spark.registry import register
 
 # LSH parameters: 64 hashes = 16 bands x 4 rows.
@@ -246,10 +246,11 @@ def _minhash_pairs(d: DataFrame) -> DataFrame:
     # persisted: the shingle set feeds the signature pass AND both sides
     # of candidate verification; at scale this is the table you'd
     # checkpoint once per pipeline run rather than recompute 3x.
-    sh = (
-        d.select("doc_id", _shingle_hashes(F.col("text")).alias("s"))
-        .where(F.size("s") > 0)
-        .persist()
+    sh = managed_persist(
+        "minhash:shingles",
+        d.select("doc_id", _shingle_hashes(F.col("text")).alias("s")).where(
+            F.size("s") > 0
+        ),
     )
     mh = _minhash_signatures(sh)
 
@@ -373,8 +374,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(
             pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
         )
-        .persist()
     )
+    edges = managed_persist("dedup_clusters:edges", edges)
     labels = d.select("doc_id", F.col("doc_id").alias("label")).persist()
     prev_sum = None
     for _ in range(16):  # >> fixture component diameter; fixpoint breaks out
@@ -397,6 +398,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # the loop unpersists every superseded labels round; register the
+    # surviving one so the NEXT invocation evicts it too
+    labels = managed_persist("dedup_clusters:labels", labels)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
@@ -537,8 +541,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.size("s") > 0)
         .select("doc_id", "s", F.size("s").alias("sz"))
-        .persist()
     )
+    sh = managed_persist("ngram_jaccard:shingles", sh)
     ex = sh.select("doc_id", "sz", F.explode("s").alias("g"))
     gram_df = ex.groupBy("g").agg(F.count("*").alias("df_cnt"))
 

@@ -73,7 +73,8 @@ def _pagerank_iter_sql(prev: str, cur: str) -> str:
     return f"""
         {cur} AS (
             SELECT n.n_nationkey AS node,
-                   150000 + (85 * COALESCE(SUM((p.r * e.w) // o.ow), 0)) // 100 AS r
+                   CAST(150000 + (85 * COALESCE(SUM((p.r * e.w) // o.ow), 0)) // 100
+                        AS BIGINT) AS r
             FROM nation n
             LEFT JOIN edges e ON e.dst = n.n_nationkey
             LEFT JOIN outw o ON o.src = e.src

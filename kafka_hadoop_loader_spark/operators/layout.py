@@ -236,7 +236,7 @@ def _compact_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     oracle="""
         SELECT strftime(ts, '%Y-%m-%d') AS d,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               SUM(user_id) AS sum_user_id,
+               CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
                    / 100.0 AS sum_value,
                CAST(1 AS BIGINT) AS files_after

@@ -385,10 +385,10 @@ _PACK_BUDGET = 256  # tokens per packed training sequence
         ),
         o AS (
             SELECT doc_id, source, n_tokens,
-                   SUM(n_tokens) OVER (
+                   CAST(SUM(n_tokens) OVER (
                        PARTITION BY source ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) - n_tokens AS tok_offset
+                   ) - n_tokens AS BIGINT) AS tok_offset
             FROM t
         )
         SELECT doc_id, source, n_tokens, tok_offset,

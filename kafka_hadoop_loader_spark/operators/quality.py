@@ -307,14 +307,15 @@ def schema_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_ts"),
         one(
             F.col("props").isNotNull()
-            & F.from_json("props", "k INT").isNull()
-            & (F.col("props") != "null")
+            & F.expr("try_parse_json(props) IS NULL")
         ).alias("v_json_raw"),
         (F.count("*") - F.countDistinct("event_id")).alias("v_dupe"),
         F.count("*").alias("n_rows"),
     )
-    # from_json returns null on malformed input; the oracle's
-    # json_valid() is the same predicate — both count unparseable props
+    # try_parse_json (variant) is null exactly when the input is not
+    # valid JSON of ANY kind — same predicate as the oracle's
+    # json_valid(), including valid non-object JSON like '5' or '[1]'
+    # (a from_json-with-struct-schema check would miscount those)
     rules = (
         ("event_id_not_null", "v_null"),
         ("event_id_unique", "v_dupe"),

@@ -423,7 +423,7 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT lower(c_mktsegment) AS seg_ci,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_names,
+               CAST(COUNT(DISTINCT lower(c_name)) AS BIGINT) AS n_names,
                min(upper(c_name)) AS first_name_ci
         FROM customer
         GROUP BY seg_ci

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_hadoop_loader_spark.catalog import spread, table
+from kafka_hadoop_loader_spark.catalog import managed_persist, spread, table
 from kafka_hadoop_loader_spark.registry import register
 
 # Conjunctive query for keyword_search: mid-frequency DB-themed terms
@@ -272,7 +272,10 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the pair-count table feeds BOTH the global total row
     # and the scored join — without it the explode + aggregate (the
     # expensive pass) runs twice.
-    pc = prs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab")).persist()
+    pc = managed_persist(
+        "cooccur_pmi:pair_counts",
+        prs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab")),
+    )
     tc = (
         d.select(F.explode(w).alias("tok"))
         .groupBy("tok")
@@ -389,8 +392,8 @@ def doc_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             (F.col("tf") * (F.col("n_docs") - F.col("df") + 1)).alias("wt"),
         )
-        .persist()
     )
+    w = managed_persist("doc_sparse_cosine:weights", w)
     norms = w.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).alias("ss"))
     a, b = w.alias("a"), w.alias("b")
     dots = (

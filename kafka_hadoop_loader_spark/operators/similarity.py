@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_hadoop_loader_spark.catalog import spread, table
+from kafka_hadoop_loader_spark.catalog import managed_persist, spread, table
 from kafka_hadoop_loader_spark.functions.exact import exact_avg
 from kafka_hadoop_loader_spark.registry import register
 
@@ -329,8 +329,8 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", "label", "embedding", F.col("b.t").alias("t"), F.col("b.key").alias("key")
         )
-        .persist()
     )
+    buckets = managed_persist("knn_lsh:buckets", buckets)
 
     q = buckets.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "t", "key"
@@ -573,8 +573,8 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_norm.crossJoin(F.broadcast(cent))
         .select("vec_id", "label", "embedding", "nrm", "cell", sim.alias("sim"))
         .withColumn("rk", F.row_number().over(asg_w))
-        .persist()
     )
+    assign = managed_persist("knn_ivf:assign", assign)
     nprobe = 3
     home = assign.where(F.col("rk") == 1)
     probes = assign.where((F.col("rk") <= nprobe) & (F.col("vec_id") < N_QUERIES)).select(
@@ -853,7 +853,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # five consumers derive from the long view (seeds' centroids, two
     # assignment passes, both re-rank sides) — persist so the explode
     # runs once, the same discipline as the LSH/IVF indexes
-    longv = longv.persist()
+    longv = managed_persist("knn_pq_adc:longv", longv)
     seeds = (
         emb.select("vec_id")
         .orderBy("vec_id")

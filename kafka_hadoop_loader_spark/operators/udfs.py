@@ -47,8 +47,8 @@ def _make_vowel_count():
     "udf_scalar_pandas",
     oracle="""
         SELECT lang,
-               SUM(length(regexp_replace(text, '[^aeiou]', '', 'g'))) AS vowels,
-               SUM(length(text)) AS chars,
+               CAST(SUM(length(regexp_replace(text, '[^aeiou]', '', 'g'))) AS BIGINT) AS vowels,
+               CAST(SUM(length(text)) AS BIGINT) AS chars,
                COUNT(*) AS n_docs
         FROM documents
         GROUP BY lang
@@ -95,7 +95,7 @@ def _make_token_count_aggs():
     "udaf_grouped_agg",
     oracle="""
         SELECT lang,
-               SUM(len(string_split(text, ' '))) AS total_tokens,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                COUNT(*) AS n_docs
         FROM documents
         GROUP BY lang
@@ -135,8 +135,8 @@ def _per_lang_running(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle="""
         SELECT lang, doc_id,
                CAST(length(text) AS BIGINT) AS chars,
-               SUM(CAST(length(text) AS BIGINT))
-                   OVER (PARTITION BY lang ORDER BY doc_id) AS run_chars,
+               CAST(SUM(CAST(length(text) AS BIGINT))
+                   OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS run_chars,
                CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
                     AS BIGINT) AS lang_rank
         FROM documents

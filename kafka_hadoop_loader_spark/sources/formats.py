@@ -106,7 +106,7 @@ def _events_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SLICE_AGG_ORACLE = """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(user_id) AS sum_user_id,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
            MIN(event_id) AS min_event_id,
            MAX(event_id) AS max_event_id
     FROM events
@@ -184,7 +184,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
                    user_id
             FROM events
         )
-        SELECT d, h, COUNT(*) AS n, SUM(user_id) AS sum_user_id
+        SELECT d, h, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_user_id
         FROM t
         WHERE d = (SELECT min(d) FROM t)
         GROUP BY d, h
@@ -492,15 +492,26 @@ def insert_overwrite_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS SELECT event_id, user_id, value, d FROM khl_ovw_src_{tag}
             """
         )
+        # Scope the dynamic-overwrite mode to this one statement: the
+        # session is shared (bench/driver run hundreds of queries in one
+        # process), so leaking `dynamic` would silently change INSERT
+        # OVERWRITE semantics for everything after us.
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        spark.sql(
-            f"""
-            INSERT OVERWRITE TABLE {tname}
-            SELECT event_id, user_id, value * 2 AS value, d
-            FROM khl_ovw_src_{tag}
-            WHERE d = (SELECT min(d) FROM khl_ovw_src_{tag})
-            """
-        )
+        try:
+            spark.sql(
+                f"""
+                INSERT OVERWRITE TABLE {tname}
+                SELECT event_id, user_id, value * 2 AS value, d
+                FROM khl_ovw_src_{tag}
+                WHERE d = (SELECT min(d) FROM khl_ovw_src_{tag})
+                """
+            )
+        finally:
+            if prev_mode is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         _overwrite_done.add(tname)
     return (
         spark.table(tname)
@@ -527,7 +538,7 @@ _parity_done: set[str] = set()
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(MIN(event_id) AS BIGINT) AS min_event_id,
                CAST(MAX(event_id) AS BIGINT) AS max_event_id,
-               SUM(user_id) AS sum_user_id
+               CAST(SUM(user_id) AS BIGINT) AS sum_user_id
         FROM events
         GROUP BY d, h
         ORDER BY d, h

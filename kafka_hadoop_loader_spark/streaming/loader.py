@@ -112,15 +112,29 @@ class LoaderConfig:
     extra_partition_cols: tuple = field(default_factory=tuple)
 
 
+def kafka_source_options(cfg: LoaderConfig) -> dict[str, str]:
+    """The exact ``format("kafka")`` reader options the production path
+    sets — exposed as data so the seam is contract-testable in an
+    environment with no broker (tests assert this dict; the README
+    documents it).  [pub: io/KafkaInputFormat.java — topic subscription
+    + offset-reset policy are the reference's consumer knobs.]"""
+    return {
+        "kafka.bootstrap.servers": cfg.kafka_bootstrap,
+        "subscribe": cfg.topics,
+        # reference's auto.offset.reset: where a NEW consumer group
+        # starts ("earliest" | "latest" | a JSON offsets map)
+        "startingOffsets": cfg.offset_reset,
+        # retention-expired offsets surface as a data-loss *metric*,
+        # not a job abort — the loader's at-least-once floor
+        "failOnDataLoss": "false",
+    }
+
+
 def _read_stream(spark: SparkSession, cfg: LoaderConfig) -> DataFrame:
     if cfg.source == "kafka":
-        reader = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", cfg.kafka_bootstrap)
-            .option("subscribe", cfg.topics)
-            .option("startingOffsets", cfg.offset_reset)
-            .option("failOnDataLoss", "false")
-        )
+        reader = spark.readStream.format("kafka")
+        for k, v in kafka_source_options(cfg).items():
+            reader = reader.option(k, v)
         raw = reader.load()
         # Kafka source fixed schema: key/value binary + metadata.  The
         # payload stays bytes until the JSON extraction below (R4).

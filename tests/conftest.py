@@ -53,6 +53,15 @@ def assert_matches_oracle(spark_df, oracle_sql: str, duck) -> None:
     assert sorted(spark_df.columns) == sorted(ocols), (
         f"columns: {sorted(spark_df.columns)} != {sorted(ocols)}"
     )
+    # Typed-schema gate (mirrors the driver's typed value hashing): a
+    # DuckDB column family that diverges from the Spark one — e.g. an
+    # un-CAST integer SUM() widening to HUGEINT/decimal128 — is a driver
+    # hash-fail even when Python-level values compare equal.
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from typecanon import oracle_arrow_schema, type_mismatches
+
+    tmis = type_mismatches(spark_df.schema, oracle_arrow_schema(duck, oracle_sql))
+    assert not tmis, f"oracle/engine type-family mismatch: {tmis}"
     assert len(srows) == len(orows), f"rowcount: {len(srows)} != {len(orows)}"
     sh, oh = value_hash(srows, spark_df.columns), value_hash(orows, ocols)
     if sh != oh:

@@ -207,3 +207,32 @@ def test_cli_gzip_text_output(spark, tmp_path):
     # lines are the raw payloads, bit-for-bit (R4 passthrough + R8 codec)
     got = {r.value for r in back.collect()}
     assert got == {_json.dumps(r) for r in records}
+
+
+def test_kafka_source_options_contract():
+    """No broker exists in this environment, so the production Kafka
+    seam is verified by contract: the options dict the loader would
+    hand to ``format("kafka")`` must carry the reference consumer's
+    knobs (bootstrap, subscription, offset-reset policy, data-loss
+    posture) exactly as documented in the README."""
+    from kafka_hadoop_loader_spark.streaming.loader import (
+        LoaderConfig,
+        kafka_source_options,
+    )
+
+    cfg = LoaderConfig(
+        source="kafka",
+        kafka_bootstrap="broker1:9092,broker2:9092",
+        topics="events,clicks",
+        offset_reset="earliest",
+        input_path="",
+        target_path="/tmp/x",
+        checkpoint_path="/tmp/c",
+    )
+    opts = kafka_source_options(cfg)
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events,clicks",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }

@@ -17,6 +17,7 @@ import duckdb
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -89,12 +90,22 @@ def main() -> int:
             res = con.execute(osql[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            # Typed-schema gate: the grading driver hashes *typed* values
+            # (Arrow/pandas), so a family mismatch (e.g. DuckDB HUGEINT
+            # from an un-CAST SUM vs Spark BIGINT) is a driver hash-fail
+            # even when repr() values agree.  Reproduce that here.
+            from typecanon import oracle_arrow_schema, type_mismatches
+
+            tmis = type_mismatches(sdf.schema, oracle_arrow_schema(con, osql[name]))
             sh, oh = vhash(srows, sdf.columns), vhash(orows, ocols)
             match = (
                 len(srows) == len(orows)
                 and sorted(sdf.columns) == sorted(ocols)
                 and sh == oh
+                and not tmis
             )
+            if tmis:
+                print(f"  {name}: TYPE MISMATCH {tmis}")
         except Exception as e:  # noqa: BLE001
             print(f"  {name}: EXCEPTION {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
