@@ -8,14 +8,16 @@ Each query is fully materialized through the `noop` sink (whole plan
 executes, nothing collected to the driver) — the honest analogue of a
 cluster run writing results out.
 
-Measurement protocol: TWO full passes over the suite, per-query time =
-min of the two (timeit's rule: the minimum is the best estimate of the
-code's intrinsic cost; everything above it is scheduler/GC/JIT noise).
-Single-pass timings on this box swing up to ~3x run-to-run on
-sub-second queries with no code change (measured, BASELINE.md), which
-made per-query regression gating meaningless.  Both passes execute the
-complete plan against the same cold-start session; the reported total
-is the sum of per-query minima.
+Measurement protocol: THREE full passes over the suite, per-query time
+= min of the three (timeit's rule: the minimum is the best estimate of
+the code's intrinsic cost; everything above it is scheduler/GC/JIT
+noise).  Single-pass timings on this box swing up to ~3x run-to-run on
+sub-second queries with no code change (measured, BASELINE.md), and
+round-3 measurements under ambient host load (loadavg ~5 with nothing
+of ours running) showed even min-of-2 drifting 2x on untouched
+queries — the third pass buys the regression gate back its signal.
+All passes execute the complete plan against the same cold-start
+session; the reported total is the sum of per-query minima.
 """
 
 from __future__ import annotations
@@ -59,7 +61,7 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in sorted(reg):
             if times.get(name) == -1.0:
                 continue  # errored on pass 1; don't mask it with a retry

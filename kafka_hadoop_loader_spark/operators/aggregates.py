@@ -124,12 +124,21 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
+    # two-phase instead of countDistinct+approx in one agg (that shape
+    # plans an Expand doubling the stream): pre-aggregate to the
+    # distinct (priority, custkey) grain, then the exact distinct is a
+    # plain COUNT(*), n_orders is SUM of the carried counts, and the
+    # HLL sketch over the already-distinct keys yields the identical
+    # estimate (HLL depends only on the distinct set) — one shuffle.
+    per_key = o.groupBy("o_orderpriority", "o_custkey").agg(
+        F.count("*").alias("cnt")
+    )
     return (
-        o.groupBy("o_orderpriority")
+        per_key.groupBy("o_orderpriority")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
-            F.countDistinct("o_custkey").alias("n_custs_exact"),
-            F.count("*").alias("n_orders"),
+            F.count("*").alias("n_custs_exact"),
+            F.sum("cnt").alias("n_orders"),
         )
         .select(
             "o_orderpriority",

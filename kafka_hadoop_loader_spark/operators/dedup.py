@@ -233,10 +233,10 @@ def dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    return _minhash_pairs(d).orderBy("doc_id_a", "doc_id_b")
+    return _minhash_pairs(d, sf_dir).orderBy("doc_id_a", "doc_id_b")
 
 
-def _minhash_pairs(d: DataFrame) -> DataFrame:
+def _minhash_pairs(d: DataFrame, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs (3-gram Jaccard >= 0.5) for a documents
     DataFrame, via the MinHash-LSH cascade: shingle -> 64 minhashes ->
     16 band keys -> band-bucket self-join -> exact-Jaccard verify.
@@ -247,7 +247,7 @@ def _minhash_pairs(d: DataFrame) -> DataFrame:
     # of candidate verification; at scale this is the table you'd
     # checkpoint once per pipeline run rather than recompute 3x.
     sh = managed_persist(
-        "minhash:shingles",
+        f"minhash:shingles:{sf_dir}",
         d.select("doc_id", _shingle_hashes(F.col("text")).alias("s")).where(
             F.size("s") > 0
         ),
@@ -368,14 +368,14 @@ def _minhash_pairs(d: DataFrame) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    pairs = _minhash_pairs(d)
+    pairs = _minhash_pairs(d, sf_dir)
     edges = (
         pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
         .unionAll(
             pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
         )
     )
-    edges = managed_persist("dedup_clusters:edges", edges)
+    edges = managed_persist(f"dedup_clusters:edges:{sf_dir}", edges)
     labels = d.select("doc_id", F.col("doc_id").alias("label")).persist()
     prev_sum = None
     for _ in range(16):  # >> fixture component diameter; fixpoint breaks out
@@ -400,7 +400,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = cur_sum
     # the loop unpersists every superseded labels round; register the
     # surviving one so the NEXT invocation evicts it too
-    labels = managed_persist("dedup_clusters:labels", labels)
+    labels = managed_persist(f"dedup_clusters:labels:{sf_dir}", labels)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
@@ -542,7 +542,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("s") > 0)
         .select("doc_id", "s", F.size("s").alias("sz"))
     )
-    sh = managed_persist("ngram_jaccard:shingles", sh)
+    sh = managed_persist(f"ngram_jaccard:shingles:{sf_dir}", sh)
     ex = sh.select("doc_id", "sz", F.explode("s").alias("g"))
     gram_df = ex.groupBy("g").agg(F.count("*").alias("df_cnt"))
 
@@ -920,3 +920,168 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         (~F.col("dup_within_batch") & ~F.col("dup_vs_corpus")).alias("accept"),
     ).orderBy("doc_id")
+
+
+_SPAN_K = 8  # tokens per gram (Lee et al. use 50 BPE tokens; scaled to fixture docs)
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, dl,
+                   CAST(i AS BIGINT) AS pos,
+                   md5(array_to_string(list_slice(toks, i, i + {_SPAN_K - 1}), ' ')) AS g
+            FROM base, unnest(generate_series(1, CAST(dl AS INT) - {_SPAN_K - 1})) AS t(i)
+            WHERE dl >= {_SPAN_K}
+        ),
+        dup AS (
+            SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        marked AS (
+            SELECT doc_id, dl, pos FROM grams WHERE g IN (SELECT g FROM dup)
+        ),
+        islands AS (
+            SELECT doc_id, dl, pos,
+                   CAST(SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                                 THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS island
+            FROM (
+                SELECT doc_id, dl, pos,
+                       MAX(pos) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) + {_SPAN_K - 1} AS prev_end
+                FROM marked
+            )
+        ),
+        cover AS (
+            SELECT doc_id,
+                   CAST(SUM(n_in_island) AS BIGINT) AS n_dup_grams,
+                   CAST(SUM(ilen) AS BIGINT) AS dup_cover_tokens
+            FROM (
+                SELECT doc_id, island,
+                       MAX(pos) + {_SPAN_K - 1} - MIN(pos) + 1 AS ilen,
+                       COUNT(*) AS n_in_island
+                FROM islands
+                GROUP BY doc_id, island
+            )
+            GROUP BY doc_id
+        ),
+        pergram AS (
+            SELECT doc_id, dl, CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM grams GROUP BY doc_id, dl
+        )
+        SELECT p.doc_id,
+               p.n_grams,
+               CAST(COALESCE(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+               CAST(COALESCE(c.dup_cover_tokens, 0) AS BIGINT) AS dup_cover_tokens,
+               CAST(COALESCE(c.dup_cover_tokens, 0) AS DOUBLE)
+                   / CAST(p.dl AS DOUBLE) AS dup_cover_frac
+        FROM pergram p LEFT JOIN cover c ON p.doc_id = c.doc_id
+        ORDER BY p.doc_id
+    """,
+    doc=f"""Exact repeated-substring dedup audit (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" exact
+    substring pass, expressed relationally): every {_SPAN_K}-token
+    window of every document is hashed; windows whose hash occurs in
+    MORE THAN ONE document are duplicate spans, and overlapping spans
+    are merged per document (classic gaps-and-islands: a span whose
+    start exceeds the running max end of prior spans opens a new
+    island) to report exact duplicated-token coverage.
+
+    Determinism: gram identity is md5 over the joined token slice
+    (bit-portable across engines), positions/lengths are pure BIGINT
+    arithmetic, and the only float is one final division.
+
+    Scale: |grams| ≈ corpus token count; one shuffle groups grams by
+    hash (map-side combine shrinks it to distinct grams), the dup set
+    joins back against the gram stream (shuffle on hash — at 100 TB
+    this is the same two-pass shape as the suffix-array approach's
+    merge step but embarrassingly parallel), and the island merge is
+    one window per document.  No pairwise comparison ever happens —
+    cost is linear in corpus size.""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = _SPAN_K
+    d = spread(table(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).cast("bigint").alias("dl"),
+    ).where(F.col("dl") >= k)
+    grams = base.select(
+        "doc_id",
+        "dl",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, CAST(dl AS INT) - {k - 1}),"
+                f" i -> md5(array_join(slice(toks, i, {k}), ' ')))"
+            )
+        ).alias("pos0", "g"),
+    ).select(
+        "doc_id", "dl", (F.col("pos0") + 1).cast("bigint").alias("pos"), "g"
+    )
+    grams = managed_persist(f"substring_spans:grams:{sf_dir}", grams)
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("g")
+    )
+    marked = grams.join(dup, "g").select("doc_id", "dl", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = (
+        F.max("pos").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+        + F.lit(k - 1)
+    )
+    islands = marked.withColumn("prev_end", prev_end).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")), 1
+            ).otherwise(0)
+        )
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    cover = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            (F.max("pos") + F.lit(k - 1) - F.min("pos") + 1).alias("ilen"),
+            F.count("*").alias("n_in_island"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_in_island").cast("bigint").alias("n_dup_grams"),
+            F.sum("ilen").cast("bigint").alias("dup_cover_tokens"),
+        )
+    )
+    pergram = grams.groupBy("doc_id", "dl").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    return (
+        pergram.join(cover, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            F.coalesce("dup_cover_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("dup_cover_tokens"),
+            (
+                F.coalesce("dup_cover_tokens", F.lit(0)).cast("double")
+                / F.col("dl").cast("double")
+            ).alias("dup_cover_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1163,3 +1163,85 @@ def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_len")
     )
+
+
+@register(
+    "mixture_solve_rates",
+    oracle="""
+        WITH src AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                        AS BIGINT) AS src_tokens
+            FROM documents
+            GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources
+            FROM src
+        )
+        SELECT s.source,
+               s.n_docs,
+               s.src_tokens,
+               CAST(t.total_tokens // t.n_sources AS BIGINT) AS target_tokens,
+               CAST(t.total_tokens // t.n_sources AS DOUBLE)
+                   / CAST(s.src_tokens AS DOUBLE) AS rate,
+               CAST(t.total_tokens // t.n_sources AS DOUBLE)
+                   / CAST(s.src_tokens AS DOUBLE) > 2.0 AS over_epoch_cap,
+               CAST(CASE WHEN CAST(t.total_tokens // t.n_sources AS DOUBLE)
+                              / CAST(s.src_tokens AS DOUBLE) > 2.0
+                         THEN 2 * s.src_tokens
+                         ELSE t.total_tokens // t.n_sources END
+                    AS BIGINT) AS planned_tokens
+        FROM src s CROSS JOIN tot t
+        ORDER BY s.source
+    """,
+    doc="""Data-mixture rate solving: given a target token share per
+    source (uniform here — the declared mixture a training run wants),
+    compute each source's sampling rate = target/available, flag
+    sources that would need more than the epoch cap (2 passes) of
+    repetition to hit target, and emit the planned token budget with
+    the cap applied.  This is the planning step that turns a mixture
+    spec (à la Pile/Dolma weights) into concrete per-source sampling
+    rates fed to mix_weighted_sources.
+
+    Determinism: token counts and targets are exact BIGINT (integer
+    floor-division for the target); `rate` is a single IEEE division;
+    the cap compare and planned budget stay integral.
+
+    Scale: one hash aggregate over the corpus (map-side combined) to a
+    |sources|-row table, then a 1-row broadcast cross join — the plan
+    is O(corpus scan) with no fact-sized shuffle at all.""",
+)
+def mixture_solve_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("src_tokens"),
+    )
+    tot = src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    target = (F.col("total_tokens") / F.col("n_sources")).cast("bigint")
+    rate = F.col("target_tokens").cast("double") / F.col("src_tokens").cast("double")
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("target_tokens", target)
+        .withColumn("rate", rate)
+        .withColumn("over_epoch_cap", F.col("rate") > 2.0)
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            "target_tokens",
+            "rate",
+            "over_epoch_cap",
+            F.when(F.col("over_epoch_cap"), 2 * F.col("src_tokens"))
+            .otherwise(F.col("target_tokens"))
+            .cast("bigint")
+            .alias("planned_tokens"),
+        )
+        .orderBy("source")
+    )

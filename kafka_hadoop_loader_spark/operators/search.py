@@ -273,7 +273,7 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the scored join — without it the explode + aggregate (the
     # expensive pass) runs twice.
     pc = managed_persist(
-        "cooccur_pmi:pair_counts",
+        f"cooccur_pmi:pair_counts:{sf_dir}",
         prs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab")),
     )
     tc = (
@@ -393,7 +393,7 @@ def doc_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf") * (F.col("n_docs") - F.col("df") + 1)).alias("wt"),
         )
     )
-    w = managed_persist("doc_sparse_cosine:weights", w)
+    w = managed_persist(f"doc_sparse_cosine:weights:{sf_dir}", w)
     norms = w.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).alias("ss"))
     a, b = w.alias("a"), w.alias("b")
     dots = (
@@ -435,4 +435,150 @@ def doc_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rnk", F.row_number().over(wnd).cast("bigint"))
         .select("doc_a", "doc_b", "n_shared_terms", "cos_sim", "rnk")
         .orderBy("rnk")
+    )
+
+
+# BM25 per-term score component, shared VERBATIM between the Spark plan
+# (F.expr) and the DuckDB oracle so both engines evaluate the identical
+# IEEE-754 expression tree: idf is the rational Robertson idf with the
+# ln() dropped (ln is monotone, so ranking is preserved, and libm ln is
+# not bit-portable — same doctrine as keyword_search's linear idf); the
+# integer arithmetic (2N-2df+1 etc.) happens in BIGINT and is cast to
+# double only for the single division, so every input to every float op
+# is exact.  k1=1.2, b=0.75 -> k1+1=2.2, k1(1-b)=0.3, k1*b=0.9.
+def _bm25_component(tf: str, df: str) -> str:
+    idf = f"(CAST(2 * n_docs - 2 * {df} + 1 AS DOUBLE) / CAST(2 * {df} + 1 AS DOUBLE))"
+    tfn = (
+        f"(CAST({tf} AS DOUBLE) * 2.2 / "
+        f"(CAST({tf} AS DOUBLE) + (0.3 + (0.9 * (CAST(dl AS DOUBLE) / avgdl)))))"
+    )
+    return f"({idf} * {tfn})"
+
+
+_BM25_SCORE = (
+    f"(({_bm25_component('tf1', 'df1')} + {_bm25_component('tf2', 'df2')})"
+    f" + {_bm25_component('tf3', 'df3')})"
+)
+
+
+@register(
+    "bm25_rank",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        lens AS (
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+            FROM documents
+        ),
+        nd AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                        AS BIGINT) AS total_tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks
+            WHERE term IN ('{_QUERY_TERMS[0]}', '{_QUERY_TERMS[1]}', '{_QUERY_TERMS[2]}')
+            GROUP BY doc_id, term
+        ),
+        dfs AS (
+            SELECT
+                CAST(COUNT(CASE WHEN term = '{_QUERY_TERMS[0]}' THEN 1 END) AS BIGINT) AS df1,
+                CAST(COUNT(CASE WHEN term = '{_QUERY_TERMS[1]}' THEN 1 END) AS BIGINT) AS df2,
+                CAST(COUNT(CASE WHEN term = '{_QUERY_TERMS[2]}' THEN 1 END) AS BIGINT) AS df3
+            FROM tf
+        ),
+        piv AS (
+            SELECT doc_id,
+                   CAST(COALESCE(SUM(CASE WHEN term = '{_QUERY_TERMS[0]}' THEN tf END), 0) AS BIGINT) AS tf1,
+                   CAST(COALESCE(SUM(CASE WHEN term = '{_QUERY_TERMS[1]}' THEN tf END), 0) AS BIGINT) AS tf2,
+                   CAST(COALESCE(SUM(CASE WHEN term = '{_QUERY_TERMS[2]}' THEN tf END), 0) AS BIGINT) AS tf3
+            FROM tf
+            GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT p.doc_id,
+                   l.dl,
+                   p.tf1 + p.tf2 + p.tf3 AS total_tf,
+                   CAST(nd.total_tok AS DOUBLE) / CAST(nd.n_docs AS DOUBLE) AS avgdl,
+                   p.tf1, p.tf2, p.tf3, d.df1, d.df2, d.df3, nd.n_docs
+            FROM piv p
+            JOIN lens l ON l.doc_id = p.doc_id
+            CROSS JOIN nd CROSS JOIN dfs d
+        )
+        SELECT doc_id, dl, total_tf, {_BM25_SCORE} AS bm25
+        FROM scored
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20
+    """,
+    doc="""BM25 ranking over the {hash, join, scan} query — the
+    industry-standard probabilistic relevance function (Robertson/
+    Sparck-Jones), disjunctive: any doc containing at least one query
+    term is scored; length normalization (b=0.75) damps long documents,
+    saturation (k1=1.2) damps repeated terms.
+
+    Determinism: the idf keeps Robertson's rational core
+    (N-df+0.5)/(df+0.5) but drops the ln() wrapper (monotone, so the
+    RANKING is identical; libm ln is not bit-portable).  Every float op
+    is shared verbatim between engines via one expression string
+    (_BM25_SCORE): integer inputs stay BIGINT until a single CAST, the
+    three term components are summed in fixed association, and the
+    LIMIT rides on (bm25 DESC, doc_id).
+
+    Scale: postings of 3 terms only (WHERE prunes before the first
+    shuffle); df/avgdl are 1-row broadcasts; per-doc length join is the
+    only fact-sized shuffle.  This is the textbook top-k retrieval
+    plan: score only candidate postings, never the corpus.""",
+)
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    t1, t2, t3 = _QUERY_TERMS
+    dl = d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl"))
+    nd = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("total_tok"),
+    )
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (
+        toks.where(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tf.agg(
+        F.count(F.expr(f"CASE WHEN term = '{t1}' THEN 1 END")).alias("df1"),
+        F.count(F.expr(f"CASE WHEN term = '{t2}' THEN 1 END")).alias("df2"),
+        F.count(F.expr(f"CASE WHEN term = '{t3}' THEN 1 END")).alias("df3"),
+    )
+    piv = tf.groupBy("doc_id").agg(
+        F.coalesce(F.sum(F.expr(f"CASE WHEN term = '{t1}' THEN tf END")), F.lit(0))
+        .cast("bigint")
+        .alias("tf1"),
+        F.coalesce(F.sum(F.expr(f"CASE WHEN term = '{t2}' THEN tf END")), F.lit(0))
+        .cast("bigint")
+        .alias("tf2"),
+        F.coalesce(F.sum(F.expr(f"CASE WHEN term = '{t3}' THEN tf END")), F.lit(0))
+        .cast("bigint")
+        .alias("tf3"),
+    )
+    scored = (
+        piv.join(dl, "doc_id")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(dfs))
+        .withColumn(
+            "avgdl",
+            F.col("total_tok").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "dl",
+            (F.col("tf1") + F.col("tf2") + F.col("tf3")).alias("total_tf"),
+            F.expr(_BM25_SCORE).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
     )

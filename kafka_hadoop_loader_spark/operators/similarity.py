@@ -330,7 +330,7 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", "embedding", F.col("b.t").alias("t"), F.col("b.key").alias("key")
         )
     )
-    buckets = managed_persist("knn_lsh:buckets", buckets)
+    buckets = managed_persist(f"knn_lsh:buckets:{sf_dir}", buckets)
 
     q = buckets.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "t", "key"
@@ -574,7 +574,7 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "embedding", "nrm", "cell", sim.alias("sim"))
         .withColumn("rk", F.row_number().over(asg_w))
     )
-    assign = managed_persist("knn_ivf:assign", assign)
+    assign = managed_persist(f"knn_ivf:assign:{sf_dir}", assign)
     nprobe = 3
     home = assign.where(F.col("rk") == 1)
     probes = assign.where((F.col("rk") <= nprobe) & (F.col("vec_id") < N_QUERIES)).select(
@@ -853,7 +853,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # five consumers derive from the long view (seeds' centroids, two
     # assignment passes, both re-rank sides) — persist so the explode
     # runs once, the same discipline as the LSH/IVF indexes
-    longv = managed_persist("knn_pq_adc:longv", longv)
+    longv = managed_persist(f"knn_pq_adc:longv:{sf_dir}", longv)
     seeds = (
         emb.select("vec_id")
         .orderBy("vec_id")

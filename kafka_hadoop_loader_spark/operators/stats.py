@@ -1055,3 +1055,105 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("gap_variance"),
         ((s2 * n_ - s1 * s1) * 100 < s1 * s1).alias("suspected_bot"),
     ).orderBy("user_id")
+
+
+@register(
+    "quantiles_approx_envelope",
+    oracle="""
+        WITH r AS (
+            SELECT l_returnflag, l_linestatus, l_quantity,
+                   CAST(row_number() OVER (
+                       PARTITION BY l_returnflag, l_linestatus ORDER BY l_quantity
+                   ) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY l_returnflag, l_linestatus
+                   ) AS BIGINT) AS n
+            FROM lineitem
+        )
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               MAX(n) AS n,
+               MAX(CASE WHEN rn = GREATEST((n * 23 + 99) // 100, 1)
+                        THEN l_quantity END) AS p25_lo,
+               MAX(CASE WHEN rn = (n * 27 + 99) // 100 THEN l_quantity END) AS p25_hi,
+               MAX(CASE WHEN rn = GREATEST((n * 48 + 99) // 100, 1)
+                        THEN l_quantity END) AS p50_lo,
+               MAX(CASE WHEN rn = (n * 52 + 99) // 100 THEN l_quantity END) AS p50_hi,
+               MAX(CASE WHEN rn = GREATEST((n * 73 + 99) // 100, 1)
+                        THEN l_quantity END) AS p75_lo,
+               MAX(CASE WHEN rn = (n * 77 + 99) // 100 THEN l_quantity END) AS p75_hi,
+               TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        FROM r
+        GROUP BY returnflag, linestatus
+        ORDER BY returnflag, linestatus
+    """,
+    doc="""approx_percentile with a checkable contract (the
+    approx_distinct pattern applied to quantile sketches): the
+    Greenwald-Khanna sketch guarantees rank error ≤ n/accuracy
+    regardless of partition merge order, so with accuracy=10000 the
+    estimate provably lies between the EXACT rank-(q−0.02)·n and
+    rank-(q+0.02)·n values.  The query emits those exact envelope
+    bounds plus a boolean per percentile asserting the sketch landed
+    inside; the oracle computes the same bounds and expects TRUE —
+    a sketch regression (or a merge-order-sensitive implementation)
+    flips a boolean and hash-fails.
+
+    Scale: the envelope (window rank) is the expensive exact pass and
+    exists only to certify the sketch; production keeps just the
+    percentile_approx aggregate — one map-side-combinable sketch per
+    group, no window, no sort.""",
+)
+def quantiles_approx_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    wr = Window.partitionBy("l_returnflag", "l_linestatus").orderBy("l_quantity")
+    wn = Window.partitionBy("l_returnflag", "l_linestatus")
+    r = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    def bound(pct: int, alias: str) -> F.Column:
+        return F.max(
+            F.expr(
+                f"CASE WHEN rn = GREATEST((n * {pct} + 99) DIV 100, 1)"
+                " THEN l_quantity END"
+            )
+        ).alias(alias)
+    agg = (
+        r.groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.max("n").alias("n"),
+            bound(23, "p25_lo"),
+            bound(27, "p25_hi"),
+            bound(48, "p50_lo"),
+            bound(52, "p50_hi"),
+            bound(73, "p75_lo"),
+            bound(77, "p75_hi"),
+            F.percentile_approx(
+                "l_quantity", [0.25, 0.5, 0.75], 10000
+            ).alias("ap"),
+        )
+    )
+    return (
+        agg.select(
+            "returnflag",
+            "linestatus",
+            "n",
+            "p25_lo",
+            "p25_hi",
+            "p50_lo",
+            "p50_hi",
+            "p75_lo",
+            "p75_hi",
+            ((F.col("ap")[0] >= F.col("p25_lo")) & (F.col("ap")[0] <= F.col("p25_hi"))).alias("p25_ok"),
+            ((F.col("ap")[1] >= F.col("p50_lo")) & (F.col("ap")[1] <= F.col("p50_hi"))).alias("p50_ok"),
+            ((F.col("ap")[2] >= F.col("p75_lo")) & (F.col("ap")[2] <= F.col("p75_hi"))).alias("p75_ok"),
+        )
+        .orderBy("returnflag", "linestatus")
+    )

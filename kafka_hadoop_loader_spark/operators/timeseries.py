@@ -1304,3 +1304,73 @@ def orders_reorder_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_reorders") >= 2)
         .orderBy("o_custkey")
     )
+
+
+_SEQ_PATTERN = "vc*p"  # view, any clicks, purchase — the conversion funnel
+
+
+@register(
+    "events_pattern_regex",
+    oracle=f"""
+        WITH j AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY epoch_us(ts), event_id) AS journey,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               n_events,
+               CAST(len(regexp_extract_all(journey, '{_SEQ_PATTERN}'))
+                    AS BIGINT) AS n_funnel_matches,
+               len(regexp_extract_all(journey, '{_SEQ_PATTERN}')) > 0
+                   AS has_funnel
+        FROM j
+        ORDER BY user_id
+    """,
+    doc="""Sequence-pattern matching over event streams (the
+    MATCH_RECOGNIZE / complex-event-processing workload, which Spark
+    SQL lacks natively): each user's events collapse to an ordered
+    journey string of event-type initials, and the conversion funnel
+    `view (click)* purchase` is counted as a regex over that string —
+    non-overlapping left-to-right matches, identical semantics in Java
+    regex and RE2 for this pattern class.
+
+    Determinism: the journey is built over the total order
+    (ts, event_id); initials are single fixed bytes; counts are BIGINT.
+
+    Scale: one shuffle (groupBy user).  The in-row string is bounded by
+    per-user activity — at 100 TB you window the journey per
+    (user, session) first (see window_session_batch) so no single
+    string exceeds session length; the regex pass stays a pure map.
+    This row-pattern-as-regex reduction is the standard Spark answer
+    to Flink CEP / Oracle MATCH_RECOGNIZE.""",
+)
+def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    rows = e.select(
+        "user_id",
+        F.struct(F.col("ts_us"), F.col("event_id")).alias("k"),
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    j = rows.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "ch"))),
+                lambda s: s["ch"],
+            ),
+        ).alias("journey"),
+        F.count("*").alias("n_events"),
+    )
+    n_matches = F.regexp_count("journey", F.lit(_SEQ_PATTERN)).cast("bigint")
+    return (
+        j.select(
+            "user_id",
+            "n_events",
+            n_matches.alias("n_funnel_matches"),
+            (n_matches > 0).alias("has_funnel"),
+        )
+        .orderBy("user_id")
+    )
