@@ -1085,3 +1085,129 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CONT_T = 0.8  # containment threshold
+_CONT_PROBES = 2  # rarest-shingle probes per doc (miss prob <= (1-t)^k = 4%)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> array_to_string(
+                           list_slice(string_split(text, ' '), i, i + 2), ' ')
+                   )) AS grams
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        ex AS (
+            SELECT doc_id, CAST(len(grams) AS BIGINT) AS sz, unnest(grams) AS g
+            FROM sh
+        ),
+        dfg AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS df_cnt FROM ex GROUP BY g
+        ),
+        ranked AS (
+            SELECT e.doc_id, e.sz, e.g,
+                   row_number() OVER (
+                       PARTITION BY e.doc_id ORDER BY d.df_cnt, e.g
+                   ) AS rn
+            FROM ex e JOIN dfg d ON e.g = d.g
+        ),
+        probes AS (
+            SELECT doc_id, sz, g FROM ranked WHERE rn <= {_CONT_PROBES}
+        ),
+        cand AS (
+            SELECT DISTINCT p.doc_id AS a_doc, e.doc_id AS b_doc
+            FROM probes p JOIN ex e ON p.g = e.g AND p.doc_id != e.doc_id
+        ),
+        common AS (
+            SELECT c.a_doc, c.b_doc,
+                   CAST(COUNT(*) AS BIGINT) AS n_common,
+                   CAST(MAX(ea.sz) AS BIGINT) AS n_contained
+            FROM cand c
+            JOIN ex ea ON ea.doc_id = c.a_doc
+            JOIN ex eb ON eb.doc_id = c.b_doc AND eb.g = ea.g
+            GROUP BY c.a_doc, c.b_doc
+        )
+        SELECT a_doc AS contained_doc, b_doc AS container_doc,
+               n_common, n_contained,
+               CAST(n_common AS DOUBLE) / CAST(n_contained AS DOUBLE)
+                   AS containment
+        FROM common
+        WHERE CAST(n_common AS DOUBLE) / CAST(n_contained AS DOUBLE)
+              >= {_CONT_T}
+        ORDER BY contained_doc, container_doc
+    """,
+    doc=f"""Asymmetric CONTAINMENT dedup — the case symmetric Jaccard
+    misses: a short document pasted inside a much longer one has tiny
+    Jaccard but containment |A∩B|/|A| ≈ 1.  Candidates come from
+    RARE-SHINGLE probing: each doc nominates its {_CONT_PROBES}
+    globally-rarest 3-gram shingles (by document frequency, total
+    order (df, gram)); any other doc whose shingle set hits a probe is
+    a candidate.  For true containment ≥ t every probe lands with
+    probability ≥ t, so the miss rate is ≤ (1-t)^k = 4% — same
+    recall-engineering contract as the LSH band construction, and the
+    oracle replays the identical algorithm so the check is exact.
+    Candidates then verify by exact intersection over their shingle
+    sets, normalized by the CONTAINED side's size.
+
+    Scale: probing joins the k·n probe stream against the inverted
+    index on the probe gram — and because probes are the RAREST grams,
+    their posting lists are the shortest in the corpus (median df=1),
+    so candidate generation is near-linear; the verify join touches
+    candidate pairs only.  Contrast dedup_ngram_jaccard (symmetric
+    prefix filter) and dedup_minhash_lsh (banded signatures): one
+    corpus, three different candidate geometries, all never-all-pairs.""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    sh = (
+        d.select("doc_id", _shingle_grams(F.col("text")).alias("grams"))
+        .where(F.size("grams") > 0)
+        .select("doc_id", F.size("grams").cast("bigint").alias("sz"), "grams")
+    )
+    ex = sh.select("doc_id", "sz", F.explode("grams").alias("g"))
+    ex = managed_persist(f"containment:postings:{sf_dir}", ex)
+    dfg = ex.groupBy("g").agg(F.count("*").alias("df_cnt"))
+    w = Window.partitionBy("doc_id").orderBy("df_cnt", "g")
+    probes = (
+        ex.join(dfg, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _CONT_PROBES)
+        .select("doc_id", "g")
+    )
+    cand = (
+        probes.alias("p")
+        .join(ex.alias("e"), (F.col("p.g") == F.col("e.g")) & (F.col("p.doc_id") != F.col("e.doc_id")))
+        .select(F.col("p.doc_id").alias("a_doc"), F.col("e.doc_id").alias("b_doc"))
+        .distinct()
+    )
+    ea = ex.select(F.col("doc_id").alias("a_doc"), F.col("sz").alias("a_sz"), "g")
+    eb = ex.select(F.col("doc_id").alias("b_doc"), "g")
+    common = (
+        cand.join(ea, "a_doc")
+        .join(eb, ["b_doc", "g"])
+        .groupBy("a_doc", "b_doc")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.max("a_sz").alias("n_contained"),
+        )
+    )
+    containment = F.col("n_common").cast("double") / F.col("n_contained").cast("double")
+    return (
+        common.where(containment >= _CONT_T)
+        .select(
+            F.col("a_doc").alias("contained_doc"),
+            F.col("b_doc").alias("container_doc"),
+            "n_common",
+            "n_contained",
+            containment.alias("containment"),
+        )
+        .orderBy("contained_doc", "container_doc")
+    )

@@ -279,3 +279,72 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# The audit predicate: a 100x-selective value band a reader might push.
+_ZM_LO, _ZM_HI = 42.0, 44.0
+
+
+@register(
+    "zone_map_pruning",
+    oracle=f"""
+        WITH zm AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(value) AS zmin,
+                   MAX(value) AS zmax
+            FROM events
+            GROUP BY d
+        )
+        SELECT d, n_rows, zmin, zmax,
+               (zmax < {_ZM_LO} OR zmin > {_ZM_HI}) AS skippable,
+               CAST(CASE WHEN zmax < {_ZM_LO} OR zmin > {_ZM_HI}
+                         THEN 0 ELSE n_rows END AS BIGINT) AS rows_scanned
+        FROM zm
+        ORDER BY d
+    """,
+    doc=f"""Zone-map (min/max) pruning audit — the file-skipping math
+    every columnar table format (parquet row groups, Iceberg/Delta file
+    stats) applies before touching data: per daily partition, the
+    min/max "zone" of `value` is collected, and a point-lookup band
+    predicate ({_ZM_LO} <= value <= {_ZM_HI}) is tested against each
+    zone.  A partition whose zone misses the band is skippable without
+    reading a row; `rows_scanned` is the residual I/O the predicate
+    actually pays.
+
+    This is the observability half of data layout work: zorder_layout
+    IMPROVES zone tightness, this measures what the zones BUY.  A
+    layout where every zone spans the whole domain (random order) scans
+    everything; after clustering on `value`, most partitions become
+    skippable — the ratio Σrows_scanned / Σn_rows is the layout's
+    skip-rate under this probe.
+
+    Scale: one hash aggregate over the scan (map-side min/max combine);
+    at 100 TB these stats come free from the table format's manifest,
+    and this query runs over the MANIFEST, not the data.""",
+)
+def zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    zm = (
+        e.groupBy(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("d"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("value").alias("zmin"),
+            F.max("value").alias("zmax"),
+        )
+    )
+    skippable = (F.col("zmax") < _ZM_LO) | (F.col("zmin") > _ZM_HI)
+    return (
+        zm.select(
+            "d",
+            "n_rows",
+            "zmin",
+            "zmax",
+            skippable.alias("skippable"),
+            F.when(skippable, F.lit(0))
+            .otherwise(F.col("n_rows"))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+        .orderBy("d")
+    )

@@ -165,3 +165,141 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --- PCA top principal component by fixed-round power iteration -------
+_PCA_XS = 10_000  # component quantization scale
+_PCA_VS = 1_000_000  # iterate vector scale
+
+
+def _tdiv_sql(x: str, d: str, div_kw: str) -> str:
+    """Portable truncating integer division of a SIGNED value.
+
+    DuckDB ``//`` floors (-7//2 = -4) while Spark ``DIV`` truncates
+    (-7 DIV 2 = -3), so signed division is routed through ABS (where
+    floor == truncate) with the sign reapplied — bit-identical in both
+    engines.  ``div_kw`` is '//' (DuckDB) or 'DIV' (Spark)."""
+    return (
+        f"(CASE WHEN ({x}) < 0 THEN -((-({x})) {div_kw} ({d}))"
+        f" ELSE ({x}) {div_kw} ({d}) END)"
+    )
+
+
+def _pca_iter_sql(prev: str, cur: str, div_kw: str) -> str:
+    """One power iteration w = Xᵀ(Xv), rescaled to |v| ≤ ~1e6."""
+    sdiv = _tdiv_sql("s", str(_PCA_VS), div_kw)
+    vdiv = _tdiv_sql("w", f"dn.d", div_kw)
+    return f"""
+        {cur}_s AS (
+            SELECT l.vec_id,
+                   CAST(SUM(l.xq * p.v) AS BIGINT) AS s
+            FROM longv l JOIN {prev} p ON p.dim = l.dim
+            GROUP BY l.vec_id
+        ),
+        {cur}_sq AS (
+            SELECT vec_id, CAST({sdiv} AS BIGINT) AS sq FROM {cur}_s
+        ),
+        {cur}_w AS (
+            SELECT l.dim, CAST(SUM(l.xq * q.sq) AS BIGINT) AS w
+            FROM longv l JOIN {cur}_sq q ON q.vec_id = l.vec_id
+            GROUP BY l.dim
+        ),
+        {cur}_m AS (
+            SELECT CAST(MAX(ABS(w)) {div_kw} {_PCA_VS} AS BIGINT) + 1 AS d
+            FROM {cur}_w
+        ),
+        {cur} AS (
+            SELECT w.dim, CAST({vdiv} AS BIGINT) AS v
+            FROM {cur}_w w CROSS JOIN {cur}_m dn
+        )"""
+
+
+@register(
+    "pca_power_component",
+    oracle=f"""
+        WITH longv AS (
+            SELECT vec_id, i AS dim,
+                   CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_PCA_XS})
+                        AS BIGINT) AS xq
+            FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        ),
+        v0 AS (
+            SELECT DISTINCT dim, CAST({_PCA_VS} AS BIGINT) AS v FROM longv
+        ),
+        {_pca_iter_sql("v0", "v1", "//")},
+        {_pca_iter_sql("v1", "v2", "//")},
+        {_pca_iter_sql("v2", "v3", "//")}
+        SELECT v1.dim AS dim, v1.v AS v1, v2.v AS v2, v3.v AS v3
+        FROM v1 JOIN v2 ON v1.dim = v2.dim JOIN v3 ON v1.dim = v3.dim
+        ORDER BY dim
+    """,
+    doc=f"""Top principal component of the embedding corpus by POWER
+    ITERATION (3 fixed rounds of w ← Xᵀ(Xv), rescaled each round) —
+    the building block behind PCA whitening / spectral embedding-drift
+    audits, expressed without any linear-algebra library: the Gram
+    matrix is never materialized (64×64 would be fine, but Xᵀ(Xv)
+    generalizes to d where d² doesn't fit), just two hash aggregates
+    per round over the long-format (vec_id, dim, xq) view.
+
+    Exactness: components quantize once to ×{_PCA_XS} ints; every
+    product/sum is BIGINT; rescaling uses truncating SIGNED division
+    routed through ABS because DuckDB ``//`` floors while Spark ``DIV``
+    truncates (they differ on negatives) — after which all three
+    iterate vectors are bit-identical across engines.  Output keeps
+    v1/v2/v3 so the convergence trajectory itself is oracle-checked.
+    int64 headroom: |Σ xq·sq| ≤ n·2e4·2e6 → safe to n ≈ 2e8 vectors
+    per aggregate; beyond that raise the per-round rescale by 10×.
+
+    Scale: per round, one shuffle keyed on vec_id (row dot-products,
+    map-side combinable) and one on dim (column reduction, 64 groups),
+    plus a 1-row broadcast for the rescale — the distributed matmul
+    shape MLlib's RowMatrix.computePrincipalComponents uses, with
+    fixed iteration count so the whole fit is one Catalyst plan.""",
+)
+def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    longv = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("x").cast("double") * _PCA_XS).cast("bigint").alias("xq"),
+    )
+    v = longv.select("dim").distinct().select(
+        "dim", F.lit(_PCA_VS).cast("bigint").alias("v")
+    )
+    iterates = []
+    for _ in range(3):
+        s = (
+            longv.join(v, "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xq") * F.col("v")).cast("bigint").alias("s"))
+        )
+        sq = s.selectExpr(
+            "vec_id",
+            f"CAST({_tdiv_sql('s', str(_PCA_VS), 'DIV')} AS BIGINT) AS sq",
+        )
+        w = (
+            longv.join(sq, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("xq") * F.col("sq")).cast("bigint").alias("w"))
+        )
+        m = w.agg(
+            F.expr(f"CAST(MAX(ABS(w)) DIV {_PCA_VS} AS BIGINT) + 1").alias("d")
+        )
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .selectExpr(
+                "dim",
+                f"CAST({_tdiv_sql('w', 'd', 'DIV')} AS BIGINT) AS v",
+            )
+        )
+        iterates.append(v)
+    v1, v2, v3 = iterates
+    return (
+        v1.withColumnRenamed("v", "v1")
+        .join(v2.withColumnRenamed("v", "v2"), "dim")
+        .join(v3.withColumnRenamed("v", "v3"), "dim")
+        .orderBy("dim")
+    )

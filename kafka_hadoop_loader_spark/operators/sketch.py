@@ -220,3 +220,147 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summed.join(F.broadcast(truth)).selectExpr(
         "n_true", "m_present", f"{est} AS hll_estimate"
     )
+
+
+@register(
+    "sketch_hll_merge_partitioned",
+    oracle=f"""
+        WITH keys AS (
+            SELECT DISTINCT event_type AS part,
+                   CAST(user_id AS VARCHAR) AS key
+            FROM events
+        ),
+        hashed AS (
+            SELECT part, key,
+                   {_PHASH_DUCK.format(x="key || '|hb'")} % {_HLL_M} AS bucket,
+                   substr(md5(key || '|hw'), 1, 15) AS h
+            FROM keys
+        ),
+        ranked AS (
+            SELECT part, bucket,
+                   4 * length(regexp_extract(h, '^(0*)', 1))
+                   + CASE substr(h, length(regexp_extract(h, '^(0*)', 1)) + 1, 1)
+                         WHEN '1' THEN 3
+                         WHEN '2' THEN 2 WHEN '3' THEN 2
+                         WHEN '4' THEN 1 WHEN '5' THEN 1
+                         WHEN '6' THEN 1 WHEN '7' THEN 1
+                         ELSE 0
+                     END + 1 AS rank
+            FROM hashed
+        ),
+        part_regs AS (
+            SELECT part, bucket,
+                   CAST(MAX(LEAST(rank, {_HLL_SCALE_EXP})) AS BIGINT) AS reg
+            FROM ranked GROUP BY part, bucket
+        ),
+        merged_regs AS (
+            SELECT bucket, CAST(MAX(reg) AS BIGINT) AS reg
+            FROM part_regs GROUP BY bucket
+        ),
+        all_regs AS (
+            SELECT part, bucket, reg FROM part_regs
+            UNION ALL
+            SELECT '(merged)' AS part, bucket, reg FROM merged_regs
+        ),
+        summed AS (
+            SELECT part,
+                   CAST(SUM(CAST(1 AS BIGINT)
+                            << CAST({_HLL_SCALE_EXP} - reg AS INTEGER)) AS BIGINT)
+                       AS s_present,
+                   CAST(COUNT(*) AS BIGINT) AS m_present
+            FROM all_regs GROUP BY part
+        ),
+        truth AS (
+            SELECT event_type AS part,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT '(merged)' AS part,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+            FROM events
+        )
+        SELECT t.part AS part, t.n_true AS n_true, s.m_present AS m_present,
+               ({_HLL_ALPHA} * {_HLL_M} * {_HLL_M})
+               * (CAST(1 AS BIGINT) << {_HLL_SCALE_EXP})
+               / (CAST(s.s_present AS DOUBLE)
+                  + CAST({_HLL_M} - s.m_present AS DOUBLE)
+                    * CAST(CAST(1 AS BIGINT) << {_HLL_SCALE_EXP} AS DOUBLE))
+                   AS hll_estimate
+        FROM summed s JOIN truth t ON s.part = t.part
+        ORDER BY part
+    """,
+    doc="""HLL sketch MERGEABILITY — the property that makes sketches
+    the 100 TB answer: per-partition (event_type) register sets are
+    built independently, then the GLOBAL distinct-user estimate comes
+    from a cell-wise MAX merge of the partial registers, never
+    re-touching the raw data.  Output: one row per partition plus the
+    '(merged)' row, each with its exact truth and its HLL estimate —
+    demonstrating that merge(sketch(A), sketch(B)) = sketch(A ∪ B)
+    holds bit-exactly in both engines (same md5-derived portable hash
+    family and integer register algebra as sketch_hll_distinct).
+
+    Scale: this is exactly the two-level distinct-count topology of a
+    1000-executor job — map-side per-partition registers (64 ints),
+    one tiny shuffle of registers, cell-MAX reduce; also the layout for
+    pre-aggregated daily sketches merged across arbitrary date ranges
+    (count distinct users last N days without rescanning N days).""",
+)
+def sketch_hll_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    keys = (
+        e.select(F.col("event_type").alias("part"), F.col("user_id").cast("string").alias("key"))
+        .distinct()
+    )
+    hb = _PHASH.format(x="key || '|hb'")
+    hashed = keys.selectExpr(
+        "part",
+        f"{hb} % {_HLL_M} AS bucket",
+        "SUBSTRING(MD5(key || '|hw'), 1, 15) AS h",
+    )
+    zeros = "length(regexp_extract(h, '^(0*)', 1))"
+    ranked = hashed.selectExpr(
+        "part",
+        "bucket",
+        f"""4 * {zeros}
+            + CASE SUBSTRING(h, {zeros} + 1, 1)
+                  WHEN '1' THEN 3
+                  WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1
+                  WHEN '6' THEN 1 WHEN '7' THEN 1
+                  ELSE 0
+              END + 1 AS rank""",
+    )
+    part_regs = ranked.groupBy("part", "bucket").agg(
+        F.expr(f"CAST(MAX(LEAST(rank, {_HLL_SCALE_EXP})) AS BIGINT)").alias("reg")
+    )
+    merged_regs = part_regs.groupBy("bucket").agg(
+        F.max("reg").cast("bigint").alias("reg")
+    ).select(F.lit("(merged)").alias("part"), "bucket", "reg")
+    all_regs = part_regs.unionByName(merged_regs)
+    summed = all_regs.groupBy("part").agg(
+        F.expr(
+            f"CAST(SUM(CAST(1 AS BIGINT) << CAST({_HLL_SCALE_EXP} - reg AS INT)) AS BIGINT)"
+        ).alias("s_present"),
+        F.count("*").alias("m_present"),
+    )
+    truth = (
+        e.groupBy(F.col("event_type").alias("part"))
+        .agg(F.countDistinct("user_id").alias("n_true"))
+        .unionByName(
+            e.agg(F.countDistinct("user_id").alias("n_true")).select(
+                F.lit("(merged)").alias("part"), "n_true"
+            )
+        )
+    )
+    est = (
+        f"({_HLL_ALPHA} * {_HLL_M} * {_HLL_M})"
+        f" * (CAST(1 AS BIGINT) << {_HLL_SCALE_EXP})"
+        f" / (CAST(s_present AS DOUBLE)"
+        f"    + CAST({_HLL_M} - m_present AS DOUBLE)"
+        f"      * CAST(CAST(1 AS BIGINT) << {_HLL_SCALE_EXP} AS DOUBLE))"
+    )
+    return (
+        summed.join(truth, "part")
+        .selectExpr("part", "n_true", "m_present", f"{est} AS hll_estimate")
+        .orderBy("part")
+    )

@@ -1374,3 +1374,83 @@ def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_attribution_touch",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+                   first_value(event_type) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS first_touch,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        purchases AS (
+            SELECT user_id, first_touch,
+                   COALESCE(prev_type, '(none)') AS last_touch
+            FROM ordered WHERE event_type = 'purchase'
+        ),
+        ft AS (
+            SELECT first_touch AS channel,
+                   CAST(COUNT(*) AS BIGINT) AS n_first_touch
+            FROM purchases GROUP BY first_touch
+        ),
+        lt AS (
+            SELECT last_touch AS channel,
+                   CAST(COUNT(*) AS BIGINT) AS n_last_touch
+            FROM purchases GROUP BY last_touch
+        )
+        SELECT COALESCE(ft.channel, lt.channel) AS channel,
+               CAST(COALESCE(ft.n_first_touch, 0) AS BIGINT) AS n_first_touch,
+               CAST(COALESCE(lt.n_last_touch, 0) AS BIGINT) AS n_last_touch
+        FROM ft FULL OUTER JOIN lt ON ft.channel = lt.channel
+        ORDER BY channel
+    """,
+    doc="""Conversion attribution — the product-analytics workload that
+    assigns each purchase to a channel under two standard models in one
+    pass: FIRST-touch (the user's first-ever event type) via
+    first_value over the per-user total order, and LAST-touch (the
+    event type immediately preceding the purchase) via lag.  Both
+    credits aggregate per channel and align in one full-outer join.
+
+    Determinism: the per-user order is total ((ts, event_id)); both
+    window functions read exact values; counts are BIGINT.
+
+    Scale: ONE shuffle (user partition) computes both window columns —
+    the two attribution models share the same sort — then two tiny
+    channel-cardinality aggregates.  This is why attribution models
+    should be computed together, not as separate jobs over the same
+    fact scan.""",
+)
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        F.first("event_type").over(w).alias("first_touch"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    purchases = ordered.where(F.col("event_type") == "purchase").select(
+        "first_touch",
+        F.coalesce("prev_type", F.lit("(none)")).alias("last_touch"),
+    )
+    ft = purchases.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count("*").alias("n_first_touch")
+    )
+    lt = purchases.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count("*").alias("n_last_touch")
+    )
+    return (
+        ft.join(lt, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("n_first_touch", F.lit(0)).cast("bigint").alias("n_first_touch"),
+            F.coalesce("n_last_touch", F.lit(0)).cast("bigint").alias("n_last_touch"),
+        )
+        .orderBy("channel")
+    )

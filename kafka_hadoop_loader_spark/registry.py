@@ -90,6 +90,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "scan_text_lines",
     "scan_python_datasource",
     "reference_loader_parity",
+    "approx_distinct",  # rows-only -> envelope-oracle contract in r3
     # -- 2. deferred TPC-H composites --
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",
@@ -132,7 +133,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "schema_evolution_union",
     "agg_histogram",
     "agg_unpivot",
-    "approx_distinct",
 )
 
 

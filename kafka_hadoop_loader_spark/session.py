@@ -81,19 +81,23 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # A session that plans hundreds of distinct queries (bench: ~150
-        # queries x 2 passes) compiles thousands of whole-stage-codegen
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # A session that plans hundreds of distinct queries (bench: 220+
+        # queries x 3 passes) compiles thousands of whole-stage-codegen
         # classes; the JVM default ReservedCodeCacheSize (240 MB) fills,
         # HotSpot stops JIT-compiling, and expression-heavy operators
         # degrade 2-10x late in the run (measured: text_repetition 1.7s
-        # -> 11s across bench runs).  512 MB keeps the JIT active for
-        # the whole suite — same flag Spark's own docs recommend for
-        # long-lived drivers.
+        # -> 11s across bench runs; multimodal_arrow_checksum 1.5s ->
+        # 3.5-9.5s late-suite at 512 MB, back to ~2.5s at 1 GB with
+        # 16 GB heap).  1 GB keeps the JIT active for the whole suite —
+        # same flag Spark's own docs recommend for long-lived drivers.
+        # Heap: 16 GB gives the memoized operator indexes (ANN buckets,
+        # shingle tables) headroom without GC pressure on the
+        # Arrow-batched paths; the box has 128 GB.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
-                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=1g"
             ),
         )
     )
