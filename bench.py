@@ -47,16 +47,26 @@ def main() -> None:
     reg["events_hourly"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    # warm up the Python worker pool (pandas/numpy import per worker) the
-    # same way: one trivial Arrow-batched pass across all cores, so the
-    # first pandas-UDF query isn't charged ~5s of one-time worker spawn
+    # warm up the Python worker pool the same way: one trivial
+    # Arrow-batched pass across all cores, so the first pandas-UDF query
+    # isn't charged ~5s of one-time worker spawn.  The kernel imports
+    # numpy/pyarrow/pandas IN the workers — measured: the first
+    # mapInArrow query in a session pays ~2s of per-worker imports that
+    # a bare identity warmup does not touch.
     import pandas as pd  # noqa: F401
 
     def _ident(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+
         for b in batches:
             yield b
 
     spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(
+        _ident, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInArrow(
         _ident, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 

@@ -18,6 +18,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from kafka_hadoop_loader_spark.catalog import table
 from kafka_hadoop_loader_spark.functions.exact import exact_avg, exact_sum
@@ -737,7 +744,18 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("overwrite")
             .parquet(out)
         )
-    return spark.read.parquet(out)
+    # explicit schema: keeps d a STRING (no partition-type inference)
+    # and survives an empty layout (zero data files)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("d", StringType()),
+        ]
+    )
+    return spark.read.schema(schema).parquet(out)
 
 
 @register(

@@ -14,9 +14,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from kafka_hadoop_loader_spark.catalog import table
 from kafka_hadoop_loader_spark.registry import register
+
+# layout of the fragmented/compacted events copies (d is the partition
+# column, kept STRING — declared read schema, never inferred)
+_COMPACT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("d", StringType()),
+    ]
+)
 
 _ZBITS = 16  # bits per dimension -> 32-bit interleaved key
 _N_FILES = 16
@@ -222,7 +240,7 @@ def _compact_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         ).parquet(frag)
     if not os.path.isdir(compact):
         (
-            spark.read.parquet(frag)
+            spark.read.schema(_COMPACT_SCHEMA).parquet(frag)
             .repartition(F.col("d"))
             .write.partitionBy("d")
             .mode("overwrite")
@@ -260,7 +278,7 @@ def _compact_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, compact = _compact_dirs(spark, sf_dir)
     return (
-        spark.read.parquet(compact)
+        spark.read.schema(_COMPACT_SCHEMA).parquet(compact)
         # partition-column type inference turns d= into DATE; the
         # contract (and the oracle) use the directory string form
         .withColumn("d", F.date_format("d", "yyyy-MM-dd"))
@@ -347,4 +365,91 @@ def zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rows_scanned"),
         )
         .orderBy("d")
+    )
+
+
+_N_SHARDS = 8
+
+
+@register(
+    "shard_plan_balanced",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS sz,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+            FROM documents
+        ),
+        assigned AS (
+            SELECT doc_id, sz, CAST((rk - 1) % {_N_SHARDS} AS BIGINT) AS shard
+            FROM sized
+        ),
+        per AS (
+            SELECT shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(sz) AS BIGINT) AS shard_bytes,
+                   CAST(MAX(sz) AS BIGINT) AS max_doc
+            FROM assigned GROUP BY shard
+        ),
+        g AS (
+            SELECT CAST(MAX(shard_bytes) AS BIGINT) AS mx,
+                   CAST(MIN(shard_bytes) AS BIGINT) AS mn
+            FROM per
+        )
+        SELECT p.shard, p.n_docs, p.shard_bytes, p.max_doc,
+               CAST(g.mx - g.mn AS BIGINT) AS spread_bytes,
+               CAST(g.mx - g.mn AS DOUBLE) / CAST(g.mx AS DOUBLE)
+                   AS imbalance_frac
+        FROM per p CROSS JOIN g
+        ORDER BY p.shard
+    """,
+    doc=f"""Balanced export sharding — the dataset-publishing step that
+    splits a corpus into {_N_SHARDS} shards (webdataset tars, TFRecord
+    files) with near-equal bytes: documents rank by size descending and
+    deal round-robin (rank mod shards), the classic LPT-lite heuristic
+    whose imbalance is bounded by one max-document regardless of the
+    size distribution.  Output is the shard manifest: per-shard doc
+    count, byte total, largest member, plus the global spread — the
+    number a training-data loader's stragglers depend on.
+
+    Determinism: the rank rides a total order (size DESC, doc_id);
+    everything else is integer arithmetic plus one final division.
+
+    Scale: one global sort-rank (range-partitioned window at 100 TB,
+    same cost shape as zorder_layout's ntile) and one |shards|-row
+    aggregate; the alternative greedy bin-packing needs a sequential
+    pass and buys <1 max-doc of extra balance.""",
+)
+def shard_plan_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("sz"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rk"),
+    )
+    assigned = sized.select(
+        "doc_id", "sz", ((F.col("rk") - 1) % _N_SHARDS).cast("bigint").alias("shard")
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("sz").cast("bigint").alias("shard_bytes"),
+        F.max("sz").cast("bigint").alias("max_doc"),
+    )
+    g = per.agg(
+        F.max("shard_bytes").alias("mx"), F.min("shard_bytes").alias("mn")
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "shard",
+            "n_docs",
+            "shard_bytes",
+            "max_doc",
+            (F.col("mx") - F.col("mn")).cast("bigint").alias("spread_bytes"),
+            ((F.col("mx") - F.col("mn")).cast("double") / F.col("mx").cast("double")).alias(
+                "imbalance_frac"
+            ),
+        )
+        .orderBy("shard")
     )

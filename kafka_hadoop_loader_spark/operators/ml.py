@@ -175,10 +175,14 @@ _PCA_VS = 1_000_000  # iterate vector scale
 def _tdiv_sql(x: str, d: str, div_kw: str) -> str:
     """Portable truncating integer division of a SIGNED value.
 
-    DuckDB ``//`` floors (-7//2 = -4) while Spark ``DIV`` truncates
-    (-7 DIV 2 = -3), so signed division is routed through ABS (where
-    floor == truncate) with the sign reapplied — bit-identical in both
-    engines.  ``div_kw`` is '//' (DuckDB) or 'DIV' (Spark)."""
+    Both engines currently truncate integer division toward zero
+    (Spark ``-7 DIV 2`` = -3; DuckDB ``-7 // 2`` = -3, unlike
+    Python), but neither documents the negative-operand contract, so
+    signed division is routed through ABS — where floor and truncate
+    coincide by construction — with the sign reapplied.  Bit-identical
+    in both engines under either rounding rule.  ``div_kw`` is '//'
+    (DuckDB) or 'DIV' (Spark).  Canaried by
+    tests/test_determinism_edges.py."""
     return (
         f"(CASE WHEN ({x}) < 0 THEN -((-({x})) {div_kw} ({d}))"
         f" ELSE ({x}) {div_kw} ({d}) END)"
@@ -242,9 +246,9 @@ def _pca_iter_sql(prev: str, cur: str, div_kw: str) -> str:
     per round over the long-format (vec_id, dim, xq) view.
 
     Exactness: components quantize once to ×{_PCA_XS} ints; every
-    product/sum is BIGINT; rescaling uses truncating SIGNED division
-    routed through ABS because DuckDB ``//`` floors while Spark ``DIV``
-    truncates (they differ on negatives) — after which all three
+    product/sum is BIGINT; rescaling uses SIGNED integer division
+    routed through ABS so both engines agree regardless of their
+    (undocumented) negative-operand rounding — after which all three
     iterate vectors are bit-identical across engines.  Output keeps
     v1/v2/v3 so the convergence trajectory itself is oracle-checked.
     int64 headroom: |Σ xq·sq| ≤ n·2e4·2e6 → safe to n ≈ 2e8 vectors

@@ -328,3 +328,58 @@ def schema_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.selectExpr(
         f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)", "n_rows"
     ).orderBy("rule")
+
+
+@register(
+    "props_key_profile",
+    oracle="""
+        WITH objs AS (
+            SELECT props FROM events
+            WHERE props IS NOT NULL AND json_valid(props)
+              AND json_type(props) = 'OBJECT'
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_objects FROM objs),
+        keys AS (
+            SELECT unnest(json_keys(props)) AS key FROM objs
+        )
+        SELECT k.key,
+               CAST(COUNT(*) AS BIGINT) AS n_present,
+               CAST(COUNT(*) AS DOUBLE) / CAST(n.n_objects AS DOUBLE)
+                   AS present_frac
+        FROM keys k CROSS JOIN n
+        GROUP BY k.key, n.n_objects
+        ORDER BY k.key
+    """,
+    doc="""Semi-structured key profiling: which keys appear in the JSON
+    `props` column and how often — the schema-discovery query run
+    before declaring a from_json StructType over a feed (the loader's
+    payloads are schemaless by design [pub: HadoopJobMapper.java];
+    this is how the downstream consumer decides what schema to
+    declare).  Non-objects and malformed JSON are excluded on both
+    sides (json_object_keys returns NULL for them in Spark; json_type
+    gates in DuckDB).
+
+    Scale: explode keys → one hash aggregate; key cardinality is
+    schema-sized (tiny), so the aggregate output is a broadcastable
+    profile no matter how large the feed.""",
+)
+def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    objs = e.select(F.expr("json_object_keys(props)").alias("ks")).where(
+        F.col("ks").isNotNull()
+    )
+    n = objs.agg(F.count("*").alias("n_objects"))
+    keys = objs.select(F.explode("ks").alias("key"))
+    return (
+        keys.crossJoin(F.broadcast(n))
+        .groupBy("key", "n_objects")
+        .agg(F.count("*").alias("n_present"))
+        .select(
+            "key",
+            "n_present",
+            (F.col("n_present").cast("double") / F.col("n_objects").cast("double")).alias(
+                "present_frac"
+            ),
+        )
+        .orderBy("key")
+    )

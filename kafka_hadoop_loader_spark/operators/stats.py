@@ -1157,3 +1157,68 @@ def quantiles_approx_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag", "linestatus")
     )
+
+
+@register(
+    "feature_quantile_bins",
+    oracle="""
+        WITH binned AS (
+            SELECT o_totalprice,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS is_urgent,
+                   CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                        AS BIGINT) AS bin
+            FROM orders
+        )
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi,
+               CAST(SUM(is_urgent) AS BIGINT) AS n_urgent,
+               CAST(SUM(is_urgent) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS urgent_rate
+        FROM binned
+        GROUP BY bin
+        ORDER BY bin
+    """,
+    doc="""Equal-frequency feature discretization (decile binning) with
+    per-bin target statistics — the feature-engineering transform
+    behind WOE/IV scoring, monotonicity checks, and calibration plots:
+    ntile(10) over the (price, key) total order assigns bins, then one
+    aggregate yields bin edges and the target (urgency) rate per bin.
+
+    Determinism: the ntile rides a TOTAL order (price, orderkey), so
+    bin membership is unique even among equal prices; edges are exact
+    column values; the rate is one division.
+
+    Scale: a global ntile is a global sort — at 100 TB use
+    approx_percentile edges (quantiles_approx_envelope pattern) and a
+    map-side CASE join instead; the exact form here doubles as the
+    oracle for that approximation (same contract shape as
+    quantiles_exact vs quantiles_approx_envelope).""",
+)
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    binned = o.select(
+        "o_totalprice",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias(
+            "is_urgent"
+        ),
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum("is_urgent").cast("bigint").alias("n_urgent"),
+            (
+                F.sum("is_urgent").cast("double") / F.count("*").cast("double")
+            ).alias("urgent_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -164,6 +164,7 @@ def load_all() -> dict[str, Query]:
         similarity,
         sketch,
         sorts,
+        spatial,
         stats,
         textstats,
         timeseries,

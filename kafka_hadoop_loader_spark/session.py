@@ -100,6 +100,13 @@ def get_spark(
                 "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=1g"
             ),
         )
+        # Keep the Python worker pool alive for the whole suite: a suite
+        # mixing JVM-only and Python-tier queries otherwise lets idle
+        # workers be reaped between Python queries, and the next pandas/
+        # Arrow query re-pays 32x worker spawn + numpy/pyarrow imports
+        # (measured ~2s on this box).  0 = never reap.
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

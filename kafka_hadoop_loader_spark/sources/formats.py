@@ -223,8 +223,11 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliced.repartition("d", "h").write.mode("overwrite").partitionBy("d", "h").parquet(path)
 
     # read back ONLY the earliest day: broadcast 1-row join on the
-    # partition column, the dynamic-partition-pruning shape
-    back = spark.read.parquet(path)
+    # partition column, the dynamic-partition-pruning shape.  Explicit
+    # schema (declared-schema doctrine): also keeps the read well-typed
+    # when the slice is EMPTY (zero files -> inference would fail) and
+    # pins the partition columns to strings.
+    back = spark.read.schema(sliced.schema).parquet(path)
     first = back.select(F.min("d").alias("min_d"))
     pruned = back.join(F.broadcast(first), F.col("d") == F.col("min_d")).drop("min_d")
     return (
@@ -586,11 +589,19 @@ def reference_loader_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
         _parity_done.add(f"parity_{tag}")
-    # partition-type inference turns d= into DATE; the contract (and
-    # the oracle) use the directory string form
-    back = spark.read.parquet(out).withColumn(
-        "d", F.date_format("d", "yyyy-MM-dd")
+    # explicit schema: partition-type inference would turn d= into
+    # DATE (the contract and oracle use the directory string form) and
+    # would FAIL outright on an empty layout (zero files)
+    back_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("d", StringType()),
+            StructField("h", StringType()),
+        ]
     )
+    back = spark.read.schema(back_schema).parquet(out)
     return (
         back.groupBy("d", F.col("h").cast("bigint").alias("h"))
         .agg(
@@ -600,4 +611,84 @@ def reference_loader_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("user_id").alias("sum_user_id"),
         )
         .orderBy("d", "h")
+    )
+
+
+_corrupt_done: dict[str, str] = {}
+
+
+def _corrupt_jsonl_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process per sf_dir) a JSONL copy of the events
+    slice where every line with event_id % 10 == 3 is truncated into
+    invalid JSON — the deterministic stand-in for the malformed payloads
+    every real feed contains [pub: HadoopJobMapper.java skips lines its
+    JSON timestamp extraction cannot parse]."""
+    key = os.path.abspath(sf_dir)
+    if key not in _corrupt_done:
+        path = os.path.join(_temp_root(), f"events_corrupt_{len(_corrupt_done)}")
+        df = _events_slice(spark, sf_dir)
+        line = F.to_json(F.struct("event_id", "user_id", "event_type", "ts_us"))
+        (
+            df.select(
+                F.when(
+                    F.col("event_id") % 10 == 3,
+                    F.expr(f"substring({'to_json(struct(event_id, user_id, event_type, ts_us))'}, 1, length(to_json(struct(event_id, user_id, event_type, ts_us))) - 5)"),
+                )
+                .otherwise(line)
+                .alias("value")
+            )
+            .write.mode("overwrite")
+            .text(path)
+        )
+        _corrupt_done[key] = path
+    return _corrupt_done[key]
+
+
+@register(
+    "scan_corrupt_records",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN event_id % 10 = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_corrupt,
+               CAST(SUM(CASE WHEN event_id % 10 != 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_good,
+               CAST(SUM(CASE WHEN event_id % 10 != 3 THEN user_id END)
+                    AS BIGINT) AS sum_user_id,
+               CAST(MIN(CASE WHEN event_id % 10 != 3 THEN event_id END)
+                    AS BIGINT) AS min_good_event_id
+        FROM events
+    """,
+    doc="""Corrupt-record-tolerant ingestion: the events slice is
+    round-tripped through JSONL with every (event_id % 10 == 3) line
+    deterministically truncated mid-object, then read back with a
+    declared schema in PERMISSIVE mode + columnNameOfCorruptRecord —
+    bad lines surface as rows whose `_corrupt_record` holds the raw
+    text and whose typed columns are null, instead of failing the job
+    (DROPMALFORMED) or aborting it (FAILFAST).  The audit aggregates
+    good/corrupt counts and checksums the good rows; the oracle derives
+    the same numbers from the corruption rule.
+
+    This is the production JSON-feed posture: quarantine malformed
+    payloads into a dead-letter column, keep loading.  Scale: schema'd
+    JSON scan, one aggregate — the corrupt column is only materialized
+    for rows that fail the parser.""",
+)
+def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _corrupt_jsonl_path(spark, sf_dir)
+    schema = StructType(
+        [*_EVENTS_SLICE_SCHEMA.fields, StructField("_corrupt_record", StringType())]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(~bad, 1).otherwise(0)).cast("bigint").alias("n_good"),
+        F.sum(F.when(~bad, F.col("user_id"))).cast("bigint").alias("sum_user_id"),
+        F.min(F.when(~bad, F.col("event_id"))).cast("bigint").alias("min_good_event_id"),
     )

@@ -244,3 +244,62 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "signup_ts", "click_ts", "purchase_ts", depth.alias("funnel_depth"))
         .orderBy("user_id")
     )
+
+
+_LAG_PARTS = 8  # synthetic topic-partition count (user_id % 8)
+_LAG_SLA_US = 3_600_000_000  # 1h freshness SLA
+
+
+@register(
+    "events_watermark_lag",
+    oracle=f"""
+        WITH p AS (
+            SELECT user_id % {_LAG_PARTS} AS partition_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+            FROM events
+            GROUP BY partition_id
+        ),
+        g AS (SELECT CAST(MAX(max_ts_us) AS BIGINT) AS global_max FROM p)
+        SELECT p.partition_id, p.n_events, p.max_ts_us,
+               CAST(g.global_max - p.max_ts_us AS BIGINT) AS lag_us,
+               (g.global_max - p.max_ts_us) > {_LAG_SLA_US} AS behind_sla
+        FROM p CROSS JOIN g
+        ORDER BY partition_id
+    """,
+    doc="""Consumer-lag / watermark-freshness audit — the monitoring
+    query every loader deployment runs against its own output [pub:
+    CheckpointManager.java's ZK offsets are the reference's equivalent
+    signal]: per (synthetic) topic-partition, the newest loaded event
+    time, its lag behind the most advanced partition, and an SLA flag.
+    A partition whose lag exceeds the watermark delay is exactly the
+    one whose late data the streaming jobs' withWatermark would drop —
+    this query is how you see that coming.
+
+    Determinism: all values derive from event timestamps in the data
+    (no wall clock — a wall-clock 'now' would be unreproducible);
+    integer microseconds end-to-end.
+
+    Scale: one map-side-combined aggregate to |partitions| rows + a
+    1-row broadcast — runs on the manifest-sized output of a 100 TB
+    load, not the load itself.""",
+)
+def events_watermark_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    p = e.groupBy((F.col("user_id") % _LAG_PARTS).alias("partition_id")).agg(
+        F.count("*").alias("n_events"),
+        F.max("ts_us").cast("bigint").alias("max_ts_us"),
+    )
+    g = p.agg(F.max("max_ts_us").alias("global_max"))
+    lag = F.col("global_max") - F.col("max_ts_us")
+    return (
+        p.crossJoin(F.broadcast(g))
+        .select(
+            "partition_id",
+            "n_events",
+            "max_ts_us",
+            lag.cast("bigint").alias("lag_us"),
+            (lag > _LAG_SLA_US).alias("behind_sla"),
+        )
+        .orderBy("partition_id")
+    )

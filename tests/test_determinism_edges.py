@@ -82,3 +82,33 @@ def test_scaled_sum_order_free(spark, scale):
     one = df.coalesce(1).agg(F.sum(scaled_long(F.col("v"), scale))).first()[0]
     many = df.repartition(32).agg(F.sum(scaled_long(F.col("v"), scale))).first()[0]
     assert one == many
+
+
+def test_signed_truncating_division_matches_duckdb(spark):
+    """Signed integer division canary for _tdiv_sql (ml.py).  Both
+    engines happen to TRUNCATE integer division toward zero today
+    (Spark ``-7 DIV 2`` = -3; DuckDB ``-7 // 2`` = -3, unlike
+    Python's flooring ``//``), but that agreement is an
+    implementation detail nothing in either engine's docs pins down —
+    the helper routes signed division through ABS (where floor ==
+    truncate by construction) so oracle parity survives either engine
+    changing its mind.  Canary both the helper and the naked
+    operators; if the naked assert ever fails, an engine changed
+    semantics and every un-helped signed DIV in the repo needs audit."""
+    from kafka_hadoop_loader_spark.operators.ml import _tdiv_sql
+
+    cases = [(n, d) for n in (-7, -6, -1, 0, 1, 6, 7, -1000001, 999999)
+             for d in (1, 2, 3, 1000000)]
+    con = duckdb.connect()
+    for n, d in cases:
+        s_val = spark.sql(
+            f"SELECT {_tdiv_sql(str(n), str(d), 'DIV')} AS v"
+        ).collect()[0].v
+        d_val = con.execute(
+            f"SELECT {_tdiv_sql(str(n), str(d), '//')} AS v"
+        ).fetchone()[0]
+        assert s_val == d_val, (n, d, s_val, d_val)
+        assert s_val == int(n / d)  # truncation toward zero
+    # today's naked semantics: both truncate
+    assert spark.sql("SELECT -7 DIV 2 AS v").collect()[0].v == -3
+    assert con.execute("SELECT -7 // 2").fetchone()[0] == -3

