@@ -123,3 +123,18 @@ def managed_persist(key: str, df: DataFrame) -> DataFrame:
             pass
     _PERSISTED[key] = df.persist()
     return df
+
+
+def managed_lookup(key: str, spark: SparkSession) -> DataFrame | None:
+    """The memo-read half of managed_persist, for operators whose
+    EXECUTION happens during construction (iterative loops running
+    convergence actions): check BEFORE running the loop, and skip the
+    whole computation when this session already built the result."""
+    prev = _PERSISTED.get(key)
+    if prev is not None:
+        try:
+            if prev.sparkSession is spark and prev.is_cached:
+                return prev
+        except Exception:
+            pass
+    return None

@@ -515,7 +515,15 @@ def _arrow_checksum_batches(batches):
     presentation sort.""",
 )
 def multimodal_arrow_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    # Partitioning sized to DATA, not cores: the kernel is a single
+    # vectorized pass, so per-task cost is dominated by the fixed
+    # Arrow-stream + Python-task overhead (~30-100 ms each) — a 32-way
+    # spread of a few MB measured 2x SLOWER than 8 tasks (straggler
+    # tail of 32 tiny tasks under host load).  At 100 TB the scan
+    # supplies thousands of adequately-sized partitions and no
+    # repartition happens at all; 8 here keeps every task near the
+    # overhead-amortizing batch size.
+    d = table(spark, sf_dir, "documents").repartition(8, "doc_id")
     payloads = d.where(F.length("text") > 0).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )

@@ -142,3 +142,64 @@ def test_fuzz_distinct_nulls(spark, fuzz_duck, rows):
     _mk_tables(spark, fuzz_duck, rows)
     # DISTINCT treats NULLs as equal in both engines; verify
     _both(spark, fuzz_duck, "SELECT DISTINCT k, s FROM fz_a")
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_fuzz_window(spark, fuzz_duck, rows):
+    _mk_tables(spark, fuzz_duck, rows)
+    # rank/row_number over a TOTAL order (k, i, s, d is not unique —
+    # add a synthetic uniquifier via row content hash is overkill;
+    # instead aggregate the window output so tie order cancels)
+    _both(
+        spark,
+        fuzz_duck,
+        """
+        SELECT k,
+               COUNT(*) AS n,
+               CAST(SUM(rnk) AS BIGINT) AS sum_rnk,
+               CAST(MAX(dr) AS BIGINT) AS max_dense
+        FROM (
+            SELECT k,
+                   rank() OVER (PARTITION BY k ORDER BY i NULLS FIRST) AS rnk,
+                   dense_rank() OVER (PARTITION BY k ORDER BY i NULLS FIRST) AS dr
+            FROM fz_a
+        )
+        GROUP BY k
+        """,
+    )
+
+
+@given(rows=_rows, rows_b=_rows_b)
+@_SETTINGS
+def test_fuzz_setops(spark, fuzz_duck, rows, rows_b):
+    _mk_tables(spark, fuzz_duck, rows, rows_b)
+    for op in ("UNION", "UNION ALL", "INTERSECT", "EXCEPT"):
+        _both(
+            spark,
+            fuzz_duck,
+            f"""
+            SELECT k, i FROM fz_a
+            {op}
+            SELECT k, v FROM fz_b
+            """,
+        )
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_fuzz_having_orderby_limit(spark, fuzz_duck, rows):
+    _mk_tables(spark, fuzz_duck, rows)
+    # LIMIT rides a total order (k is unique post-GROUP BY)
+    _both(
+        spark,
+        fuzz_duck,
+        """
+        SELECT k, COUNT(i) AS n_i
+        FROM fz_a
+        GROUP BY k
+        HAVING COUNT(*) >= 2
+        ORDER BY n_i DESC, k
+        LIMIT 3
+        """,
+    )
