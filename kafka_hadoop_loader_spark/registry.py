@@ -135,6 +135,44 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_unpivot",
 )
 
+# Round-4 rotation queue (~92 names expected never-driver-tested after
+# r3's window; computed by diffing CORRECTNESS_r0{1,2}.json keys + the
+# first 50 insertion-order entries against the registry).  Next round:
+# move ~50 of these into _DRIVER_WINDOW_PRIORITY, user-facing
+# relational/pipeline ops first, and keep the remainder for r5:
+#   zorder_layout schema_evolution_union agg_bitmap_presence
+#   agg_share_reused_exchange agg_filtered_bool agg_grouping_id
+#   agg_argminmax orders_basket_size_dist dedup_substring_spans
+#   dedup_containment graph_triangles sql_recursive_reach
+#   nation_trade_balance join_lateral_topn join_shuffle_hash
+#   join_dpp_partitioned zone_map_pruning shard_plan_balanced
+#   pca_power_component multimodal_audio_energy multimodal_image_pool
+#   multimodal_arrow_checksum multimodal_shot_boundaries
+#   sample_reservoir_group chunk_documents sample_temperature
+#   pipeline_funnel url_canonicalize sample_weighted_priority
+#   curriculum_order pack_padding_waste mixture_solve_rates
+#   skew_profile interval_overlap_join table_profile fk_orphan_check
+#   observe_metrics_audit schema_contract_check props_key_profile
+#   fn_struct_bitwise fn_variant fn_try_safe fn_collation_ci
+#   fn_array_setops doc_sparse_cosine bm25_rank knn_pq_adc
+#   embedding_quantize_int8 sketch_cms_heavy_hitters
+#   sketch_hll_distinct sketch_hll_merge_partitioned spatial_join_grid
+#   bloom_filter_probe stats_mad_robust stats_winsorize
+#   basket_part_affinity supplier_lead_time quantiles_interpolated
+#   orders_rfm_segments supplier_concentration_hhi
+#   events_bot_regularity quantiles_approx_envelope
+#   feature_quantile_bins text_gini_diversity text_hapax_ratio
+#   cumulative_distinct_users ts_similarity_search frequent_sequences
+#   events_user_lifetime events_pipeline_report
+#   events_activity_islands events_markov_transitions
+#   events_time_weighted_avg events_peak_concurrency
+#   orders_cohort_revenue events_dau_wau_mau events_seasonality_profile
+#   events_longest_streak events_type_diversity
+#   events_new_vs_returning orders_reorder_cycle events_pattern_regex
+#   events_attribution_touch bpe_train_merges bpe_encode_corpus
+#   udtf_python_api sql_ctas_insert insert_overwrite_day
+#   scan_corrupt_records events_watermark_lag
+
 
 def load_all() -> dict[str, Query]:
     """Import every operator module so decorators populate REGISTRY.
