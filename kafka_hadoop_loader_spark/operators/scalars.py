@@ -522,3 +522,62 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_except("first_half", "second_half")).alias("n_dropped"),
         F.size(F.array_except("second_half", "first_half")).alias("n_new"),
     ).orderBy("doc_id")
+
+
+@register(
+    "fn_explode_outer",
+    oracle="""
+        WITH src AS (
+            SELECT n_nationkey,
+                   CASE WHEN n_nationkey % 3 = 0
+                        THEN CAST(NULL AS VARCHAR[])
+                        WHEN n_nationkey % 3 = 1
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split(n_name, 'A')
+                   END AS parts
+            FROM nation
+        )
+        SELECT n_nationkey,
+               CAST(u.part AS VARCHAR) AS part,
+               CAST(u.i - 1 AS BIGINT) AS pos
+        FROM src
+        LEFT JOIN LATERAL (
+            SELECT src.parts[g.i] AS part, g.i AS i
+            FROM unnest(generate_series(1, len(src.parts))) AS g(i)
+        ) AS u ON TRUE
+        ORDER BY n_nationkey, pos NULLS FIRST
+    """,
+    doc="""explode_outer / posexplode_outer NULL semantics — the seam
+    where inner and outer lateral views diverge: an INNER explode DROPS
+    rows whose array is NULL or empty, an OUTER explode keeps them with
+    NULL element/position.  One third of the nations get a NULL array,
+    one third an empty array, one third real splits, so all three
+    behaviors land in the result (and the row-preserving guarantee —
+    every nationkey present — is what the oracle's LEFT JOIN LATERAL
+    replays).
+
+    Scale: explode is a zero-shuffle generator either way; the outer
+    form matters because silently dropping null-array parents is the
+    most common correctness bug in fan-out ETL (a doc with no chunks
+    vanishes from per-doc accounting).""",
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    parts = (
+        F.when(F.col("n_nationkey") % 3 == 0, F.lit(None).cast("array<string>"))
+        .when(F.col("n_nationkey") % 3 == 1, F.array().cast("array<string>"))
+        .otherwise(F.split("n_name", "A"))
+    )
+    return (
+        n.select("n_nationkey", parts.alias("parts"))
+        .select(
+            "n_nationkey",
+            F.posexplode_outer("parts").alias("pos0", "part"),
+        )
+        .select(
+            "n_nationkey",
+            "part",
+            F.col("pos0").cast("bigint").alias("pos"),
+        )
+        .orderBy("n_nationkey", F.col("pos").asc_nulls_first())
+    )

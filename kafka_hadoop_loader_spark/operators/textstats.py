@@ -451,3 +451,73 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_CODE_KEYWORDS = ("for", "if", "return", "import", "def", "class", "while", "else")
+
+
+@register(
+    "text_code_detect",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text,
+                        '[{{}}()\\[\\];=<>+*/&|^%#@!~`$]')) AS BIGINT)
+                       AS n_symbols,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+                       AS n_digits,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> list_contains({list(_CODE_KEYWORDS)!r}, w)))
+                        AS BIGINT) AS n_keywords,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_symbols, n_digits, n_keywords,
+               CAST(n_symbols AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                   AS symbol_ratio,
+               (CAST(n_symbols AS DOUBLE) / CAST(n_chars AS DOUBLE) >= 0.03)
+                   OR (n_keywords * 20 >= n_tokens) AS looks_like_code
+        FROM m
+        ORDER BY doc_id
+    """,
+    doc="""Code-vs-prose detection — the training-data curation split
+    that routes documents to different quality pipelines (code wants
+    symbol density and keywords; prose wants stopword/length rules —
+    cf. quality_gate): symbol-character count, digit count, programming-
+    keyword hits, and the combined heuristic (symbol density ≥ 3% OR
+    keywords ≥ 5% of tokens).  All signals are exact integer counts +
+    single divisions; the keyword filter runs in-row over the token
+    array (no explode, zero shuffle — same doctrine as
+    text_repetition).
+
+    Scale: pure map over the scan; at 100 TB this is a free rider on
+    the same pass that computes the other per-document text signals
+    (Spark fuses all of them into one WholeStageCodegen projection).""",
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    kw_arr = F.array(*[F.lit(k) for k in _CODE_KEYWORDS])
+    toks = F.split("text", " ")
+    n_symbols = F.regexp_count("text", F.lit(r"[{}()\[\];=<>+*/&|^%#@!~`$]")).cast(
+        "bigint"
+    )
+    n_digits = F.regexp_count("text", F.lit("[0-9]")).cast("bigint")
+    n_keywords = F.size(
+        F.filter(toks, lambda w: F.array_contains(kw_arr, w))
+    ).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    symbol_ratio = n_symbols.cast("double") / F.length("text").cast("double")
+    return (
+        d.select(
+            "doc_id",
+            n_symbols.alias("n_symbols"),
+            n_digits.alias("n_digits"),
+            n_keywords.alias("n_keywords"),
+            symbol_ratio.alias("symbol_ratio"),
+            ((symbol_ratio >= 0.03) | (n_keywords * 20 >= n_tokens)).alias(
+                "looks_like_code"
+            ),
+        )
+        .orderBy("doc_id")
+    )
