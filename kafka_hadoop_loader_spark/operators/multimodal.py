@@ -324,6 +324,9 @@ def _audio_energy_batches(batches):
     axis the session/window operators then work over.""",
 )
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (unlike multimodal_arrow_checksum, this kernel fans OUT — several
+    # frame rows per payload — so the wider spread pays for itself;
+    # measured: warm minimum 1.07s at 32 tasks vs 1.25s at 8)
     d = spread(table(spark, sf_dir, "documents"))
     payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return payloads.mapInPandas(_audio_energy_batches, _AUDIO_SCHEMA).orderBy(

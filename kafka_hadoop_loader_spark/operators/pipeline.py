@@ -1224,7 +1224,7 @@ def mixture_solve_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("src_tokens").alias("total_tokens"),
         F.count("*").alias("n_sources"),
     )
-    target = (F.col("total_tokens") / F.col("n_sources")).cast("bigint")
+    target = F.expr("total_tokens DIV n_sources")  # integer division, matches oracle's //
     rate = F.col("target_tokens").cast("double") / F.col("src_tokens").cast("double")
     return (
         src.crossJoin(F.broadcast(tot))

@@ -60,7 +60,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # FRONT of the returned mapping each round, so every query accumulates
 # a driver-green CORRECTNESS row over successive rounds.
 #
-# Round 3 priority (50 entries):
+# Round 3 priority (54 entries; the driver window is ~50, so the last
+# ~4 may spill to round 4 — they are re-listed in the round-4 queue
+# below to keep the rotation contract airtight):
 # 1. the 8 red CORRECTNESS_r02 rows + 5 latent members of the same
 #    decimal128-oracle class, all fixed this round (the DuckDB oracles
 #    now CAST every integer SUM to BIGINT) -- re-verified first so the
@@ -140,7 +142,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # first 50 insertion-order entries against the registry).  Next round:
 # move ~50 of these into _DRIVER_WINDOW_PRIORITY, user-facing
 # relational/pipeline ops first, and keep the remainder for r5:
-#   zorder_layout schema_evolution_union agg_bitmap_presence
+#   zorder_layout schema_evolution_union agg_histogram agg_unpivot
+#   agg_bitmap_presence
 #   agg_share_reused_exchange agg_filtered_bool agg_grouping_id
 #   agg_argminmax orders_basket_size_dist dedup_substring_spans
 #   dedup_containment graph_triangles sql_recursive_reach

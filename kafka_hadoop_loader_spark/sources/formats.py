@@ -629,12 +629,15 @@ def _corrupt_jsonl_path(spark: SparkSession, sf_dir: str) -> str:
         df = _events_slice(spark, sf_dir)
         line = F.to_json(F.struct("event_id", "user_id", "event_type", "ts_us"))
         (
-            df.select(
+            df.select(line.alias("line"))
+            .select(
                 F.when(
-                    F.col("event_id") % 10 == 3,
-                    F.expr(f"substring({'to_json(struct(event_id, user_id, event_type, ts_us))'}, 1, length(to_json(struct(event_id, user_id, event_type, ts_us))) - 5)"),
+                    # derive the rule from the serialized line itself so
+                    # the JSON expression exists in exactly one place
+                    F.get_json_object("line", "$.event_id") % 10 == 3,
+                    F.substring(F.col("line"), 1, F.length("line") - 5),
                 )
-                .otherwise(line)
+                .otherwise(F.col("line"))
                 .alias("value")
             )
             .write.mode("overwrite")

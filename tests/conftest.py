@@ -14,6 +14,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
+_TOOLS = os.path.join(REPO, "tools")
+if _TOOLS not in sys.path:
+    sys.path.insert(0, _TOOLS)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
@@ -57,7 +60,6 @@ def assert_matches_oracle(spark_df, oracle_sql: str, duck) -> None:
     # DuckDB column family that diverges from the Spark one — e.g. an
     # un-CAST integer SUM() widening to HUGEINT/decimal128 — is a driver
     # hash-fail even when Python-level values compare equal.
-    sys.path.insert(0, os.path.join(REPO, "tools"))
     from typecanon import oracle_arrow_schema, type_mismatches
 
     tmis = type_mismatches(spark_df.schema, oracle_arrow_schema(duck, oracle_sql))

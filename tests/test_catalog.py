@@ -26,3 +26,12 @@ def test_catalog_in_sync():
         f"OPERATORS.md out of sync: missing={missing[:5]} stale={stale[:5]} "
         "— run python tools/gen_catalog.py"
     )
+    # every data row must have exactly the table's 4 columns (unescaped
+    # '|' in a docstring would split a row into extra cells)
+    bad = [
+        line
+        for line in open(path)
+        if re.match(r"\| `[a-z0-9_]+` \|", line)
+        and len(re.split(r"(?<!\\)\|", line.strip().strip("|"))) != 4
+    ]
+    assert not bad, f"malformed catalog rows: {bad[:3]}"

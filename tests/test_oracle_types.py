@@ -4,9 +4,12 @@ must agree (by type family) with the Spark query's result schema.
 This is the local reproduction of the driver's typed value hashing
 (CORRECTNESS r2's 8 red rows were all one class: DuckDB integer SUM()
 widening to HUGEINT/decimal128 against a Spark BIGINT — value-equal,
-type-different, hash-mismatch).  The Spark side is *schema analysis
-only* (no job runs); the oracle side is a LIMIT-0 subquery, so the
-whole registry checks in seconds.
+type-different, hash-mismatch).  The oracle side is a LIMIT-0 subquery (type-checked,
+not materialized).  The Spark side calls q.fn() for its schema, which
+for MOST queries is pure analysis — but construction-time-action
+operators (iterative loops, write-then-read round-trips) do execute
+real jobs here, so this sweep costs minutes at the test SF, not
+seconds; it doubles as their smoke test.
 """
 
 from __future__ import annotations

@@ -20,6 +20,7 @@ def first_sentence(doc: str) -> str:
     doc = " ".join((doc or "").split())
     m = re.match(r"(.+?[.!?])(\s|$)", doc)
     s = m.group(1) if m else doc
+    s = s.replace("|", "\\|")  # literal pipes would split the md table row
     return s if len(s) <= 180 else s[:177] + "..."
 
 
