@@ -357,3 +357,21 @@ def test_pq_codebooks_and_queries_broadcast(spark):
     plan = _plan(spark, "knn_pq_adc")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_no_row_python_anywhere(spark):
+    """Registry-wide policy sweep: no operator may fall back to
+    row-at-a-time Python evaluation (BatchEvalPython).  Python-touching
+    tiers must be Arrow-batched (ArrowEvalPython / FlatMapGroupsInPandas
+    / MapInPandas / MapInArrow / PythonUDTF).  The single sanctioned
+    exception is udtf_python_api, the documented slow-path demo of the
+    plain @udtf API."""
+    allowed_row_python = {"udtf_python_api"}
+    offenders = []
+    for name in REG:
+        if name in allowed_row_python:
+            continue
+        plan = _plan(spark, name)
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-Python fallback in: {offenders}"
