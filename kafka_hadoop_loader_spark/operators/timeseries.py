@@ -24,6 +24,83 @@ from kafka_hadoop_loader_spark.registry import register
 _US_PER_HOUR = 3_600_000_000
 _US_PER_DAY = 86_400_000_000
 
+# Session gap + per-session row cap shared by the journey-building
+# queries (frequent_sequences, events_pattern_regex).  30-minute
+# inactivity gap (same as window_session_batch); 1000 events per
+# session is the hard in-code bound so no collect_list/string group
+# ever exceeds it, whatever one actor does.
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+_SESSION_ROW_CAP = 1000
+
+# The DuckDB-side mirror of _capped_sessions(): identical gap rule,
+# identical (ts, event_id) total order, identical row cap.  Oracle SQL
+# for the journey queries interpolates this CTE prefix so both engines
+# sessionize bit-identically.
+_SESSION_CTE = f"""
+        ordered AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                             > {_SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        sessions AS (
+            SELECT user_id, event_id, event_type, ts_us,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM ordered
+        ),
+        capped AS (
+            SELECT user_id, sess_id, event_id, event_type, ts_us
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY user_id, sess_id
+                           ORDER BY ts_us, event_id) AS rn
+                FROM sessions)
+            WHERE rn <= {_SESSION_ROW_CAP}
+        )
+"""
+
+
+def _capped_sessions(e: DataFrame) -> DataFrame:
+    """Sessionize events per user (30-min gap) and hard-cap each
+    session at ``_SESSION_ROW_CAP`` rows.
+
+    This is the in-code bound the journey queries build on: every
+    downstream ``collect_list`` / ``concat_ws`` groups by
+    ``(user_id, sess_id)`` AFTER this cap, so no single group can
+    exceed 1000 rows regardless of how active one user is — the
+    10^8-event bot becomes ~10^5 bounded sessions instead of one giant
+    row.  Two window passes share the hash(user_id) exchange: the
+    second window's (user_id, sess_id) clustering is satisfied by the
+    first's user_id partitioning (subset rule), so Spark inserts only
+    a local re-sort, no second shuffle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.select("user_id", "event_id", "event_type", "ts_us").withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > F.lit(_SESSION_GAP_US)),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "sess_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w2 = Window.partitionBy("user_id", "sess_id").orderBy("ts_us", "event_id")
+    return (
+        sessions.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _SESSION_ROW_CAP)
+        .drop("is_new", "rn")
+    )
+
 
 @register(
     "resample_ffill",
@@ -459,12 +536,13 @@ def ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "frequent_sequences",
-    oracle="""
-        WITH seqs AS (
-            SELECT user_id,
-                   list(event_type ORDER BY epoch_us(ts), event_id) AS seq
-            FROM events
-            GROUP BY user_id
+    oracle=f"""
+        WITH {_SESSION_CTE},
+        seqs AS (
+            SELECT user_id, sess_id,
+                   list(event_type ORDER BY ts_us, event_id) AS seq
+            FROM capped
+            GROUP BY user_id, sess_id
         ),
         grams AS (
             SELECT user_id,
@@ -482,22 +560,26 @@ def ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="""Sequential-pattern mining (lite): the top-20 most frequent
     behavioral trigrams — ordered event-type triples a user performs
-    consecutively — with occurrence and distinct-user support counts;
-    the k-gram sweep behind funnel discovery (events_funnel checks ONE
-    known pattern; this surfaces candidates).
+    consecutively WITHIN a session — with occurrence and distinct-user
+    support counts; the k-gram sweep behind funnel discovery
+    (events_funnel checks ONE known pattern; this surfaces candidates).
 
-    The per-user sequence is assembled ONCE as a sorted array
-    (sort_array over (ts, event_id, type) structs — deterministic
-    total order) and trigrams are sliced IN-ROW, so the only shuffles
-    are the user grouping and the final gram count — no window
-    three-chained-lag pass, no self-joins.  At 100 TB per-user
-    sequences are bounded (sessionize first for unbounded actors);
-    gram counting is a map-side-combining hash aggregate.""",
+    Sequences are built per (user, 30-min-gap session) via
+    ``_capped_sessions`` — the bound is IN CODE, not prose: row_number
+    caps every session at 1000 rows BEFORE collect_list, so no group
+    ever materializes more than 1000 structs even for a bot user with
+    10^8 events.  Each session's sequence is assembled once as a
+    sorted array (deterministic (ts, event_id) total order) and
+    trigrams are sliced IN-ROW; shuffles are the user window exchange
+    (reused by the session cap via the subset rule) and the final gram
+    count — no three-chained-lag pass, no self-joins.  Gram counting
+    is a map-side-combining hash aggregate.""",
 )
 def frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     seqs = (
-        e.groupBy("user_id")
+        _capped_sessions(e)
+        .groupBy("user_id", "sess_id")
         .agg(
             F.transform(
                 F.sort_array(
@@ -1312,49 +1394,56 @@ _SEQ_PATTERN = "vc*p"  # view, any clicks, purchase — the conversion funnel
 @register(
     "events_pattern_regex",
     oracle=f"""
-        WITH j AS (
-            SELECT user_id,
+        WITH {_SESSION_CTE},
+        j AS (
+            SELECT user_id, sess_id,
                    string_agg(substr(event_type, 1, 1), ''
-                              ORDER BY epoch_us(ts), event_id) AS journey,
-                   CAST(COUNT(*) AS BIGINT) AS n_events
-            FROM events
-            GROUP BY user_id
+                              ORDER BY ts_us, event_id) AS journey,
+                   CAST(COUNT(*) AS BIGINT) AS n_sess_events
+            FROM capped
+            GROUP BY user_id, sess_id
         )
         SELECT user_id,
-               n_events,
-               CAST(len(regexp_extract_all(journey, '{_SEQ_PATTERN}'))
+               CAST(SUM(n_sess_events) AS BIGINT) AS n_events,
+               CAST(SUM(len(regexp_extract_all(journey, '{_SEQ_PATTERN}')))
                     AS BIGINT) AS n_funnel_matches,
-               len(regexp_extract_all(journey, '{_SEQ_PATTERN}')) > 0
+               SUM(len(regexp_extract_all(journey, '{_SEQ_PATTERN}'))) > 0
                    AS has_funnel
         FROM j
+        GROUP BY user_id
         ORDER BY user_id
     """,
     doc="""Sequence-pattern matching over event streams (the
     MATCH_RECOGNIZE / complex-event-processing workload, which Spark
-    SQL lacks natively): each user's events collapse to an ordered
-    journey string of event-type initials, and the conversion funnel
-    `view (click)* purchase` is counted as a regex over that string —
-    non-overlapping left-to-right matches, identical semantics in Java
-    regex and RE2 for this pattern class.
+    SQL lacks natively): each session's events collapse to an ordered
+    journey string of event-type initials, the conversion funnel
+    `view (click)* purchase` is counted as a regex over each session
+    string — non-overlapping left-to-right matches, identical
+    semantics in Java regex and RE2 for this pattern class — and
+    per-session match counts roll up per user.
 
-    Determinism: the journey is built over the total order
-    (ts, event_id); initials are single fixed bytes; counts are BIGINT.
+    Determinism: journeys are built over the total order
+    (ts, event_id); initials are single fixed bytes; counts are
+    BIGINT (DuckDB's SUM is CAST back to BIGINT per the decimal
+    convention).
 
-    Scale: one shuffle (groupBy user).  The in-row string is bounded by
-    per-user activity — at 100 TB you window the journey per
-    (user, session) first (see window_session_batch) so no single
-    string exceeds session length; the regex pass stays a pure map.
-    This row-pattern-as-regex reduction is the standard Spark answer
-    to Flink CEP / Oracle MATCH_RECOGNIZE.""",
+    Scale: journeys are built per (user, 30-min session) via
+    ``_capped_sessions``, whose row_number cap bounds every journey
+    string at 1000 chars IN CODE — a funnel spanning a >30-min idle
+    gap is deliberately not a funnel.  The regex pass stays a pure
+    map; the per-user rollup is a second small hash aggregate (one
+    row per session).  This row-pattern-as-regex reduction is the
+    standard Spark answer to Flink CEP / Oracle MATCH_RECOGNIZE.""",
 )
 def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    rows = e.select(
+    rows = _capped_sessions(e).select(
         "user_id",
+        "sess_id",
         F.struct(F.col("ts_us"), F.col("event_id")).alias("k"),
         F.substring("event_type", 1, 1).alias("ch"),
     )
-    j = rows.groupBy("user_id").agg(
+    j = rows.groupBy("user_id", "sess_id").agg(
         F.concat_ws(
             "",
             F.transform(
@@ -1362,15 +1451,24 @@ def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["ch"],
             ),
         ).alias("journey"),
-        F.count("*").alias("n_events"),
+        F.count("*").alias("n_sess_events"),
     )
-    n_matches = F.regexp_count("journey", F.lit(_SEQ_PATTERN)).cast("bigint")
+    per_sess = j.select(
+        "user_id",
+        "n_sess_events",
+        F.regexp_count("journey", F.lit(_SEQ_PATTERN)).cast("bigint").alias("m"),
+    )
     return (
-        j.select(
+        per_sess.groupBy("user_id")
+        .agg(
+            F.sum("n_sess_events").cast("bigint").alias("n_events"),
+            F.sum("m").cast("bigint").alias("n_funnel_matches"),
+        )
+        .select(
             "user_id",
             "n_events",
-            n_matches.alias("n_funnel_matches"),
-            (n_matches > 0).alias("has_funnel"),
+            "n_funnel_matches",
+            (F.col("n_funnel_matches") > 0).alias("has_funnel"),
         )
         .orderBy("user_id")
     )

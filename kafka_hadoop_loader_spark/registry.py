@@ -55,126 +55,103 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The grading driver's correctness run evaluates a bounded prefix of
-# ``queries()`` (rounds 1-2 each covered ~50 insertion-order entries).
+# ``queries()`` (each round covers ~50 insertion-order entries).
 # Queries not yet verified by a driver run are therefore rotated to the
 # FRONT of the returned mapping each round, so every query accumulates
 # a driver-green CORRECTNESS row over successive rounds.
 #
-# Round 3 priority (54 entries; the driver window is ~50, so the last
-# ~4 may spill to round 4 — they are re-listed in the round-4 queue
-# below to keep the rotation contract airtight):
-# 1. the 8 red CORRECTNESS_r02 rows + 5 latent members of the same
-#    decimal128-oracle class, all fixed this round (the DuckDB oracles
-#    now CAST every integer SUM to BIGINT) -- re-verified first so the
-#    green rows land;
-# 2. the 7 TPC-H composites deferred from round 2
-#    (q2/q11/q15/q18/q19/q20/q21);
-# 3. the highest-value not-yet-driver-tested extension operators
-#    (dedup clustering/segments, CDC/merge, time-series, graph, ML,
-#    sampling, remaining windows/aggs).
-# Everything already driver-green in r1/r2 sits behind these; the
-# remaining untested tail (~60 names, listed at the end of this file's
-# history via CORRECTNESS_r0*.json diffing) rotates forward in rounds
-# 4-5.  Pure presentation order -- names, fns, and oracles are
+# Round 4 priority (exactly 50 entries; after r3 the cumulative
+# driver-green set is 139/233 with 0 red, leaving 94 never-tested —
+# computed by diffing CORRECTNESS_r0{1,2,3}.json keys against the
+# registry).  Ordering per the round-3 verdict:
+# 1. the 4 entries that spilled past r3's 50-entry window;
+# 2. all 18 round-3 operators (none has a driver row yet);
+# 3. user-facing relational/pipeline ops named in the verdict;
+# 4. multimodal / sketch / BPE / ANN and remaining high-value ops,
+#    including frequent_sequences (re-verified after its per-user
+#    journey builder was bounded in code this round — see
+#    operators/timeseries.py).
+# The remaining 44 untested names are recorded in the round-5 queue
+# below.  Pure presentation order — names, fns, and oracles are
 # unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- 1. fixed decimal-oracle class (8 red r2 + 5 latent) --
-    "udf_scalar_pandas",
-    "udaf_grouped_agg",
-    "udf_grouped_map",
-    "scan_json",
-    "scan_csv",
-    "scan_orc",
-    "sink_partitioned",
-    "pack_sequences",
-    "graph_pagerank",
-    "compact_small_files",
-    "scan_text_lines",
-    "scan_python_datasource",
-    "reference_loader_parity",
-    "approx_distinct",  # rows-only -> envelope-oracle contract in r3
-    # -- 2. deferred TPC-H composites --
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting_suppliers",
-    # -- 3. highest-value untested extension operators --
-    "dedup_clusters",
-    "dedup_segments",
-    "dedup_edit_distance",
-    "dedup_incremental_batch",
-    "merge_upsert",
-    "scd2_history",
-    "snapshot_diff",
-    "resample_ffill",
-    "rollup_incremental",
-    "events_funnel",
-    "events_retention",
-    "window_distribution",
-    "window_range_trailing",
-    "quantiles_exact",
-    "regr_by_group",
-    "corr_matrix",
-    "anomaly_rolling_z",
-    "kmeans_embeddings",
-    "knn_cosine_blocked",
-    "graph_bfs_hops",
-    "inverted_index",
-    "keyword_search",
-    "cooccur_pmi",
-    "join_salted_skew",
-    "join_asof_tolerance",
-    "join_null_safe",
-    "sample_stratified",
-    "text_token_count_bpe",
-    "text_normalize",
+    # -- 1. spilled past round-3's window --
     "zorder_layout",
     "schema_evolution_union",
     "agg_histogram",
     "agg_unpivot",
+    # -- 2. the 18 round-3 operators --
+    "bm25_rank",
+    "dedup_substring_spans",
+    "mixture_solve_rates",
+    "events_pattern_regex",
+    "quantiles_approx_envelope",
+    "dedup_containment",
+    "sketch_hll_merge_partitioned",
+    "events_attribution_touch",
+    "zone_map_pruning",
+    "pca_power_component",
+    "scan_corrupt_records",
+    "events_watermark_lag",
+    "shard_plan_balanced",
+    "spatial_join_grid",
+    "props_key_profile",
+    "feature_quantile_bins",
+    "fn_explode_outer",
+    "text_code_detect",
+    # -- 3. user-facing relational/pipeline ops --
+    "fn_variant",
+    "fn_try_safe",
+    "fn_collation_ci",
+    "join_lateral_topn",
+    "join_shuffle_hash",
+    "join_dpp_partitioned",
+    "udtf_python_api",
+    "sql_ctas_insert",
+    "insert_overwrite_day",
+    "table_profile",
+    "fk_orphan_check",
+    # -- 4. multimodal / sketch / BPE / ANN / remaining high-value --
+    "multimodal_audio_energy",
+    "multimodal_image_pool",
+    "multimodal_arrow_checksum",
+    "multimodal_shot_boundaries",
+    "knn_pq_adc",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_distinct",
+    "bloom_filter_probe",
+    "bpe_train_merges",
+    "bpe_encode_corpus",
+    "chunk_documents",
+    "sample_temperature",
+    "url_canonicalize",
+    "frequent_sequences",
+    "agg_argminmax",
+    "graph_triangles",
+    "sql_recursive_reach",
 )
 
-# Round-4 rotation queue (~92 names expected never-driver-tested after
-# r3's window; computed by diffing CORRECTNESS_r0{1,2}.json keys + the
-# first 50 insertion-order entries against the registry).  Next round:
-# move ~50 of these into _DRIVER_WINDOW_PRIORITY, user-facing
-# relational/pipeline ops first, and keep the remainder for r5:
-#   zorder_layout schema_evolution_union agg_histogram agg_unpivot
-#   agg_bitmap_presence
-#   agg_share_reused_exchange agg_filtered_bool agg_grouping_id
-#   agg_argminmax orders_basket_size_dist dedup_substring_spans
-#   dedup_containment graph_triangles sql_recursive_reach
-#   nation_trade_balance join_lateral_topn join_shuffle_hash
-#   join_dpp_partitioned zone_map_pruning shard_plan_balanced
-#   pca_power_component multimodal_audio_energy multimodal_image_pool
-#   multimodal_arrow_checksum multimodal_shot_boundaries
-#   sample_reservoir_group chunk_documents sample_temperature
-#   pipeline_funnel url_canonicalize sample_weighted_priority
-#   curriculum_order pack_padding_waste mixture_solve_rates
-#   skew_profile interval_overlap_join table_profile fk_orphan_check
-#   observe_metrics_audit schema_contract_check props_key_profile
-#   fn_struct_bitwise fn_variant fn_try_safe fn_collation_ci
-#   fn_array_setops doc_sparse_cosine bm25_rank knn_pq_adc
-#   embedding_quantize_int8 sketch_cms_heavy_hitters
-#   sketch_hll_distinct sketch_hll_merge_partitioned spatial_join_grid
-#   bloom_filter_probe stats_mad_robust stats_winsorize
+# Round-5 rotation queue (the 44 names still never-driver-tested after
+# r4's 50-entry window; recomputed by diffing CORRECTNESS_r0{1..4}.json
+# keys against the registry at round-5 start — any r4 misses get
+# re-promoted first, then these, then operators newly added in r4):
+#   agg_bitmap_presence agg_share_reused_exchange agg_filtered_bool
+#   agg_grouping_id orders_basket_size_dist nation_trade_balance
+#   sample_reservoir_group pipeline_funnel sample_weighted_priority
+#   curriculum_order pack_padding_waste skew_profile
+#   interval_overlap_join observe_metrics_audit schema_contract_check
+#   fn_struct_bitwise fn_array_setops doc_sparse_cosine
+#   embedding_quantize_int8 stats_mad_robust stats_winsorize
 #   basket_part_affinity supplier_lead_time quantiles_interpolated
 #   orders_rfm_segments supplier_concentration_hhi
-#   events_bot_regularity quantiles_approx_envelope
-#   feature_quantile_bins text_gini_diversity text_hapax_ratio
-#   cumulative_distinct_users ts_similarity_search frequent_sequences
+#   events_bot_regularity text_gini_diversity text_hapax_ratio
+#   cumulative_distinct_users ts_similarity_search
 #   events_user_lifetime events_pipeline_report
 #   events_activity_islands events_markov_transitions
 #   events_time_weighted_avg events_peak_concurrency
 #   orders_cohort_revenue events_dau_wau_mau events_seasonality_profile
 #   events_longest_streak events_type_diversity
-#   events_new_vs_returning orders_reorder_cycle events_pattern_regex
-#   events_attribution_touch bpe_train_merges bpe_encode_corpus
-#   udtf_python_api sql_ctas_insert insert_overwrite_day
-#   scan_corrupt_records events_watermark_lag
+#   events_new_vs_returning orders_reorder_cycle
 
 
 def load_all() -> dict[str, Query]:

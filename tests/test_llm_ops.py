@@ -290,3 +290,53 @@ def test_pq_adc_recall(spark):
         got = {r.neighbor_id for r in pq if r.query_id == q}
         recalls.append(len(got & top5) / 5)
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_connected_components_match_union_find(spark):
+    """graph_connected_components' 6 unrolled large/small-star rounds
+    must land on the TRUE components (fixpoint measured at <= 5 rounds
+    on every fixture; the 6th is the spare) — verified against a
+    union-find ground truth built from the same min-support edge set."""
+    from kafka_hadoop_loader_spark.operators.graph import (
+        _CC_MIN_SUPPORT,
+        graph_connected_components,
+    )
+    import duckdb
+
+    got = {
+        (r.part_id, r.component_id, r.comp_size)
+        for r in graph_connected_components(spark, SF_DIR).collect()
+    }
+
+    edges = duckdb.sql(f"""
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM read_parquet('{SF_DIR}/lineitem.parquet') a
+        JOIN read_parquet('{SF_DIR}/lineitem.parquet') b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY u, v HAVING COUNT(*) >= {_CC_MIN_SUPPORT}
+    """).fetchall()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical label = min node id in component (what star rounds yield)
+    comp: dict[int, int] = {}
+    for x in parent:
+        comp.setdefault(find(x), x)  # first insert then min below
+    roots: dict[int, list[int]] = {}
+    for x in parent:
+        roots.setdefault(find(x), []).append(x)
+    want = set()
+    for members in roots.values():
+        label, size = min(members), len(members)
+        for m in members:
+            want.add((m, label, size))
+    assert got == want
