@@ -1003,3 +1003,188 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("codes").alias("code_min"),
         F.array_max("codes").alias("code_max"),
     ).orderBy("vec_id")
+
+
+def _recall_branch(method: str) -> str:
+    """Oracle fragment: per-query hits of `method` against exact top-K."""
+    return f"""
+        hits_{method} AS (
+            SELECT e.query_id,
+                   '{method}' AS method,
+                   CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+            FROM exact e LEFT JOIN approx_{method} a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        )
+"""
+
+
+@register(
+    "ann_recall_audit",
+    # The oracle composes the ALREADY-REGISTERED oracles of the exact
+    # baseline and both ANN paths as CTEs, so it stays in lockstep with
+    # them automatically: any change to those queries' semantics changes
+    # this audit's oracle identically.
+    oracle=f"""
+        WITH exact AS ({{bf}}),
+        approx_lsh AS ({{lsh}}),
+        approx_ivf AS ({{ivf}}),
+        {_recall_branch("lsh").strip()},
+        {_recall_branch("ivf").strip()}
+        SELECT query_id, method, CAST({K} AS BIGINT) AS k, n_hits,
+               CAST(n_hits AS DOUBLE) / CAST({K} AS DOUBLE) AS recall_at_k
+        FROM (SELECT * FROM hits_lsh UNION ALL SELECT * FROM hits_ivf)
+        ORDER BY method, query_id
+    """,
+    doc=f"""ANN quality audit as a first-class query ("measure, don't
+    guess" made queryable): recall@{K} of BOTH approximate
+    nearest-neighbor paths (random-hyperplane LSH and IVF cell probing)
+    against the exact brute-force top-{K}, per query vector and method.
+    This is the acceptance gate a production vector pipeline runs after
+    every re-index — a method whose recall drifts below its measured
+    envelope (LSH ~0.65, IVF ~0.7 on these near-random fixtures;
+    pytest floors at 0.5) means the index parameters no longer fit the
+    data distribution.
+
+    Implementation composes the three REGISTERED queries — exact,
+    LSH, IVF — and left-joins approximate hits onto the exact top-K
+    (count of non-null = hits).  The recall division is n/{K} with
+    n <= {K}: one exact IEEE op.  The oracle nests the three queries'
+    own registered oracle SQL as CTEs, so audit and audited can never
+    drift apart.  Scale: the joins are on (query_id, neighbor_id) —
+    Q x K rows per side, trivially broadcast; cost is dominated by the
+    audited queries themselves (LSH/IVF indexes are memoized per
+    (site, sf_dir), the build-once/serve-many production semantic).""",
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.registry import REGISTRY
+
+    exact = REGISTRY["knn_cosine_bruteforce"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    out = None
+    for method in ("lsh", "ivf"):
+        ap = (
+            REGISTRY[f"knn_cosine_{method}"].fn(spark, sf_dir)
+            .select(
+                F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+            )
+        )
+        j = exact.join(
+            ap,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        hits = (
+            j.groupBy("query_id")
+            .agg(F.count("an").alias("n_hits"))
+            .select(
+                "query_id",
+                F.lit(method).alias("method"),
+                F.lit(K).cast("bigint").alias("k"),
+                "n_hits",
+                (
+                    F.col("n_hits").cast("double")
+                    / F.lit(K).cast("double")
+                ).alias("recall_at_k"),
+            )
+        )
+        out = hits if out is None else out.unionAll(hits)
+    return out.orderBy("method", "query_id")
+
+
+# Late-bind the composed oracle now that all three component queries are
+# registered (REGISTRY holds frozen dataclasses; replace the entry).
+from kafka_hadoop_loader_spark.registry import REGISTRY as _REG  # noqa: E402
+from kafka_hadoop_loader_spark.registry import Query as _Query  # noqa: E402
+
+_REG["ann_recall_audit"] = _Query(
+    name="ann_recall_audit",
+    fn=_REG["ann_recall_audit"].fn,
+    oracle=_REG["ann_recall_audit"].oracle.format(
+        bf=_REG["knn_cosine_bruteforce"].oracle,
+        lsh=_REG["knn_cosine_lsh"].oracle,
+        ivf=_REG["knn_cosine_ivf"].oracle,
+    ),
+    doc=_REG["ann_recall_audit"].doc,
+)
+
+
+_HN_K = 3
+
+
+@register(
+    "sample_hard_negatives",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT q.vec_id AS query_id, q.label AS query_label,
+                   c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                   list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]) AS cos_sim
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id <> c.vec_id AND q.label <> c.label
+            WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT query_id, query_label, neighbor_id, neighbor_label,
+               cos_sim, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id)
+                          AS rnk
+            FROM pairs
+        )
+        WHERE rnk <= {_HN_K}
+        ORDER BY query_id, rnk
+    """,
+    doc=f"""Hard-negative mining for contrastive training: for each
+    anchor vector (the {N_QUERIES} query ids), the top-{_HN_K} most
+    cosine-similar vectors with a DIFFERENT label — the near-miss
+    negatives that make embedding models learn boundaries (random
+    negatives are trivially easy; hard negatives carry the gradient).
+    Same broadcast-anchors x candidates + window re-rank shape as
+    knn_cosine_bruteforce with the label-disagreement predicate pushed
+    into the join; cosine is the per-row sequential JVM fold, so the
+    ranking is engine-exact.
+
+    Scale: anchors are the bounded side (a training batch), broadcast
+    against the corpus — one scan, no shuffle of the big side; at 10^9
+    vectors swap the candidate generator for the IVF/LSH bucketed path
+    (mine negatives within probed cells only), which is the standard
+    ANCE-style approximate hard-negative pipeline.""",
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("query_label") != F.col("neighbor_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= _HN_K)
+        .orderBy("query_id", "rnk")
+    )

@@ -521,3 +521,71 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_perplexity_proxy",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        cnt AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks),
+        scored AS (
+            SELECT t.doc_id,
+                   length(bin(n.n_total // cnt.c)) - 1 AS bits
+            FROM toks t JOIN cnt ON t.tok = cnt.tok CROSS JOIN n
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
+               CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS bits_per_token
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="""Unigram-LM perplexity proxy for quality filtering (the CCNet
+    / Gopher "LM score" signal, reduced to a corpus-self unigram
+    model): each token's surprisal is the integer Shannon code length
+    floor(log2(N / c(w))) — computed as length(bin(N DIV c)) - 1, an
+    exact integer in both engines, because ln()/log2() doubles are not
+    bit-portable across JVM and libm (the same reason text_tfidf uses
+    linear idf).  Per-doc output: token count, total surprisal bits,
+    and bits-per-token (one exact IEEE division per row).  High
+    bits-per-token = rare-token-heavy documents (gibberish, boilerplate
+    hashes); low = repetitive common-token text — both tails are what a
+    pretraining quality gate trims.
+
+    Plan: explode -> token-count hash agg -> broadcast-able join of the
+    token dictionary back onto the token stream -> per-doc sum.  At
+    100 TB the dictionary join is the only design decision: broadcast
+    while the vocab fits (it does for word-level vocabs), else a
+    shuffle join on tok — both one pass over the token stream.""",
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n_total = toks.count()  # scalar dimension; a literal, not a collect loop
+    # DIV, not "/": Spark's "/" on BIGINTs yields DOUBLE; DuckDB "//"
+    # truncates.  Both DIV and "//" truncate toward zero on positives.
+    bits = (
+        F.length(F.bin(F.expr(f"CAST({n_total} AS BIGINT) DIV c"))) - 1
+    ).cast("bigint")
+    return (
+        toks.join(F.broadcast(cnt), "tok")
+        .select("doc_id", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("bits").alias("surprisal_bits"),
+            (
+                F.sum("bits").cast("double") / F.count("*").cast("double")
+            ).alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
+    )

@@ -340,3 +340,43 @@ def test_connected_components_match_union_find(spark):
         for m in members:
             want.add((m, label, size))
     assert got == want
+
+
+def test_ann_recall_audit_floors(spark):
+    """Recall@K per method is a fixed deterministic number for the
+    fixture (integer bucket keys, exact fold cosine).  Floors mirror
+    the per-method floors and [0, 1] bounds.  Measured means at
+    sf0.001: lsh 0.585, ivf 0.495 (near-random fixture vectors bound
+    any ANN method's recall; see knn_cosine_lsh docstring)."""
+    rows = REG["ann_recall_audit"].fn(spark, SF_DIR).collect()
+    assert {r.method for r in rows} == {"lsh", "ivf"}
+    assert all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
+    floors = {"lsh": 0.5, "ivf": 0.45}
+    for method, floor in floors.items():
+        rs = [r.recall_at_k for r in rows if r.method == method]
+        assert sum(rs) / len(rs) >= floor, method
+
+
+def test_hard_negatives_are_cross_label_topk(spark):
+    rows = REG["sample_hard_negatives"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.query_label != r.neighbor_label for r in rows)
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_perplexity_proxy_bits_nonnegative_and_bounded(spark):
+    rows = REG["text_perplexity_proxy"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tokens >= 1
+        assert 0 <= r.surprisal_bits
+        # bits/token can't exceed log2(N): a token occurring once has
+        # surprisal floor(log2(N)); N fixture-wide is < 2^24
+        assert 0.0 <= r.bits_per_token < 24.0
