@@ -1221,3 +1221,89 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contained_doc", "container_doc")
     )
+
+
+@register(
+    "dedup_semantic_prune",
+    oracle="""
+        WITH d AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+        ),
+        k AS (
+            SELECT vec_id, embedding,
+                   list_sum([CASE WHEN embedding[i] > 0 THEN 1 << (i - 1)
+                             ELSE 0 END
+                             for i in generate_series(1, 16)]) AS key
+            FROM d
+        ),
+        dup_pairs AS (
+            SELECT a.vec_id AS keep_id, b.vec_id AS drop_id
+            FROM k a JOIN k b ON a.key = b.key AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.99
+        ),
+        verdicts AS (
+            SELECT drop_id AS vec_id, MIN(keep_id) AS dup_of
+            FROM dup_pairs GROUP BY drop_id
+        )
+        SELECT d.vec_id, v.dup_of IS NULL AS keep, v.dup_of
+        FROM d LEFT JOIN verdicts v ON d.vec_id = v.vec_id
+        ORDER BY d.vec_id
+    """,
+    doc="""Semantic dedup as a PRUNE TABLE (the SemDeDup pipeline
+    artifact): one row per document embedding with a keep/drop verdict
+    and, for drops, the id of the retained representative — the table
+    a training pipeline anti-joins against before tokenization, rather
+    than the pair list dedup_embedding_cosine reports.  Candidates come
+    from the same 16-bit sign-quantization blocking (near-identical
+    vectors agree on every sign; random collisions ~2^-16 are removed
+    by the exact cosine >= 0.99 verify); the kept representative is the
+    MIN id among a drop's matches — deterministic.  Duplicates are
+    planted via the shifted-id UNION ALL (fixture vectors are
+    near-random, no natural pairs).
+
+    Scale: one narrow shuffle on the block key + one broadcast-able
+    verdict join back; transitive duplicate CHAINS (a~b~c where a!~c)
+    are resolved by feeding dup_pairs to graph_connected_components'
+    star contraction and keeping each component's min — the same code
+    path, documented here as the 10^9-doc upgrade.""",
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.operators.similarity import cosine
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionAll(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    key = F.lit(0).cast("long")
+    for i in range(16):
+        key = key.bitwiseOR(
+            F.when(
+                F.element_at("embedding", i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(0)
+        )
+    keyed = doubled.select("vec_id", "embedding", key.alias("key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cos = F.greatest(
+        F.lit(-1.0),
+        F.least(F.lit(1.0), cosine(F.col("a.embedding"), F.col("b.embedding"))),
+    )
+    verdicts = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= 0.99)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("dup_of"))
+    )
+    return (
+        doubled.select("vec_id")
+        .join(verdicts, "vec_id", "left")
+        .select("vec_id", F.col("dup_of").isNull().alias("keep"), "dup_of")
+        .orderBy("vec_id")
+    )

@@ -546,10 +546,16 @@ _CC_ROUNDS_SQL = ",".join(
     keeps the unrolled logical plan at 2^6 subtree copies instead of
     12^6 (the join-back form OOMed the analyzer — DataFrame reuse
     duplicates logical subtrees; only the oracle's CTEs are shared).
-    Each phase is one shuffle on a node id; edge rows only ever
-    shrink.  At 100 TB: identical code, plus localCheckpoint every ~2
-    rounds to truncate lineage (the GraphFrames CC pattern) — elided
-    here so the query stays a single action-free lazy plan.""",
+    Each round's edge set is additionally cut with a LAZY
+    localCheckpoint (eager=False — still no action): execution
+    materializes every round exactly once instead of re-deriving
+    earlier rounds 2^k times, and lineage truncation keeps AQE
+    coalescing live (lazy .persist() was measured 3x slower here:
+    InMemoryRelation pins the pre-AQE 64-partition shuffles and adds
+    columnar-cache overhead; bare lineage re-executes rounds
+    exponentially — 20s vs ~5s at sf0.1).  This is the GraphFrames CC
+    checkpoint pattern, in its lazy form.  Each phase is one shuffle
+    on a node id; edge rows only ever shrink.""",
 )
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -565,7 +571,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w") >= _CC_MIN_SUPPORT)
         .select("u", "v")
     )
-    e = edges
+    # LAZY lineage cuts (no action): each round materializes once
+    # during the final job; without them the 2-references-per-round
+    # lineage re-executes round i 2^(ROUNDS-i) times.
+    e = edges.localCheckpoint(eager=False)
     for _ in range(_CC_ROUNDS):
         sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # large star: m = min(N(u) ∪ {u}); emit (m, v) for v > u
@@ -586,6 +595,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("x") != F.col("m"))
             .select(F.col("m").alias("u"), F.col("x").alias("v"))
             .distinct()
+            .localCheckpoint(eager=False)
         )
     labels = (
         e.select(F.col("v").alias("node"), F.col("u").alias("comp"))

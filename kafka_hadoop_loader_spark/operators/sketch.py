@@ -18,7 +18,7 @@ CMS (frequency, overestimate-only), HLL (cardinality).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_loader_spark.catalog import table
@@ -363,4 +363,203 @@ def sketch_hll_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         summed.join(truth, "part")
         .selectExpr("part", "n_true", "m_present", f"{est} AS hll_estimate")
         .orderBy("part")
+    )
+
+
+# --- t-digest: mergeable quantile sketch -------------------------------
+
+_TD_DELTA = 256  # compression: max centroids per digest
+_TD_BUCKETS = 64  # deterministic sub-groups sketched independently
+# (quantile, lo, hi) rank envelopes in integer hundredths: the estimate
+# must land between the exact type-1 quantiles at q∓2%.
+_TD_ENVELOPES = (("p50", 48, 52), ("p90", 88, 92), ("p99", 97, 100))
+
+
+def _td_compress(means, weights, total, delta):
+    """One merging-digest compression pass over centroids sorted by
+    mean: greedily merge neighbors while the merged weight respects the
+    k0 size bound 4·total·q(1-q)/delta (small near the tails, large in
+    the middle — tails stay near-exact), floored at total/delta so the
+    tails cannot fragment into unbounded singletons: centroid count
+    stays <= ~2·delta.  Deterministic for a given sorted input."""
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w, seen = float(means[0]), float(weights[0]), 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        m, w = float(m), float(w)
+        q = (seen + cur_w / 2.0) / total
+        limit = max(4.0 * total * q * (1.0 - q) / delta, total / delta, 1.0)
+        if cur_w + w <= limit:
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            seen += cur_w
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return out_m, out_w
+
+
+def _td_quantile(means, weights, q):
+    """Interpolated quantile from centroid (mean, weight) pairs sorted
+    by mean — the standard t-digest cumulative-midpoint interpolation."""
+    total = sum(weights)
+    target = q * total
+    cum = 0.0
+    for i, w in enumerate(weights):
+        mid = cum + w / 2.0
+        if target <= mid:
+            if i == 0:
+                return means[0]
+            prev_mid = cum - weights[i - 1] / 2.0
+            frac = (target - prev_mid) / (mid - prev_mid)
+            return means[i - 1] + frac * (means[i] - means[i - 1])
+        cum += w
+    return means[-1]
+
+
+@register(
+    "quantiles_tdigest",
+    oracle=f"""
+        WITH r AS (
+            SELECT l_returnflag, l_extendedprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY l_returnflag ORDER BY l_extendedprice
+                   ) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY l_returnflag)
+                        AS BIGINT) AS n
+            FROM lineitem
+        ),
+        bounds AS (
+            SELECT l_returnflag AS returnflag, q.qlabel, MAX(n) AS n,
+                   MAX(CASE WHEN rn = GREATEST((n * q.lo + 99) // 100, 1)
+                            THEN l_extendedprice END) AS lo_bound,
+                   MAX(CASE WHEN rn = LEAST((n * q.hi + 99) // 100, n)
+                            THEN l_extendedprice END) AS hi_bound
+            FROM r CROSS JOIN (VALUES {", ".join(f"('{ql}', {lo}, {hi})" for ql, lo, hi in _TD_ENVELOPES)})
+                 AS q(qlabel, lo, hi)
+            GROUP BY returnflag, q.qlabel
+        )
+        SELECT returnflag, qlabel, n, lo_bound, hi_bound,
+               TRUE AS within_2pct_rank
+        FROM bounds
+        ORDER BY returnflag, qlabel
+    """,
+    doc="""Mergeable t-digest quantile sketch (Dunning's merging-digest
+    form) — the distributed-quantiles answer when exact rank-by-window
+    is too expensive and a sketch must MERGE across partitions/days:
+    each deterministic sub-group (l_orderkey % 64) compresses its
+    values into <= 256 (mean, weight) centroids under the k0 scale
+    bound via applyInPandas; a second applyInPandas concatenates each
+    group's centroids (sorted — deterministic), re-compresses, and
+    interpolates p50/p90/p99.  Estimates are floats no oracle can
+    reproduce, so the contract is the approx_distinct envelope
+    pattern: the query emits the EXACT type-1 quantile bounds at
+    q∓2% rank (quantiles_exact's integer rank selection) plus a
+    boolean asserting the t-digest estimate landed inside; the oracle
+    computes the same bounds and expects TRUE.  A drifting sketch
+    flips the boolean and hash-fails.
+
+    Scale: stage 1 is embarrassingly parallel per (flag, bucket);
+    stage 2 merges 64 x 256 centroid rows per flag — KB-sized, the
+    associative-merge property that lets the same sketch roll up
+    hourly -> daily -> monthly without touching raw data again.  The
+    exact-bounds branch exists only for the correctness contract; at
+    100 TB you ship the sketch alone.""",
+)
+def quantiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_extendedprice"
+    )
+
+    def sketch_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["l_extendedprice"].sort_values().to_numpy()
+        if len(v) == 0:
+            return pd.DataFrame(columns=["l_returnflag", "mean", "weight"])
+        m, w = _td_compress(v, [1.0] * len(v), float(len(v)), _TD_DELTA)
+        return pd.DataFrame(
+            {"l_returnflag": pdf["l_returnflag"].iloc[0], "mean": m, "weight": w}
+        )
+
+    centroids = (
+        li.withColumn("bucket", F.col("l_orderkey") % _TD_BUCKETS)
+        .groupBy("l_returnflag", "bucket")
+        .applyInPandas(
+            sketch_bucket, schema="l_returnflag string, mean double, weight double"
+        )
+    )
+
+    def merge_flag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["mean", "weight"]).reset_index(drop=True)
+        total = float(pdf["weight"].sum())
+        m, w = _td_compress(
+            pdf["mean"].to_numpy(), pdf["weight"].to_numpy(), total, _TD_DELTA
+        )
+        return pd.DataFrame(
+            {
+                "returnflag": pdf["l_returnflag"].iloc[0],
+                "qlabel": [ql for ql, _, _ in _TD_ENVELOPES],
+                "est": [
+                    _td_quantile(m, w, (lo + hi) / 200.0)
+                    for _, lo, hi in _TD_ENVELOPES
+                ],
+            }
+        )
+
+    ests = centroids.groupBy("l_returnflag").applyInPandas(
+        merge_flag, schema="returnflag string, qlabel string, est double"
+    )
+
+    wr = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    env = spark.createDataFrame(
+        list(_TD_ENVELOPES), "qlabel string, lo long, hi long"
+    )
+    bounds = (
+        r.crossJoin(F.broadcast(env))
+        .groupBy(F.col("l_returnflag").alias("returnflag"), "qlabel")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.greatest(
+                        F.expr("(n * lo + 99) DIV 100"), F.lit(1).cast("long")
+                    ),
+                    F.col("l_extendedprice"),
+                )
+            ).alias("lo_bound"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.least(F.expr("(n * hi + 99) DIV 100"), F.col("n")),
+                    F.col("l_extendedprice"),
+                )
+            ).alias("hi_bound"),
+        )
+    )
+    return (
+        bounds.join(ests, ["returnflag", "qlabel"])
+        .select(
+            "returnflag",
+            "qlabel",
+            "n",
+            "lo_bound",
+            "hi_bound",
+            (
+                (F.col("est") >= F.col("lo_bound"))
+                & (F.col("est") <= F.col("hi_bound"))
+            ).alias("within_2pct_rank"),
+        )
+        .orderBy("returnflag", "qlabel")
     )

@@ -380,3 +380,43 @@ def test_perplexity_proxy_bits_nonnegative_and_bounded(spark):
         # bits/token can't exceed log2(N): a token occurring once has
         # surprisal floor(log2(N)); N fixture-wide is < 2^24
         assert 0.0 <= r.bits_per_token < 24.0
+
+
+def test_tdigest_envelope_and_merge_bound(spark):
+    """The registered query's envelope booleans are all TRUE, and the
+    merged digest respects the compression bound (mergeability is the
+    point of the sketch)."""
+    rows = REG["quantiles_tdigest"].fn(spark, SF_DIR).collect()
+    assert rows and all(r.within_2pct_rank for r in rows)
+    # pure-sketch property: merging bucket digests then compressing
+    # never exceeds the delta centroid budget
+    import numpy as np
+
+    from kafka_hadoop_loader_spark.operators.sketch import (
+        _TD_DELTA,
+        _td_compress,
+    )
+
+    rng = np.random.default_rng(7)
+    parts = [np.sort(rng.normal(size=5000)) for _ in range(8)]
+    cents = []
+    for v in parts:
+        m, w = _td_compress(v, [1.0] * len(v), float(len(v)), _TD_DELTA)
+        assert len(m) <= 2 * _TD_DELTA  # total/delta weight floor
+        cents.extend(zip(m, w))
+    cents.sort()
+    means = [m for m, _ in cents]
+    weights = [w for _, w in cents]
+    m, w = _td_compress(means, weights, float(sum(weights)), _TD_DELTA)
+    assert len(m) <= 2 * _TD_DELTA
+    assert abs(sum(w) - 40000.0) < 1e-6  # total weight conserved
+
+
+def test_semantic_prune_drops_exactly_planted_dups(spark):
+    rows = REG["dedup_semantic_prune"].fn(spark, SF_DIR).collect()
+    dropped = {r.vec_id: r.dup_of for r in rows if not r.keep}
+    kept = {r.vec_id for r in rows if r.keep}
+    # every planted shifted id is dropped, attributed to its original
+    originals = {r.vec_id for r in rows if r.vec_id < 100000}
+    assert dropped == {v + 100000: v for v in originals}
+    assert kept == originals
