@@ -307,3 +307,141 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(v3.withColumnRenamed("v", "v3"), "dim")
         .orderBy("dim")
     )
+
+
+# --- Multi-feature OLS via normal equations (closed form) --------------
+#
+# One shared expression string per coefficient, evaluated verbatim by
+# BOTH engines (the bm25_rank convention): the nine sufficient
+# statistics are exact BIGINT sums on the cents/unit grid, each cast
+# once to DOUBLE (IEEE round-to-nearest of an identical int64 —
+# bit-identical everywhere), and Cramer's rule is a fixed ±/× tree on
+# those nine doubles, so every intermediate and the final coefficients
+# agree bitwise across engines despite being floating point.
+_OLS_DET = (
+    "(fn*(f11*f22 - f12*f12) - f1*(f1*f22 - f12*f2) + f2*(f1*f12 - f11*f2))"
+)
+_OLS_B0 = (
+    "(fy*(f11*f22 - f12*f12) - f1*(f1y*f22 - f12*f2y)"
+    f" + f2*(f1y*f12 - f11*f2y)) / {_OLS_DET}"
+)
+_OLS_B1 = (
+    "(fn*(f1y*f22 - f12*f2y) - fy*(f1*f22 - f12*f2)"
+    f" + f2*(f1*f2y - f1y*f2)) / {_OLS_DET}"
+)
+_OLS_B2 = (
+    "(fn*(f11*f2y - f1y*f12) - f1*(f1*f2y - f1y*f2)"
+    f" + fy*(f1*f12 - f11*f2)) / {_OLS_DET}"
+)
+
+
+@register(
+    "regr_normal_equations",
+    oracle=f"""
+        WITH obs AS (
+            SELECT l.l_returnflag AS returnflag,
+                   CAST(l.l_quantity AS BIGINT) AS q,
+                   CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS r,
+                   CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        mom AS (
+            SELECT returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS s1,
+                   CAST(SUM(r) AS BIGINT) AS s2,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(q * q) AS BIGINT) AS s11,
+                   CAST(SUM(q * r) AS BIGINT) AS s12,
+                   CAST(SUM(r * r) AS BIGINT) AS s22,
+                   CAST(SUM(q * y) AS BIGINT) AS s1y,
+                   CAST(SUM(r * y) AS BIGINT) AS s2y
+            FROM obs GROUP BY returnflag
+        ),
+        f AS (
+            SELECT returnflag, n,
+                   CAST(n AS DOUBLE) AS fn, CAST(s1 AS DOUBLE) AS f1,
+                   CAST(s2 AS DOUBLE) AS f2, CAST(sy AS DOUBLE) AS fy,
+                   CAST(s11 AS DOUBLE) AS f11, CAST(s12 AS DOUBLE) AS f12,
+                   CAST(s22 AS DOUBLE) AS f22, CAST(s1y AS DOUBLE) AS f1y,
+                   CAST(s2y AS DOUBLE) AS f2y
+            FROM mom
+        )
+        SELECT returnflag, n,
+               {_OLS_B0} AS beta0_cents,
+               {_OLS_B1} AS beta1_cents_per_unit,
+               {_OLS_B2} AS beta2
+        FROM f
+        ORDER BY returnflag
+    """,
+    doc="""Multi-feature linear regression fit in closed form — the
+    distributed-OLS shape: y = b0 + b1·quantity + b2·retailprice per
+    returnflag, where ONE aggregation pass computes the nine exact
+    sufficient statistics (n, Σx, Σxxᵀ, Σxy on the integer cents/unit
+    grid) and Cramer's rule solves the 3x3 normal equations on the
+    single resulting row per group.  This is how regression fits at
+    100 TB: the data-sized work is one map-side-combining hash
+    aggregate; the solve is O(p³) on p+1 numbers per group, never
+    touching data again (MLlib's normal-equation solver shape —
+    WeightedLeastSquares — minus the library).
+
+    Cross-engine exactness: integer moments are exact and
+    order-independent; each is cast ONCE to double (identical IEEE
+    rounding of identical int64s) and the Cramer expressions are one
+    shared literal string evaluated by both engines, so the float
+    coefficients are bit-identical, not approximately equal.  int64
+    headroom: Σ(r·y) ≈ 2e12/row → ~4e6 rows per group here; at larger
+    scale re-grid to dollars (scale=1) for 1e10-row groups, or go
+    two-phase (per-partition moments, BIGINT merge).
+
+    Extends regr_by_group (simple 1-feature regression) to the
+    multi-feature case; residual diagnostics live there.""",
+)
+def regr_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    obs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_quantity").cast("long").alias("q"),
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("r"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        )
+    )
+    mom = obs.groupBy("returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum("r").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).alias("s11"),
+        F.sum(F.col("q") * F.col("r")).alias("s12"),
+        F.sum(F.col("r") * F.col("r")).alias("s22"),
+        F.sum(F.col("q") * F.col("y")).alias("s1y"),
+        F.sum(F.col("r") * F.col("y")).alias("s2y"),
+    )
+    f = mom.select(
+        "returnflag",
+        "n",
+        F.col("n").cast("double").alias("fn"),
+        F.col("s1").cast("double").alias("f1"),
+        F.col("s2").cast("double").alias("f2"),
+        F.col("sy").cast("double").alias("fy"),
+        F.col("s11").cast("double").alias("f11"),
+        F.col("s12").cast("double").alias("f12"),
+        F.col("s22").cast("double").alias("f22"),
+        F.col("s1y").cast("double").alias("f1y"),
+        F.col("s2y").cast("double").alias("f2y"),
+    )
+    return (
+        f.select(
+            "returnflag",
+            "n",
+            F.expr(_OLS_B0).alias("beta0_cents"),
+            F.expr(_OLS_B1).alias("beta1_cents_per_unit"),
+            F.expr(_OLS_B2).alias("beta2"),
+        )
+        .orderBy("returnflag")
+    )

@@ -420,3 +420,30 @@ def test_semantic_prune_drops_exactly_planted_dups(spark):
     originals = {r.vec_id for r in rows if r.vec_id < 100000}
     assert dropped == {v + 100000: v for v in originals}
     assert kept == originals
+
+
+def test_normal_equations_match_numpy_lstsq(spark):
+    """Cramer-on-exact-moments must agree with numpy's least squares on
+    the same integer-grid observations (different algorithm, same
+    minimizer) to float precision."""
+    import duckdb
+    import numpy as np
+
+    rows = REG["regr_normal_equations"].fn(spark, SF_DIR).collect()
+    obs = duckdb.sql(f"""
+        SELECT l.l_returnflag,
+               CAST(l.l_quantity AS BIGINT) AS q,
+               CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS r,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS y
+        FROM read_parquet('{SF_DIR}/lineitem.parquet') l
+        JOIN read_parquet('{SF_DIR}/part.parquet') p
+          ON l.l_partkey = p.p_partkey
+    """).df()
+    for row in rows:
+        g = obs[obs["l_returnflag"] == row.returnflag]
+        X = np.column_stack(
+            [np.ones(len(g)), g["q"].to_numpy(float), g["r"].to_numpy(float)]
+        )
+        beta, *_ = np.linalg.lstsq(X, g["y"].to_numpy(float), rcond=None)
+        got = np.array([row.beta0_cents, row.beta1_cents_per_unit, row.beta2])
+        assert np.allclose(got, beta, rtol=1e-6), (row.returnflag, got, beta)
