@@ -247,3 +247,52 @@ def udtf_python_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL khl_segments(d.doc_id, d.text) AS u
         ORDER BY doc_id, seg_idx
     """)
+
+
+def _make_tail_signature():
+    """Arrow-optimized row-at-a-time Python UDF (Spark 3.5+/4
+    ``useArrow=True``): plain-Python function semantics with Arrow
+    batch transfer — ArrowEvalPython in the plan, NOT the row-pickling
+    BatchEvalPython the plan tests forbid.  Built lazily (same session
+    reason as the pandas UDFs)."""
+
+    @F.udf("string", useArrow=True)
+    def _tail_signature(text: str) -> str:
+        # deterministic per-row transform, SQL-replayable: the last 12
+        # code points reversed, lowercased
+        return text[::-1][:12].lower()
+
+    return _tail_signature
+
+
+@register(
+    "udf_arrow_optimized",
+    oracle="""
+        SELECT doc_id,
+               lower(substr(reverse(text), 1, 12)) AS tail_sig,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="""Arrow-optimized Python UDF (``F.udf(..., useArrow=True)``,
+    the Spark 4 default-able third UDF tier): write per-row Python, get
+    Arrow-batched transfer — the migration path for legacy row UDFs
+    that cannot be vectorized as pandas_udf.  The plan shows
+    ArrowEvalPython (asserted in tests/test_plans.py), never the
+    pickled BatchEvalPython this repo bans.  The transform (reverse ->
+    take 12 -> lower) is code-point-wise and replayed exactly by the
+    oracle's reverse/substr/lower.  Scale: same Arrow batch economics
+    as a scalar pandas UDF; still Python-per-row inside the batch, so
+    pandas_udf remains the hot-path choice (udf_scalar_pandas).""",
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    tail_sig = _make_tail_signature()
+    return (
+        d.select(
+            "doc_id",
+            tail_sig(F.col("text")).alias("tail_sig"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )

@@ -138,7 +138,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # then these 44, then the r4 additions:
 #   graph_connected_components text_perplexity_proxy ann_recall_audit
 #   sample_hard_negatives quantiles_tdigest dedup_semantic_prune
-#   regr_normal_equations):
+#   regr_normal_equations sql_pipe_syntax window_session_native
+#   udf_arrow_optimized):
 #   agg_bitmap_presence agg_share_reused_exchange agg_filtered_bool
 #   agg_grouping_id orders_basket_size_dist nation_trade_balance
 #   sample_reservoir_group pipeline_funnel sample_weighted_priority

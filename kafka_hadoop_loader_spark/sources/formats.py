@@ -695,3 +695,47 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~bad, F.col("user_id"))).cast("bigint").alias("sum_user_id"),
         F.min(F.when(~bad, F.col("event_id"))).cast("bigint").alias("min_good_event_id"),
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                         AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+               CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+        FROM lineitem
+        WHERE l_quantity >= 10
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="""SQL pipe syntax (Spark 4.0's `|>` operator chain — the
+    linear FROM -> transform -> aggregate form standardized from
+    GoogleSQL): the same pricing-summary shape as agg_pricing_summary
+    expressed as  FROM t |> WHERE |> EXTEND |> AGGREGATE ... GROUP BY
+    |> ORDER BY, proving the engine's SQL front door accepts the
+    pipeline dialect and plans it identically to nested SQL (Catalyst
+    sees the same logical plan; the oracle is the classic form).
+    EXTEND adds the scaled-cents column the exact-sum convention
+    needs; the aggregate is one map-side-combining hash agg.""",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir.rstrip("/")).encode()).hexdigest()[:8]
+    vname = f"khl_pipe_li_{tag}"
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(vname)
+    return spark.sql(
+        f"""
+        FROM {vname}
+        |> WHERE l_quantity >= 10
+        |> EXTEND CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(price_c) AS DOUBLE) / 100.0 AS revenue,
+                     MAX(CAST(l_quantity AS BIGINT)) AS max_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, revenue, max_qty
+        """
+    )

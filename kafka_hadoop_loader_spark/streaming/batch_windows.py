@@ -303,3 +303,64 @@ def events_watermark_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partition_id")
     )
+
+
+@register(
+    "window_session_native",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value, epoch_us(ts) AS ts_us,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             >= 30 * 60 * 1000000
+                        OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts_us, value,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               make_timestamp(MIN(ts_us)) AS session_start,
+               make_timestamp(MAX(ts_us) + 30 * 60 * 1000000) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS sum_value
+        FROM sessions
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    doc="""Spark's NATIVE ``session_window`` aggregation in batch — the
+    built-in merging-interval operator window_session_batch hand-rolls
+    with lag + cumulative sum.  Semantics divergence worth pinning:
+    the native operator's windows are half-open [start, last+gap), so
+    an event arriving at EXACTLY gap after its predecessor starts a
+    NEW session — the manual gaps-and-islands form with a strict `>`
+    test would merge it.  The oracle therefore flags `>= gap`, and
+    session_end is last-event-time + gap (the native window's `end`),
+    not last-event-time.  One shuffle on user_id; the merging pass is
+    the same sort Spark already does for the aggregate.  (Streaming
+    form: streaming/jobs.py session_counts_stream uses the identical
+    primitive under a watermark.)""",
+)
+def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

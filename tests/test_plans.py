@@ -375,3 +375,13 @@ def test_no_row_python_anywhere(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-Python fallback in: {offenders}"
+
+
+def test_arrow_optimized_udf_is_arrow_not_pickle(spark):
+    """udf_arrow_optimized must run as ArrowEvalPython (useArrow=True)
+    — the whole point of the query; a silent fallback to pickled
+    BatchEvalPython would both break the repo policy and misrepresent
+    the Spark-4 surface it demonstrates."""
+    plan = _plan(spark, "udf_arrow_optimized")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
