@@ -105,7 +105,8 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
-    # Complete per-query record (all 233 minima) — the driver's BENCH
+    # Complete per-query record (every registered query's minimum) —
+    # the driver's BENCH
     # artifact keeps only a bounded tail of stdout, which truncated the
     # full dict in rounds 1-3, so the full payload lives at a stable
     # path for round-over-round diffing and judge review ...
@@ -145,7 +146,13 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(times),
         "n_errors": sum(1 for t in times.values() if t < 0),
-        "median_sec": round(ok[len(ok) // 2], 3) if ok else None,
+        "median_sec": (
+            round(
+                (ok[(len(ok) - 1) // 2] + ok[len(ok) // 2]) / 2, 3
+            )
+            if ok
+            else None
+        ),
         "max_sec": ok[-1] if ok else None,
         "queries_full": "BENCH_FULL.json",
     }

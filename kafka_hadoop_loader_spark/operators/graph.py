@@ -445,26 +445,29 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unrolled computation is engine-exact and the DuckDB oracle replays
 # the identical rounds as chained CTEs (the pagerank pattern).
 #
-# Graph: parts co-purchased in >= 2 distinct orders ("product
-# families").  Measured rounds-to-fixpoint on the fixtures: 3 (sf0.001,
-# one dense 200-node component), 5 (sf0.01, giant component of 1875),
-# 5 (sf0.1, 2308 small components) — _CC_ROUNDS = 6 leaves one spare
-# round, and tests/test_llm_ops.py asserts the 6-round labels equal a
-# union-find ground truth at sf0.001 and sf0.01.
+# Graph: parts co-purchased in >= 2 DISTINCT orders ("product
+# families" — COUNT(DISTINCT orderkey), so a part repeated on two
+# lineitems of one order does not fabricate support).  Measured
+# rounds-to-fixpoint on the fixtures: 3 (sf0.001), 5 (sf0.01),
+# 4 (sf0.1) — _CC_ROUNDS = 6 leaves spare rounds, and
+# tests/test_llm_ops.py asserts the 6-round labels equal a union-find
+# ground truth on the same edge definition.
 
 _CC_ROUNDS = 6
 _CC_MIN_SUPPORT = 2
 
 _CC_EDGES_SQL = f"""
         pairs AS (
-            SELECT a.l_partkey AS u, b.l_partkey AS v
+            SELECT a.l_partkey AS u, b.l_partkey AS v,
+                   a.l_orderkey AS okey
             FROM lineitem a JOIN lineitem b
               ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
         ),
         e0 AS MATERIALIZED (
             SELECT u, v FROM pairs
-            GROUP BY u, v HAVING COUNT(*) >= {_CC_MIN_SUPPORT}
+            GROUP BY u, v
+            HAVING COUNT(DISTINCT okey) >= {_CC_MIN_SUPPORT}
         )
 """
 
@@ -567,7 +570,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("w"))
+        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("w"))
         .where(F.col("w") >= _CC_MIN_SUPPORT)
         .select("u", "v")
     )

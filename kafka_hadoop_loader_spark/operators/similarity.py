@@ -1096,18 +1096,17 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Late-bind the composed oracle now that all three component queries are
 # registered (REGISTRY holds frozen dataclasses; replace the entry).
-from kafka_hadoop_loader_spark.registry import REGISTRY as _REG  # noqa: E402
-from kafka_hadoop_loader_spark.registry import Query as _Query  # noqa: E402
+import dataclasses as _dc  # noqa: E402
 
-_REG["ann_recall_audit"] = _Query(
-    name="ann_recall_audit",
-    fn=_REG["ann_recall_audit"].fn,
+from kafka_hadoop_loader_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["ann_recall_audit"] = _dc.replace(
+    _REG["ann_recall_audit"],
     oracle=_REG["ann_recall_audit"].oracle.format(
         bf=_REG["knn_cosine_bruteforce"].oracle,
         lsh=_REG["knn_cosine_lsh"].oracle,
         ivf=_REG["knn_cosine_ivf"].oracle,
     ),
-    doc=_REG["ann_recall_audit"].doc,
 )
 
 

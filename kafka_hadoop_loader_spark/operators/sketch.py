@@ -372,7 +372,10 @@ _TD_DELTA = 256  # compression: max centroids per digest
 _TD_BUCKETS = 64  # deterministic sub-groups sketched independently
 # (quantile, lo, hi) rank envelopes in integer hundredths: the estimate
 # must land between the exact type-1 quantiles at q∓2%.
-_TD_ENVELOPES = (("p50", 48, 52), ("p90", 88, 92), ("p99", 97, 100))
+# (label, nominal q in hundredths, lo, hi): the estimate interpolates
+# the NOMINAL quantile and must land between the exact type-1
+# quantiles at the (possibly asymmetric, clipped-at-100) envelope.
+_TD_ENVELOPES = (("p50", 50, 48, 52), ("p90", 90, 88, 92), ("p99", 99, 97, 100))
 
 
 def _td_compress(means, weights, total, delta):
@@ -438,7 +441,7 @@ def _td_quantile(means, weights, q):
                             THEN l_extendedprice END) AS lo_bound,
                    MAX(CASE WHEN rn = LEAST((n * q.hi + 99) // 100, n)
                             THEN l_extendedprice END) AS hi_bound
-            FROM r CROSS JOIN (VALUES {", ".join(f"('{ql}', {lo}, {hi})" for ql, lo, hi in _TD_ENVELOPES)})
+            FROM r CROSS JOIN (VALUES {", ".join(f"('{ql}', {lo}, {hi})" for ql, _, lo, hi in _TD_ENVELOPES)})
                  AS q(qlabel, lo, hi)
             GROUP BY returnflag, q.qlabel
         )
@@ -502,10 +505,10 @@ def quantiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "returnflag": pdf["l_returnflag"].iloc[0],
-                "qlabel": [ql for ql, _, _ in _TD_ENVELOPES],
+                "qlabel": [ql for ql, _, _, _ in _TD_ENVELOPES],
                 "est": [
-                    _td_quantile(m, w, (lo + hi) / 200.0)
-                    for _, lo, hi in _TD_ENVELOPES
+                    _td_quantile(m, w, q / 100.0)
+                    for _, q, _, _ in _TD_ENVELOPES
                 ],
             }
         )
@@ -523,7 +526,8 @@ def quantiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wn).cast("long").alias("n"),
     )
     env = spark.createDataFrame(
-        list(_TD_ENVELOPES), "qlabel string, lo long, hi long"
+        [(ql, lo, hi) for ql, _, lo, hi in _TD_ENVELOPES],
+        "qlabel string, lo long, hi long",
     )
     bounds = (
         r.crossJoin(F.broadcast(env))

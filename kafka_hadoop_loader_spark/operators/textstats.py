@@ -570,14 +570,16 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    n_total = toks.count()  # scalar dimension; a literal, not a collect loop
+    # the corpus token total rides INSIDE the lazy plan as a broadcast
+    # 1-row cross join (no eager .count() action at build time — every
+    # fn() stays a pure plan constructor)
+    n_total = toks.groupBy().agg(F.count("*").alias("n_total"))
     # DIV, not "/": Spark's "/" on BIGINTs yields DOUBLE; DuckDB "//"
     # truncates.  Both DIV and "//" truncate toward zero on positives.
-    bits = (
-        F.length(F.bin(F.expr(f"CAST({n_total} AS BIGINT) DIV c"))) - 1
-    ).cast("bigint")
+    bits = (F.length(F.bin(F.expr("n_total DIV c"))) - 1).cast("bigint")
     return (
         toks.join(F.broadcast(cnt), "tok")
+        .crossJoin(F.broadcast(n_total))
         .select("doc_id", bits.alias("bits"))
         .groupBy("doc_id")
         .agg(

@@ -257,9 +257,14 @@ def _make_tail_signature():
     reason as the pandas UDFs)."""
 
     @F.udf("string", useArrow=True)
-    def _tail_signature(text: str) -> str:
+    def _tail_signature(text: str | None) -> str | None:
         # deterministic per-row transform, SQL-replayable: the last 12
-        # code points reversed, lowercased
+        # code points reversed, lowercased.  NULL in -> NULL out (the
+        # oracle's reverse(NULL) is NULL; without the guard None[::-1]
+        # raises inside the Arrow batch).  Code-point-wise like Spark's
+        # and DuckDB's reverse() on this fixture's ASCII text.
+        if text is None:
+            return None
         return text[::-1][:12].lower()
 
     return _tail_signature

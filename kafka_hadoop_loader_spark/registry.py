@@ -132,7 +132,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 # Round-5 rotation queue (the 44 names still never-driver-tested after
-# r4's 50-entry window plus the 7 operators newly added in round 4;
+# r4's 50-entry window plus the 10 operators newly added in round 4;
 # recomputed by diffing CORRECTNESS_r0{1..4}.json keys against the
 # registry at round-5 start — any r4 misses get re-promoted first,
 # then these 44, then the r4 additions:

@@ -27,14 +27,27 @@ _REVERIFY_OK: frozenset[str] = frozenset()
 
 
 def _driver_green() -> set[str]:
+    """Names with at least one PASSING driver row.  A name that only
+    ever appeared red (err set, or any match flag false — as happened
+    to 8 queries in round 2) is NOT green: the rotation contract
+    requires re-promoting it, so it must stay eligible for the
+    window."""
     green: set[str] = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json")):
         try:
             rows = json.load(open(path))
         except (OSError, json.JSONDecodeError):
             continue
-        if isinstance(rows, dict):
-            green |= set(rows)
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") is None and all(
+                row.get(k, False)
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                green.add(name)
     return green
 
 

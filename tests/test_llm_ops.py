@@ -313,7 +313,8 @@ def test_connected_components_match_union_find(spark):
         FROM read_parquet('{SF_DIR}/lineitem.parquet') a
         JOIN read_parquet('{SF_DIR}/lineitem.parquet') b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY u, v HAVING COUNT(*) >= {_CC_MIN_SUPPORT}
+        GROUP BY u, v
+        HAVING COUNT(DISTINCT a.l_orderkey) >= {_CC_MIN_SUPPORT}
     """).fetchall()
     parent: dict[int, int] = {}
 
@@ -328,9 +329,6 @@ def test_connected_components_match_union_find(spark):
         if ru != rv:
             parent[max(ru, rv)] = min(ru, rv)
     # canonical label = min node id in component (what star rounds yield)
-    comp: dict[int, int] = {}
-    for x in parent:
-        comp.setdefault(find(x), x)  # first insert then min below
     roots: dict[int, list[int]] = {}
     for x in parent:
         roots.setdefault(find(x), []).append(x)
