@@ -83,6 +83,12 @@ def _round_trip_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
                 .option("compression", "gzip")
                 .text(path)
             )
+        elif fmt == "xml":
+            # Spark 4 native XML source (spark-xml upstreamed):
+            # one <event> element per row under the default <ROWS> root
+            df.write.mode("overwrite").option("rowTag", "event").format(
+                "xml"
+            ).save(path)
         else:
             df.write.mode("overwrite").option("header", True).csv(path)
         _round_trips[key] = path
@@ -739,3 +745,26 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, l_linestatus, n, revenue, max_qty
         """
     )
+
+
+@register(
+    "scan_xml",
+    oracle=_SLICE_AGG_ORACLE,
+    doc="""XML scan — Spark 4's NATIVE xml source (the spark-xml
+    package upstreamed): write the events slice as <event> row elements,
+    read it back with a declared schema and rowTag, aggregate — the
+    same round-trip proof as scan_json/scan_csv/scan_orc, closing the
+    text-format family.  XML is the one ingest format whose records
+    nest by default; at 100 TB you treat it exactly like JSON-lines:
+    declared schema (no inference pass), per-file splits, and convert
+    to parquet on landing (the loader's R7 step) rather than re-parsing
+    tags per query.""",
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    back = (
+        spark.read.schema(_EVENTS_SLICE_SCHEMA)
+        .option("rowTag", "event")
+        .format("xml")
+        .load(_round_trip_path(spark, sf_dir, "xml"))
+    )
+    return _slice_agg(back)

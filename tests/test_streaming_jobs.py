@@ -425,3 +425,39 @@ def test_stateful_stats_on_rocksdb_state_store(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql("SELECT * FROM rocks_t ORDER BY user_id").collect()
     assert [(r.user_id, r.n_events) for r in rows] == [(0, 3), (1, 3)]
+
+
+def test_statestore_reader_exposes_aggregate_state(spark, tmp_path):
+    """Spark 4's `statestore` batch source reads a streaming
+    checkpoint's state store as a DataFrame — queryable state, the
+    operational debugging surface for the loader's stateful jobs: after
+    a run, per-key state on disk must equal the aggregate the query
+    emitted.  Also covers `state-metadata` (operator inventory)."""
+    recs = [
+        {"event_id": i, "ts": BASE_US + i * 60_000_000, "user_id": i % 3,
+         "event_type": "click" if i % 2 else "view", "value": 1.0, "props": "{}"}
+        for i in range(12)
+    ]
+    _write_events(str(tmp_path / "in" / "a.jsonl"), recs)
+    ckpt = str(tmp_path / "state_ckpt")
+    df = _stream(spark, tmp_path).groupBy("user_id").count()
+    q = (
+        df.writeStream.format("memory")
+        .queryName("state_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {
+        r.user_id: r["count"]
+        for r in spark.sql("SELECT * FROM state_probe").collect()
+    }
+    state = {
+        r.key.user_id: r.value["count"]
+        for r in spark.read.format("statestore").load(ckpt).collect()
+    }
+    assert state == emitted == {0: 4, 1: 4, 2: 4}
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(meta) == 1 and meta[0].operatorName == "stateStoreSave"
