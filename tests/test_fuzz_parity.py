@@ -203,3 +203,119 @@ def test_fuzz_having_orderby_limit(spark, fuzz_duck, rows):
         LIMIT 3
         """,
     )
+
+
+# ---- sessionization parity (the round-4 _capped_sessions seam) --------
+
+_GAP = 30 * 60 * 1_000_000  # must mirror timeseries._SESSION_GAP_US
+
+# gap selectors deliberately include the EXACT boundary (diff == gap,
+# which must NOT open a session under the strict-> rule) and both
+# off-by-one-microsecond neighbours
+_gap_steps = st.sampled_from([0, 1, _GAP - 1, _GAP, _GAP + 1, 5 * _GAP])
+_sess_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2), _gap_steps),
+    min_size=0,
+    max_size=20,
+)
+
+
+@_SETTINGS
+@given(rows=_sess_rows)
+def test_capped_sessions_matches_duckdb_gap_cte(spark, fuzz_duck, rows):
+    """_capped_sessions (Spark windows) vs the oracle's gap CTE on
+    generated timelines with boundary-exact inter-event gaps.  An
+    engine disagreeing on `diff == gap` (the session_window half-open
+    seam window_session_native pins) would flip session counts here."""
+    from pyspark.sql import functions as F
+
+    from kafka_hadoop_loader_spark.operators.timeseries import _capped_sessions
+
+    # build per-user cumulative timelines; event_id = insertion index
+    ts_by_user: dict[int, int] = {}
+    recs = []
+    for i, (u, step) in enumerate(rows):
+        ts_by_user[u] = ts_by_user.get(u, 1_000_000) + step
+        recs.append((u, i, "x", ts_by_user[u]))
+    schema = "user_id long, event_id long, event_type string, ts_us long"
+    df = (
+        spark.createDataFrame(recs, schema)
+        if recs
+        else spark.createDataFrame([], schema)
+    )
+    agged = (
+        _capped_sessions(df)
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts_us").alias("lo"),
+            F.max("ts_us").alias("hi"),
+        )
+    )
+    got = sorted((r.user_id, r.sess_id, r.n, r.lo, r.hi) for r in agged.collect())
+    fuzz_duck.execute("DROP TABLE IF EXISTS fz_ev")
+    fuzz_duck.execute(
+        "CREATE TABLE fz_ev (user_id BIGINT, event_id BIGINT,"
+        " event_type VARCHAR, ts_us BIGINT)"
+    )
+    if recs:
+        fuzz_duck.executemany("INSERT INTO fz_ev VALUES (?, ?, ?, ?)", recs)
+    want = sorted(
+        tuple(r)
+        for r in fuzz_duck.execute(f"""
+            WITH ordered AS (
+                SELECT user_id, event_id, ts_us,
+                       CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > {_GAP}
+                            THEN 1 ELSE 0 END AS is_new
+                FROM fz_ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            ),
+            sess AS (
+                SELECT user_id, ts_us,
+                       SUM(is_new) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM ordered
+            )
+            SELECT user_id, CAST(sess_id AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                   MIN(ts_us), MAX(ts_us)
+            FROM sess GROUP BY user_id, sess_id
+        """).fetchall()
+    )
+    assert got == want
+
+
+# ---- t-digest compressor invariants (pure function, no engines) -------
+
+_td_values = st.lists(
+    st.integers(min_value=-10_000_00, max_value=10_000_00).map(
+        lambda c: c / 100.0
+    ),
+    min_size=1,
+    max_size=400,
+)
+
+
+@_SETTINGS
+@given(vals=_td_values)
+def test_td_compress_invariants(vals):
+    """For ANY input: total weight conserved exactly (unit weights sum
+    on small ints — no float loss), centroid means sorted and inside
+    the data range, centroid count within the 2*delta size bound, and
+    every interpolated quantile inside [min, max]."""
+    from kafka_hadoop_loader_spark.operators.sketch import (
+        _TD_DELTA,
+        _td_compress,
+        _td_quantile,
+    )
+
+    v = sorted(vals)
+    m, w = _td_compress(v, [1.0] * len(v), float(len(v)), _TD_DELTA)
+    assert sum(w) == float(len(v))
+    assert m == sorted(m)
+    assert len(m) <= 2 * _TD_DELTA
+    assert v[0] <= m[0] and m[-1] <= v[-1]
+    for q in (0.0, 0.01, 0.5, 0.99, 1.0):
+        est = _td_quantile(m, w, q)
+        assert v[0] <= est <= v[-1]

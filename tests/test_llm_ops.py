@@ -445,3 +445,24 @@ def test_normal_equations_match_numpy_lstsq(spark):
         beta, *_ = np.linalg.lstsq(X, g["y"].to_numpy(float), rcond=None)
         got = np.array([row.beta0_cents, row.beta1_cents_per_unit, row.beta2])
         assert np.allclose(got, beta, rtol=1e-6), (row.returnflag, got, beta)
+
+
+def test_capped_sessions_hard_caps_a_bot_session(spark):
+    """The round-4 bound-in-code guarantee: a single never-idle actor
+    (1500 events, 1s apart — one session) contributes at most
+    _SESSION_ROW_CAP rows to any downstream collect_list group, and
+    the kept rows are exactly the session's FIRST 1000 by (ts,
+    event_id)."""
+    from kafka_hadoop_loader_spark.operators.timeseries import (
+        _SESSION_ROW_CAP,
+        _capped_sessions,
+    )
+
+    recs = [(7, i, "x", 1_000_000 + i * 1_000_000) for i in range(1500)]
+    df = spark.createDataFrame(
+        recs, "user_id long, event_id long, event_type string, ts_us long"
+    )
+    rows = _capped_sessions(df).collect()
+    assert len(rows) == _SESSION_ROW_CAP
+    assert {r.sess_id for r in rows} == {1}
+    assert sorted(r.event_id for r in rows) == list(range(_SESSION_ROW_CAP))
