@@ -582,3 +582,59 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+_PHRASE = ("table", "hash")  # query phrase; both terms common in fixture
+
+
+@register(
+    "phrase_search",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, w[i] AS term, CAST(i AS BIGINT) AS p
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+                 unnest(generate_series(1, len(w))) AS u(i)
+        ),
+        a AS (SELECT doc_id, p FROM pos WHERE term = '{_PHRASE[0]}'),
+        b AS (SELECT doc_id, p FROM pos WHERE term = '{_PHRASE[1]}')
+        SELECT a.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MIN(a.p) AS BIGINT) AS first_pos
+        FROM a JOIN b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        GROUP BY a.doc_id
+        ORDER BY n_occurrences DESC, a.doc_id
+    """,
+    doc=f"""Exact phrase search ("{' '.join(_PHRASE)}") over a POSITIONAL
+    inverted index — the operator keyword_search (conjunctive, no
+    positions) cannot express: posexplode keeps each term's in-document
+    position, per-term postings are filtered BEFORE the join (only the
+    two query terms' postings move), and adjacency is the equi-join
+    doc_id = doc_id AND p_b = p_a + 1.  Output: matching docs with
+    occurrence counts and first match position (1-based on both
+    sides).
+
+    Scale: the index side is the standard positional-postings layout
+    (term, doc, pos) partitioned by term hash; a phrase query touches
+    only its terms' postings — two selective scans + one join keyed on
+    doc_id, never the corpus.  N-word phrases chain N-1 such joins or
+    use the gap predicate p_b - p_a = k for sloppy/proximity matching
+    (same plan shape).""",
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"))
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "term")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "term")
+    a = pos.where(F.col("term") == _PHRASE[0]).select("doc_id", F.col("p").alias("pa"))
+    b = pos.where(F.col("term") == _PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, (a.doc_id == b.doc_b) & (F.col("pb") == F.col("pa") + 1))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("pa").alias("first_pos"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "doc_id")
+    )

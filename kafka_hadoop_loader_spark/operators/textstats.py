@@ -591,3 +591,100 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bigram_kneser_ney",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        bg AS (
+            SELECT w[i] AS w1, w[i + 1] AS w2
+            FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)
+            WHERE len(w) >= 2
+        ),
+        c12 AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2
+        ),
+        ctx AS (
+            SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n1f
+            FROM c12 GROUP BY w1
+        ),
+        cont AS (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r
+            FROM c12 GROUP BY w2
+        ),
+        btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM c12)
+        SELECT c.w1, c.w2, c.c12, x.c1, x.n1f, r.n1r, btot.b,
+               CAST((4 * c.c12 - 3) * btot.b + 3 * x.n1f * r.n1r AS DOUBLE)
+               / CAST(4 * x.c1 * btot.b AS DOUBLE) AS p_kn
+        FROM c12 c
+        JOIN ctx x ON c.w1 = x.w1
+        JOIN cont r ON c.w2 = r.w2
+        CROSS JOIN btot
+        ORDER BY c.c12 DESC, c.w1, c.w2
+        LIMIT 50
+    """,
+    doc="""Interpolated Kneser-Ney bigram probabilities — the classic
+    distributed n-gram LM estimation job (the original MapReduce LM
+    papers' shape), with discount d = 3/4 chosen so EVERYTHING is
+    exact rational arithmetic:
+
+        P(w2|w1) = (c12 - 3/4)/c1 + (3/4)(N1+(w1 .)/c1)(N1+(. w2)/B)
+                 = ((4 c12 - 3) B + 3 N1f(w1) N1r(w2)) / (4 c1 B)
+
+    computed as ONE double division of two exact BIGINT products (the
+    regr_normal_equations convention), so the float probabilities are
+    bit-identical across engines.  N1+ continuation counts come from
+    the bigram-type table, never the raw stream (KN's defining trick:
+    "how many contexts precede w2", not "how often w2 occurs").
+
+    Scale: bigrams are generated IN-ROW by positional slicing (the
+    cooccur_pmi pattern — no self-join); everything downstream
+    aggregates the bigram-TYPE table, which is vastly smaller than the
+    token stream; the context/continuation joins are on single words.
+    int64 headroom: 4·c1·B overflows at c1·B ~ 2.3e18 — re-grid with
+    d as a per-partition rational or move to DECIMAL(38) long before
+    any real corpus gets there (a 1e12-token web corpus has
+    B ~ 1e9, c1 ~ 1e8 for 'the' -> 4e17, still in range).""",
+)
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bg = (
+        d.where(F.size(w) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = c12.groupBy("w2").agg(F.count("*").alias("n1r"))
+    btot = c12.groupBy().agg(F.count("*").alias("b"))
+    p_kn = (
+        ((4 * F.col("c12") - 3) * F.col("b") + 3 * F.col("n1f") * F.col("n1r"))
+        .cast("double")
+        / (4 * F.col("c1") * F.col("b")).cast("double")
+    )
+    return (
+        c12.join(ctx, "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(btot))
+        .select("w1", "w2", "c12", "c1", "n1f", "n1r", "b", p_kn.alias("p_kn"))
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(50)
+    )
