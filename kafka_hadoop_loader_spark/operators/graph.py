@@ -616,3 +616,114 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_id")
     )
+
+
+# --- Community detection: synchronous label propagation ----------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    """One synchronous LPA round: every node adopts the most frequent
+    label among its neighbors, ties broken by MIN label — fully
+    deterministic, so the unrolled rounds are exact by construction."""
+    return f"""
+        {cur} AS MATERIALIZED (
+            SELECT u AS node, l AS label FROM (
+                SELECT g.u, g.l, ROW_NUMBER() OVER (
+                           PARTITION BY g.u ORDER BY g.c DESC, g.l) AS rn
+                FROM (
+                    SELECT s.u, p.label AS l, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM lpa_sym s JOIN {prev} p ON p.node = s.v
+                    GROUP BY s.u, p.label
+                ) g
+            ) WHERE rn = 1
+        )
+"""
+
+
+_LPA_ROUNDS_SQL = ",".join(
+    _lpa_round_sql(f"l{i}", f"l{i + 1}").strip() for i in range(_LPA_ROUNDS)
+)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+        WITH {_CC_EDGES_SQL.strip()},
+        lpa_sym AS MATERIALIZED (
+            SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+        ),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT u AS node, u AS label FROM lpa_sym
+        ),
+        {_LPA_ROUNDS_SQL},
+        sizes AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+            FROM l{_LPA_ROUNDS} GROUP BY label
+        )
+        SELECT l.node AS part_id, l.label AS community_id, s.community_size
+        FROM l{_LPA_ROUNDS} l JOIN sizes s ON l.label = s.label
+        ORDER BY part_id
+    """,
+    doc=f"""Community detection by synchronous label propagation (LPA,
+    Raghavan et al.) over the same distinct-order co-purchase graph as
+    graph_connected_components — the fourth graph primitive
+    (centrality = pagerank, reachability = bfs, components = CC,
+    cohesion = triangles; communities partition a connected component
+    into densely-linked clusters, which CC by definition cannot).
+    Each of the {_LPA_ROUNDS} fixed rounds: every node adopts its
+    neighbors' most frequent label, ties to the MIN label — the
+    classic async-LPA nondeterminism is removed by synchronous rounds
+    + total tie order, so the unrolled computation is engine-exact and
+    the oracle replays identical rounds (the pagerank convention;
+    contrast CC's run-to-fixpoint + ground-truth test).
+
+    Plan: per round one join of the static symmetric edge list against
+    the 1-reference label table (no subtree blowup — contrast CC's
+    2-reference rounds needing lineage cuts), one (node, label) count
+    aggregate, one window argmax.  All shuffles key on node ids; at
+    100 TB this is Pregel-on-DataFrames with the label table as the
+    only mutable state.""",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("w"))
+        .where(F.col("w") >= _CC_MIN_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("l"))
+        labels = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u", F.col("label").alias("l"))
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), F.col("l").alias("label"))
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("part_id"),
+            F.col("label").alias("community_id"),
+            "community_size",
+        )
+        .orderBy("part_id")
+    )

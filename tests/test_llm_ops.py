@@ -466,3 +466,25 @@ def test_capped_sessions_hard_caps_a_bot_session(spark):
     assert len(rows) == _SESSION_ROW_CAP
     assert {r.sess_id for r in rows} == {1}
     assert sorted(r.event_id for r in rows) == list(range(_SESSION_ROW_CAP))
+
+
+def test_lpa_communities_nest_inside_components(spark):
+    """Cross-operator invariant: labels only propagate along edges, so
+    every LPA community must be wholly contained in one connected
+    component (the converse is false — LPA splits big components into
+    dense clusters).  Also: community ids are node ids and sizes sum
+    to the node count."""
+    comp = {
+        r.part_id: r.component_id
+        for r in REG["graph_connected_components"].fn(spark, SF_DIR).collect()
+    }
+    rows = REG["graph_label_propagation"].fn(spark, SF_DIR).collect()
+    assert {r.part_id for r in rows} == set(comp)
+    by_comm: dict[int, set[int]] = {}
+    for r in rows:
+        assert r.community_id in comp  # labels are node ids
+        by_comm.setdefault(r.community_id, set()).add(r.part_id)
+    sizes = {r.community_id: r.community_size for r in rows}
+    assert sum(sizes[c] for c in by_comm) == len(rows)
+    for members in by_comm.values():
+        assert len({comp[m] for m in members}) == 1
