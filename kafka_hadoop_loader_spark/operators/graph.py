@@ -507,6 +507,29 @@ _CC_ROUNDS_SQL = ",".join(
 )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) part pairs co-purchased in >= _CC_MIN_SUPPORT
+    DISTINCT orders — the shared graph for graph_connected_components
+    and graph_label_propagation (the Spark mirror of _CC_EDGES_SQL;
+    test_lpa_communities_nest_inside_components relies on both
+    operators seeing the identical edge set).  Ends in a LAZY
+    localCheckpoint: both consumers reference it repeatedly."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("w"))
+        .where(F.col("w") >= _CC_MIN_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+
+
 @register(
     "graph_connected_components",
     oracle=f"""
@@ -561,23 +584,10 @@ _CC_ROUNDS_SQL = ",".join(
     on a node id; edge rows only ever shrink.""",
 )
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("w"))
-        .where(F.col("w") >= _CC_MIN_SUPPORT)
-        .select("u", "v")
-    )
     # LAZY lineage cuts (no action): each round materializes once
     # during the final job; without them the 2-references-per-round
     # lineage re-executes round i 2^(ROUNDS-i) times.
-    e = edges.localCheckpoint(eager=False)
+    e = _copurchase_edges(spark, sf_dir)
     for _ in range(_CC_ROUNDS):
         sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # large star: m = min(N(u) ∪ {u}); emit (m, v) for v > u
@@ -687,20 +697,7 @@ _LPA_ROUNDS_SQL = ",".join(
     only mutable state.""",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("w"))
-        .where(F.col("w") >= _CC_MIN_SUPPORT)
-        .select("u", "v")
-        .localCheckpoint(eager=False)
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     sym = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -717,6 +714,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .select(F.col("u").alias("node"), F.col("l").alias("label"))
         )
+    # the final label table is referenced twice (sizes + the join
+    # below) — one LAZY cut stops the whole 3-round chain re-executing
+    labels = labels.localCheckpoint(eager=False)
     sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
     return (
         labels.join(sizes, "label")

@@ -207,7 +207,9 @@ def test_fuzz_having_orderby_limit(spark, fuzz_duck, rows):
 
 # ---- sessionization parity (the round-4 _capped_sessions seam) --------
 
-_GAP = 30 * 60 * 1_000_000  # must mirror timeseries._SESSION_GAP_US
+from kafka_hadoop_loader_spark.operators.timeseries import (  # noqa: E402
+    _SESSION_GAP_US as _GAP,
+)
 
 # gap selectors deliberately include the EXACT boundary (diff == gap,
 # which must NOT open a session under the strict-> rule) and both
@@ -288,12 +290,14 @@ def test_capped_sessions_matches_duckdb_gap_cte(spark, fuzz_duck, rows):
 
 # ---- t-digest compressor invariants (pure function, no engines) -------
 
+# max_size must exceed 2*_TD_DELTA (512): below it the size-bound
+# assertion is vacuous — a compressor that never merges would pass
 _td_values = st.lists(
     st.integers(min_value=-10_000_00, max_value=10_000_00).map(
         lambda c: c / 100.0
     ),
     min_size=1,
-    max_size=400,
+    max_size=700,
 )
 
 
