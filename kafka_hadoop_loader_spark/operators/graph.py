@@ -530,6 +530,49 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def star_contract(edges: DataFrame, rounds: int) -> DataFrame:
+    """Alternating large-star/small-star contraction over canonical
+    (u < v) edge pairs; returns (node, comp) labels for every node
+    appearing in the edge set, comp = component-min node id once the
+    round count reaches the graph's fixpoint.
+
+    Reused by graph_connected_components (co-purchase parts) and
+    dedup_clusters_star (MinHash near-dup docs) — each caller is
+    responsible for a round count that covers its graph (pytest pins
+    both against ground truth).  Every round cuts lineage with a LAZY
+    localCheckpoint (no action): without it the 2-references-per-round
+    lineage re-executes round i 2^(rounds-i) times."""
+    e = edges.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large star: m = min(N(u) ∪ {u}); emit (m, v) for v > u
+        ls = (
+            sym.withColumn(
+                "m",
+                F.least(F.min("v").over(Window.partitionBy("u")), F.col("u")),
+            )
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), "v")
+            .distinct()
+        )
+        # small star over canonical (u < v): group by the high node v,
+        # m = min(low neighbors); emit (m, x) for x in N(v) ∪ {v}, x ≠ m
+        e = (
+            ls.withColumn("m", F.min("u").over(Window.partitionBy("v")))
+            .select("m", F.explode(F.array(F.col("u"), F.col("v"))).alias("x"))
+            .where(F.col("x") != F.col("m"))
+            .select(F.col("m").alias("u"), F.col("x").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.select(F.col("v").alias("node"), F.col("u").alias("comp"))
+        .unionAll(e.select(F.col("u").alias("node"), F.col("u").alias("comp")))
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+    )
+
+
 @register(
     "graph_connected_components",
     oracle=f"""
@@ -584,38 +627,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a node id; edge rows only ever shrink.""",
 )
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # LAZY lineage cuts (no action): each round materializes once
-    # during the final job; without them the 2-references-per-round
-    # lineage re-executes round i 2^(ROUNDS-i) times.
-    e = _copurchase_edges(spark, sf_dir)
-    for _ in range(_CC_ROUNDS):
-        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        # large star: m = min(N(u) ∪ {u}); emit (m, v) for v > u
-        ls = (
-            sym.withColumn(
-                "m",
-                F.least(F.min("v").over(Window.partitionBy("u")), F.col("u")),
-            )
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("m").alias("u"), "v")
-            .distinct()
-        )
-        # small star over canonical (u < v): group by the high node v,
-        # m = min(low neighbors); emit (m, x) for x in N(v) ∪ {v}, x ≠ m
-        e = (
-            ls.withColumn("m", F.min("u").over(Window.partitionBy("v")))
-            .select("m", F.explode(F.array(F.col("u"), F.col("v"))).alias("x"))
-            .where(F.col("x") != F.col("m"))
-            .select(F.col("m").alias("u"), F.col("x").alias("v"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-    labels = (
-        e.select(F.col("v").alias("node"), F.col("u").alias("comp"))
-        .unionAll(e.select(F.col("u").alias("node"), F.col("u").alias("comp")))
-        .groupBy("node")
-        .agg(F.min("comp").alias("comp"))
-    )
+    labels = star_contract(_copurchase_edges(spark, sf_dir), _CC_ROUNDS)
     sizes = labels.groupBy("comp").agg(F.count("*").alias("comp_size"))
     return (
         labels.join(sizes, "comp")

@@ -132,15 +132,15 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 # Round-5 rotation queue (the 44 names still never-driver-tested after
-# r4's 50-entry window plus the 14 operators newly added in round 4;
+# r4's 50-entry window plus the 15 operators newly added in round 4;
 # recomputed by diffing CORRECTNESS_r0{1..4}.json keys against the
 # registry at round-5 start — any r4 misses get re-promoted first,
-# then these 44, then the 14 r4 additions:
+# then these 44, then the 15 r4 additions:
 #   graph_connected_components text_perplexity_proxy ann_recall_audit
 #   sample_hard_negatives quantiles_tdigest dedup_semantic_prune
 #   regr_normal_equations sql_pipe_syntax window_session_native
 #   udf_arrow_optimized scan_xml phrase_search text_bigram_kneser_ney
-#   graph_label_propagation):
+#   graph_label_propagation dedup_clusters_star):
 #   agg_bitmap_presence agg_share_reused_exchange agg_filtered_bool
 #   agg_grouping_id orders_basket_size_dist nation_trade_balance
 #   sample_reservoir_group pipeline_funnel sample_weighted_priority

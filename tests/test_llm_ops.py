@@ -488,3 +488,15 @@ def test_lpa_communities_nest_inside_components(spark):
     assert sum(sizes[c] for c in by_comm) == len(rows)
     for members in by_comm.values():
         assert len({comp[m] for m in members}) == 1
+
+
+def test_star_clusters_equal_hashmin_clusters(spark):
+    """dedup_clusters_star (fixed star-contraction rounds, no driver
+    actions) must produce row-for-row the SAME clustering as
+    dedup_clusters' converged hash-min loop — same edge graph, same
+    component-min labels, two algorithms."""
+    a = sorted(tuple(r) for r in REG["dedup_clusters"].fn(spark, SF_DIR).collect())
+    b = sorted(
+        tuple(r) for r in REG["dedup_clusters_star"].fn(spark, SF_DIR).collect()
+    )
+    assert a == b
