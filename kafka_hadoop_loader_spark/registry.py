@@ -60,104 +60,85 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # FRONT of the returned mapping each round, so every query accumulates
 # a driver-green CORRECTNESS row over successive rounds.
 #
-# Round 4 priority (exactly 50 entries; after r3 the cumulative
-# driver-green set is 139/233 with 0 red, leaving 94 never-tested —
-# computed by diffing CORRECTNESS_r0{1,2,3}.json keys against the
-# registry).  Ordering per the round-3 verdict:
-# 1. the 4 entries that spilled past r3's 50-entry window;
-# 2. all 18 round-3 operators (none has a driver row yet);
-# 3. user-facing relational/pipeline ops named in the verdict;
-# 4. multimodal / sketch / BPE / ANN and remaining high-value ops,
-#    including frequent_sequences (re-verified after its per-user
-#    journey builder was bounded in code this round — see
-#    operators/timeseries.py).
-# The remaining 44 untested names are recorded in the round-5 queue
-# below.  Pure presentation order — names, fns, and oracles are
-# unchanged.
+# Round 5 priority (exactly 50 entries; after r4 the cumulative
+# driver-green set is 189/248 with 0 red, leaving 59 never-tested —
+# computed by diffing CORRECTNESS_r0{1..4}.json keys against the
+# registry).  Ordering per the round-4 verdict:
+# 1. the 15 round-4 operators (highest novelty risk: graph CC/LPA,
+#    t-digest, KN-LM, XML, pipe syntax, ANN audit);
+# 2. 35 of the 44-name recorded queue, in queue order, explicitly
+#    keeping the three round-2 stragglers the verdict called out
+#    (text_gini_diversity, agg_bitmap_presence, sample_reservoir_group)
+#    and events_peak_concurrency (rewritten onto the two-phase
+#    distributed rank this round — its driver row proves the rewrite).
+# The 9 spilled names (events/orders §2.BB satellites only) are listed
+# in the round-6 queue below.  Pure presentation order — names, fns,
+# and oracles are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- 1. spilled past round-3's window --
-    "zorder_layout",
-    "schema_evolution_union",
-    "agg_histogram",
-    "agg_unpivot",
-    # -- 2. the 18 round-3 operators --
-    "bm25_rank",
-    "dedup_substring_spans",
-    "mixture_solve_rates",
-    "events_pattern_regex",
-    "quantiles_approx_envelope",
-    "dedup_containment",
-    "sketch_hll_merge_partitioned",
-    "events_attribution_touch",
-    "zone_map_pruning",
-    "pca_power_component",
-    "scan_corrupt_records",
-    "events_watermark_lag",
-    "shard_plan_balanced",
-    "spatial_join_grid",
-    "props_key_profile",
-    "feature_quantile_bins",
-    "fn_explode_outer",
-    "text_code_detect",
-    # -- 3. user-facing relational/pipeline ops --
-    "fn_variant",
-    "fn_try_safe",
-    "fn_collation_ci",
-    "join_lateral_topn",
-    "join_shuffle_hash",
-    "join_dpp_partitioned",
-    "udtf_python_api",
-    "sql_ctas_insert",
-    "insert_overwrite_day",
-    "table_profile",
-    "fk_orphan_check",
-    # -- 4. multimodal / sketch / BPE / ANN / remaining high-value --
-    "multimodal_audio_energy",
-    "multimodal_image_pool",
-    "multimodal_arrow_checksum",
-    "multimodal_shot_boundaries",
-    "knn_pq_adc",
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_distinct",
-    "bloom_filter_probe",
-    "bpe_train_merges",
-    "bpe_encode_corpus",
-    "chunk_documents",
-    "sample_temperature",
-    "url_canonicalize",
-    "frequent_sequences",
-    "agg_argminmax",
-    "graph_triangles",
-    "sql_recursive_reach",
+    # -- 1. the 15 round-4 operators --
+    "graph_connected_components",
+    "text_perplexity_proxy",
+    "ann_recall_audit",
+    "sample_hard_negatives",
+    "quantiles_tdigest",
+    "dedup_semantic_prune",
+    "regr_normal_equations",
+    "sql_pipe_syntax",
+    "window_session_native",
+    "udf_arrow_optimized",
+    "scan_xml",
+    "phrase_search",
+    "text_bigram_kneser_ney",
+    "graph_label_propagation",
+    "dedup_clusters_star",
+    # -- 2. the recorded round-5 queue (35 of 44, queue order) --
+    "agg_bitmap_presence",
+    "agg_share_reused_exchange",
+    "agg_filtered_bool",
+    "agg_grouping_id",
+    "orders_basket_size_dist",
+    "nation_trade_balance",
+    "sample_reservoir_group",
+    "pipeline_funnel",
+    "sample_weighted_priority",
+    "curriculum_order",
+    "pack_padding_waste",
+    "skew_profile",
+    "interval_overlap_join",
+    "observe_metrics_audit",
+    "schema_contract_check",
+    "fn_struct_bitwise",
+    "fn_array_setops",
+    "doc_sparse_cosine",
+    "embedding_quantize_int8",
+    "stats_mad_robust",
+    "stats_winsorize",
+    "basket_part_affinity",
+    "supplier_lead_time",
+    "quantiles_interpolated",
+    "orders_rfm_segments",
+    "supplier_concentration_hhi",
+    "events_bot_regularity",
+    "text_gini_diversity",
+    "text_hapax_ratio",
+    "cumulative_distinct_users",
+    "ts_similarity_search",
+    "events_user_lifetime",
+    "events_pipeline_report",
+    "events_activity_islands",
+    "events_peak_concurrency",
 )
 
-# Round-5 rotation queue (the 44 names still never-driver-tested after
-# r4's 50-entry window plus the 15 operators newly added in round 4;
-# recomputed by diffing CORRECTNESS_r0{1..4}.json keys against the
-# registry at round-5 start — any r4 misses get re-promoted first,
-# then these 44, then the 15 r4 additions:
-#   graph_connected_components text_perplexity_proxy ann_recall_audit
-#   sample_hard_negatives quantiles_tdigest dedup_semantic_prune
-#   regr_normal_equations sql_pipe_syntax window_session_native
-#   udf_arrow_optimized scan_xml phrase_search text_bigram_kneser_ney
-#   graph_label_propagation dedup_clusters_star):
-#   agg_bitmap_presence agg_share_reused_exchange agg_filtered_bool
-#   agg_grouping_id orders_basket_size_dist nation_trade_balance
-#   sample_reservoir_group pipeline_funnel sample_weighted_priority
-#   curriculum_order pack_padding_waste skew_profile
-#   interval_overlap_join observe_metrics_audit schema_contract_check
-#   fn_struct_bitwise fn_array_setops doc_sparse_cosine
-#   embedding_quantize_int8 stats_mad_robust stats_winsorize
-#   basket_part_affinity supplier_lead_time quantiles_interpolated
-#   orders_rfm_segments supplier_concentration_hhi
-#   events_bot_regularity text_gini_diversity text_hapax_ratio
-#   cumulative_distinct_users ts_similarity_search
-#   events_user_lifetime events_pipeline_report
-#   events_activity_islands events_markov_transitions
-#   events_time_weighted_avg events_peak_concurrency
+# Round-6 rotation queue (the 9 events/orders satellite names that
+# spilled past round-5's 50-entry window, plus operators newly added in
+# round 5; recompute by diffing CORRECTNESS_r0{1..5}.json keys against
+# the registry at round-6 start — any r5 misses get re-promoted first,
+# then:
+#   events_markov_transitions events_time_weighted_avg
 #   orders_cohort_revenue events_dau_wau_mau events_seasonality_profile
-#   events_longest_streak events_type_diversity
-#   events_new_vs_returning orders_reorder_cycle
+#   events_longest_streak events_type_diversity events_new_vs_returning
+#   orders_reorder_cycle
+# round-5 additions (never driver-tested): rank_distributed
 
 
 def load_all() -> dict[str, Query]:
