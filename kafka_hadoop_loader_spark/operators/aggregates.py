@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from kafka_hadoop_loader_spark.catalog import table
 from kafka_hadoop_loader_spark.functions.exact import exact_avg, exact_sum, scaled_long
+from kafka_hadoop_loader_spark.plans.ranking import bounded_window_key
 from kafka_hadoop_loader_spark.registry import register
 
 
@@ -890,7 +891,9 @@ def orders_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
     dist = sizes.groupBy("n_lines").agg(F.count("*").alias("n_orders"))
-    w = Window.partitionBy()
+    # bounded input: <= max-basket-size aggregate rows, declared single
+    # partition (plans/ranking.bounded_window_key)
+    w = Window.partitionBy(bounded_window_key("n_lines"))
     return (
         dist.select(
             "n_lines",

@@ -12,7 +12,7 @@ oracle-checkable computation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -23,6 +23,7 @@ from pyspark.sql.types import (
 )
 
 from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.plans.ranking import two_phase_rank
 from kafka_hadoop_loader_spark.registry import register
 
 # layout of the fragmented/compacted events copies (d is the partition
@@ -115,25 +116,18 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             % (1 << _ZBITS)
         ).alias("y16"),
     )
-    z = src.withColumn("zval", F.expr(_Z_SPARK))
-    by_z = z.select(
-        "x16",
-        "y16",
-        F.lit("zorder").alias("layout"),
-        F.ntile(_N_FILES)
-        .over(Window.orderBy("zval", "o_orderkey"))
-        .cast("bigint")
-        .alias("file_id"),
-    )
-    by_key = z.select(
-        "x16",
-        "y16",
-        F.lit("natural").alias("layout"),
-        F.ntile(_N_FILES)
-        .over(Window.orderBy("o_orderkey"))
-        .cast("bigint")
-        .alias("file_id"),
-    )
+    # materialize the morton projection once (lazy checkpoint): TWO
+    # two-phase ranks read it three times each
+    z = src.withColumn("zval", F.expr(_Z_SPARK)).localCheckpoint(eager=False)
+    # two-phase distributed ntile (plans/ranking.py): value-bucketed
+    # ranks, no single-partition WindowExec — same file assignment.
+    by_z = two_phase_rank(
+        z, "zval", [F.col("zval"), F.col("o_orderkey")],
+        ntile=("file_id", _N_FILES),
+    ).select("x16", "y16", F.lit("zorder").alias("layout"), "file_id")
+    by_key = two_phase_rank(
+        z, "o_orderkey", [F.col("o_orderkey")], ntile=("file_id", _N_FILES)
+    ).select("x16", "y16", F.lit("natural").alias("layout"), "file_id")
     assigned = by_z.unionByName(by_key)
     return (
         assigned.groupBy("layout", "file_id")
@@ -421,12 +415,12 @@ _N_SHARDS = 8
 )
 def shard_plan_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    sized = d.select(
-        "doc_id",
-        F.col("n_chars").cast("bigint").alias("sz"),
-        F.row_number()
-        .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
-        .alias("rk"),
+    sized = two_phase_rank(
+        d.select("doc_id", F.col("n_chars").cast("bigint").alias("sz")),
+        "sz",
+        [F.col("sz").desc(), F.col("doc_id")],
+        descending=True,
+        row_number_col="rk",
     )
     assigned = sized.select(
         "doc_id", "sz", ((F.col("rk") - 1) % _N_SHARDS).cast("bigint").alias("shard")

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_loader_spark.catalog import spread, table
+from kafka_hadoop_loader_spark.plans.ranking import bounded_window_key
 from kafka_hadoop_loader_spark.registry import register
 
 _K = 8
@@ -127,7 +128,15 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_K)
         .select(
             "vec_id",
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            # bounded input: LIMIT k rows, declared single partition
+            (
+                F.row_number().over(
+                    Window.partitionBy(bounded_window_key("vec_id")).orderBy(
+                        "vec_id"
+                    )
+                )
+                - 1
+            )
             .cast("long")
             .alias("cid"),
         )

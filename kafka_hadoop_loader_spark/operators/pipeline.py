@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_loader_spark.catalog import spread, table
+from kafka_hadoop_loader_spark.plans.ranking import bounded_window_key, two_phase_rank
 from kafka_hadoop_loader_spark.registry import register
 
 
@@ -671,8 +672,10 @@ _TEMP_SCALE = 10**6  # fixed-point quantum for sqrt(count) weights
 )
 def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    w = Window.partitionBy()
     c = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # bounded input: <= #languages aggregate rows, declared single
+    # partition (plans/ranking.bounded_window_key)
+    w = Window.partitionBy(bounded_window_key("n_docs"))
     s = c.withColumn(
         "w_scaled",
         F.round(F.sqrt(F.col("n_docs").cast("double")) * _TEMP_SCALE).cast("bigint"),
@@ -1085,10 +1088,12 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(w)).cast("double") / F.size(w).cast("double")
     )
     s = d.select("doc_id", difficulty.alias("difficulty"))
-    wb = Window.orderBy("difficulty", "doc_id")
-    banded = s.select(
-        "doc_id", F.ntile(_CUR_BANDS).over(wb).cast("bigint").alias("band")
-    )
+    # exact distributed ntile (plans/ranking.py two-phase rank): no
+    # single-partition window over the corpus.
+    banded = two_phase_rank(
+        s, "difficulty", [F.col("difficulty"), F.col("doc_id")],
+        ntile=("band", _CUR_BANDS),
+    ).select("doc_id", "band")
     hkey = _phash(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
     ws = Window.partitionBy("band").orderBy(hkey.asc(), F.col("doc_id").asc())
     return (

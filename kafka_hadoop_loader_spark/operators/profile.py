@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.plans.ranking import bounded_window_key
 from kafka_hadoop_loader_spark.registry import register
 
 _US_PER_HOUR = 3_600_000_000
@@ -69,8 +70,11 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = k.agg(
         F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
     )
-    w = Window.orderBy(F.col("cnt").desc(), "key").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # bounded input: O(|keys|) aggregate rows, declared single partition
+    w = (
+        Window.partitionBy(bounded_window_key("cnt"))
+        .orderBy(F.col("cnt").desc(), "key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     r = k.select("key", "cnt", F.sum("cnt").over(w).alias("cum"))
     return (

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_hadoop_loader_spark.catalog import managed_persist, spread, table
+from kafka_hadoop_loader_spark.plans.ranking import bounded_window_key
 from kafka_hadoop_loader_spark.registry import register
 
 # Conjunctive query for keyword_search: mid-frequency DB-themed terms
@@ -430,7 +431,10 @@ def doc_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contributes its local top-k, no single-partition window over the
     # full candidate set); the rank is assigned after, over k rows
     top = scored.orderBy(F.col("cos_sim").desc(), "doc_a", "doc_b").limit(_SC_TOPK)
-    wnd = Window.orderBy(F.col("cos_sim").desc(), "doc_a", "doc_b")
+    # bounded input: LIMIT k rows, declared single partition
+    wnd = Window.partitionBy(bounded_window_key("n_shared_terms")).orderBy(
+        F.col("cos_sim").desc(), "doc_a", "doc_b"
+    )
     return (
         top.withColumn("rnk", F.row_number().over(wnd).cast("bigint"))
         .select("doc_a", "doc_b", "n_shared_terms", "cos_sim", "rnk")

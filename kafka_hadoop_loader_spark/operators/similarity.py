@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from kafka_hadoop_loader_spark.catalog import managed_persist, spread, table
 from kafka_hadoop_loader_spark.functions.exact import exact_avg
+from kafka_hadoop_loader_spark.plans.ranking import bounded_window_key
 from kafka_hadoop_loader_spark.registry import register
 
 K = 10
@@ -860,7 +861,15 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PQ_K)
         .select(
             "vec_id",
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            # bounded input: LIMIT k rows, declared single partition
+            (
+                F.row_number().over(
+                    Window.partitionBy(bounded_window_key("vec_id")).orderBy(
+                        "vec_id"
+                    )
+                )
+                - 1
+            )
             .cast("bigint")
             .alias("cid"),
         )

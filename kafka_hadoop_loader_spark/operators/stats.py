@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.plans.ranking import two_phase_rank
 from kafka_hadoop_loader_spark.registry import register
 
 _US_PER_HOUR = 3_600_000_000
@@ -899,17 +900,30 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_c",
         )
     )
-    wr = Window.orderBy("recency_days", "o_custkey")
-    wf = Window.orderBy("frequency", "o_custkey")
-    wm = Window.orderBy("monetary_c", "o_custkey")
-    scored = rfm.select(
+    # three exact distributed quintiles (plans/ranking.py two-phase
+    # rank): each is a value-bucketed ntile, no single-partition window.
+    # checkpoint_input materializes each chained stage once — without it
+    # stage 3 re-evaluates the customer aggregate O(3^stages) times.
+    scored = two_phase_rank(
+        rfm, "recency_days", [F.col("recency_days"), F.col("o_custkey")],
+        ntile=("_nt_r", 5), checkpoint_input=True,
+    )
+    scored = two_phase_rank(
+        scored, "frequency", [F.col("frequency"), F.col("o_custkey")],
+        ntile=("f_score", 5), checkpoint_input=True,
+    )
+    scored = two_phase_rank(
+        scored, "monetary_c", [F.col("monetary_c"), F.col("o_custkey")],
+        ntile=("m_score", 5), checkpoint_input=True,
+    )
+    scored = scored.select(
         "o_custkey",
         "recency_days",
         "frequency",
         (F.col("monetary_c").cast("double") / 100.0).alias("monetary"),
-        (F.lit(6) - F.ntile(5).over(wr)).cast("bigint").alias("r_score"),
-        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
-        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
+        (F.lit(6) - F.col("_nt_r")).cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint"),
+        F.col("m_score").cast("bigint"),
     )
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
@@ -1199,15 +1213,19 @@ def quantiles_approx_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    binned = o.select(
-        "o_totalprice",
-        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias(
-            "is_urgent"
+    # exact distributed decile (plans/ranking.py): value-bucketed
+    # two-phase ntile, no single-partition window.
+    binned = two_phase_rank(
+        o.select(
+            "o_totalprice",
+            "o_orderkey",
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("is_urgent"),
         ),
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .cast("bigint")
-        .alias("bin"),
+        "o_totalprice",
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        ntile=("bin", 10),
     )
     return (
         binned.groupBy("bin")
@@ -1221,4 +1239,59 @@ def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("urgent_rate"),
         )
         .orderBy("bin")
+    )
+
+
+@register(
+    "rank_distributed",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(row_number() OVER w AS BIGINT) AS global_rank,
+               CAST(ntile(10) OVER w AS BIGINT) AS decile,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                   ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_price_c
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        ORDER BY global_rank
+    """,
+    doc="""The two-phase distributed global rank (plans/ranking.py) as a
+    first-class operator, so the scale-safe rank is itself under the
+    correctness contract: exact global row_number, NTILE(10) and a
+    running scaled-cents sum over the (o_totalprice, o_orderkey) total
+    order, all produced WITHOUT a single-partition WindowExec.  The
+    oracle states the plain global-window form — the two plans must be
+    bit-identical or the value hash fails.
+
+    Scale: one low-accuracy percentile pass for value-bucket boundaries
+    (balance only — exactness comes from the exact per-bucket counts),
+    one hash-partitioned window per bucket, one broadcast of B offset
+    rows.  This is the plan every other global-order operator
+    (zorder_layout, orders_rfm_segments, curriculum_order,
+    events_peak_concurrency, shard_plan_balanced, feature_quantile_bins)
+    delegates to.""",
+)
+def rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    ranked = two_phase_rank(
+        o,
+        "o_totalprice",
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        row_number_col="global_rank",
+        ntile=("decile", 10),
+        prefix_sum=("cum_price_c", F.col("price_c")),
+    )
+    return (
+        ranked.select(
+            "o_orderkey",
+            "global_rank",
+            "decile",
+            F.col("cum_price_c").cast("bigint").alias("cum_price_c"),
+        )
+        .orderBy("global_rank")
     )

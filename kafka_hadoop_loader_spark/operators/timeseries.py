@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from kafka_hadoop_loader_spark.catalog import table
 from kafka_hadoop_loader_spark.functions.exact import exact_sum
+from kafka_hadoop_loader_spark.plans.ranking import bounded_window_key, two_phase_rank
 from kafka_hadoop_loader_spark.registry import register
 
 _US_PER_HOUR = 3_600_000_000
@@ -398,7 +399,12 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_day").alias("day_id")
     ).agg(F.count("*").alias("n_new"))
     days = d.select("day_id").distinct()
-    w = Window.orderBy("day_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # bounded input: O(days) rows, declared single partition
+    w = (
+        Window.partitionBy(bounded_window_key("day_id"))
+        .orderBy("day_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
         days.join(new_per_day, "day_id", "left")
         .select(
@@ -971,13 +977,19 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     bounds = opens.unionAll(closes)
-    w = Window.orderBy(F.col("t"), F.col("delta").desc(), F.col("event_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sweep = bounds.select(
+    # distributed sweep line (plans/ranking.py): the running sum over
+    # the global boundary order is a two-phase prefix sum — local
+    # cumsum per value bucket + broadcast per-bucket offsets — instead
+    # of a single-partition window over 2x|events| rows.
+    sweep = two_phase_rank(
+        bounds,
+        "t",
+        [F.col("t"), F.col("delta").desc(), F.col("event_id")],
+        prefix_sum=("concurrent", F.col("delta")),
+    ).select(
         "t",
         "delta",
-        F.sum("delta").over(w).alias("concurrent"),
+        "concurrent",
         F.expr("t DIV 86400000000").alias("day_id"),
     )
     return (
