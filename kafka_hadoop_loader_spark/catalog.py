@@ -41,6 +41,16 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (sf_dir, name) -> parquet schema.  Reading without a declared schema
+# runs a footer-inference Spark job at PLAN BUILD time — one per table
+# reference, so a 6-table TPC-H join paid six driver round-trips before
+# its first real stage.  Fixture dirs are immutable, so the schema is
+# discovered once per path and every later read declares it
+# (`spark.read.schema(...)`), making query construction job-free — the
+# property tests/test_plans.py's build-action audit enforces.
+_SCHEMAS: dict[tuple[str, str], object] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing the events timestamp.
 
@@ -51,7 +61,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``ts_us`` LONG epoch-µs, so operators never see the difference.
     """
     configure_runtime(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (sf_dir, name)
+    schema = _SCHEMAS.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMAS[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events":
         dt = dict(df.dtypes).get("ts")
         if dt == "bigint":

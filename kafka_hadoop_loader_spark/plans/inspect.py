@@ -68,3 +68,50 @@ def has_node(df: DataFrame, node: str) -> bool:
     """True if the formatted plan contains the given physical node name
     (e.g. "BroadcastHashJoin", "TakeOrderedAndProject")."""
     return node in formatted_plan(df)
+
+
+# Window-family physical nodes that carry a partitionSpec.
+_WINDOW_NODES = frozenset(
+    {
+        "WindowExec",
+        "WindowInPandasExec",
+        "WindowGroupLimitExec",
+    }
+)
+
+
+def unpartitioned_window_nodes(df: DataFrame) -> list[str]:
+    """Window-family physical nodes whose partitionSpec is EMPTY — the
+    single-partition global-window shape that dies first at scale
+    (WindowExec itself warns "No Partition Defined ... Moving all data
+    to a single partition").
+
+    Engine convention: this list must be empty for every registered
+    query.  Unbounded global orders go through
+    plans/ranking.two_phase_rank; windows over PROVABLY bounded inputs
+    (<= B-row aggregates, LIMIT-k prefixes) declare it with
+    plans/ranking.bounded_window_key — the declared ``pmod`` key keeps
+    the spec non-empty, so an empty spec is always an accident.
+    Traverses the pre-AQE physical plan structurally (the formatted
+    text elides partition specs).
+    """
+    root = df._jdf.queryExecution().sparkPlan()
+    bad: list[str] = []
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name in _WINDOW_NODES:
+            try:
+                if node.partitionSpec().isEmpty():
+                    bad.append(name)
+            except Exception:  # noqa: BLE001 - node without the method
+                pass
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+        # subqueries/broadcast substrees hide under innerChildren
+        inner = node.innerChildren()
+        for i in range(inner.size()):
+            stack.append(inner.apply(i))
+    return bad

@@ -385,3 +385,133 @@ def test_arrow_optimized_udf_is_arrow_not_pickle(spark):
     plan = _plan(spark, "udf_arrow_optimized")
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_global_window_auditor_catches_seeded_offender(spark):
+    """plans/inspect.unpartitioned_window_nodes must flag a deliberate
+    Window.orderBy with no partitionBy (the single-partition shape the
+    GLOBAL-WINDOW flag in PLANS.md exists for), and must NOT flag the
+    declared-bounded form (bounded_window_key) or an ordinary
+    partitioned window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_hadoop_loader_spark.plans.inspect import (
+        unpartitioned_window_nodes,
+    )
+    from kafka_hadoop_loader_spark.plans.ranking import bounded_window_key
+
+    df = spark.range(100).select("id", (F.col("id") % 7).alias("v"))
+    offender = df.select(
+        F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+    )
+    assert unpartitioned_window_nodes(offender) == ["WindowExec"]
+    declared = df.select(
+        F.row_number()
+        .over(Window.partitionBy(bounded_window_key("v")).orderBy("v", "id"))
+        .alias("rn")
+    )
+    assert unpartitioned_window_nodes(declared) == []
+    partitioned = df.select(
+        F.row_number().over(Window.partitionBy("v").orderBy("id")).alias("rn")
+    )
+    assert unpartitioned_window_nodes(partitioned) == []
+
+
+def test_no_unpartitioned_window_in_rewritten_rank_operators(spark):
+    """The round-5 two-phase-rank rewrites (round-4 verdict item 2) and
+    the declared-bounded windows: zero empty-partitionSpec Window nodes.
+    The full-registry sweep is tools/plan_report.py (PLANS.md must show
+    0 flags); this pins the operators that historically carried the
+    global-window bottleneck."""
+    from kafka_hadoop_loader_spark.plans.inspect import (
+        unpartitioned_window_nodes,
+    )
+
+    names = [
+        "rank_distributed",
+        "zorder_layout",
+        "shard_plan_balanced",
+        "orders_rfm_segments",
+        "feature_quantile_bins",
+        "curriculum_order",
+        "events_peak_concurrency",
+        "skew_profile",
+        "cumulative_distinct_users",
+        "doc_sparse_cosine",
+        "orders_basket_size_dist",
+        "sample_temperature",
+    ]
+    bad = {}
+    for name in names:
+        nodes = unpartitioned_window_nodes(REG[name].fn(spark, SF_DIR))
+        if nodes:
+            bad[name] = nodes
+    assert not bad, f"unpartitioned windows: {bad}"
+
+
+def test_query_construction_runs_no_spark_jobs(spark):
+    """Standing build-action audit (round-4 verdict item 8): calling
+    ``queries()[name](spark, sf_dir)`` must CONSTRUCT a plan, not run
+    it — a Spark job during construction is a driver round-trip that
+    multiplies under the driver/bench contract (the retired
+    dedup_clusters convergence loop ran up to 16).  Enforced for every
+    registered query except the documented materializers below.
+
+    Schema discovery is warmed first: catalog.table caches each fixture
+    schema once per (sf_dir, table); the warmup pays those footer jobs
+    so queries are charged only for their own actions.
+    """
+    from kafka_hadoop_loader_spark.catalog import load_tables
+
+    # deliberate build-time work, each class documented in its module:
+    materializers = {
+        # DDL/file setup: write a table/files first, query them after
+        "compact_small_files",
+        "insert_overwrite_day",
+        "sink_partitioned",
+        "sql_ctas_insert",
+        "join_bucketed_colocated",
+        "join_dpp_partitioned",
+        "fk_orphan_check",
+        "reference_loader_parity",
+        "observe_metrics_audit",
+        # file-source fixtures generated from parquet at first touch
+        "scan_corrupt_records",
+        "scan_json",
+        "scan_python_datasource",
+        "scan_csv",
+        "scan_orc",
+        "scan_text_lines",
+        "scan_xml",
+        # lazy localCheckpoint lineage cuts: AQE finalizes (executes)
+        # the checkpointed stages in toRdd — the measured-fastest form
+        # (graph.py docstrings record the alternatives and their costs)
+        "dedup_clusters",
+        "dedup_clusters_star",
+        "graph_connected_components",
+        "graph_label_propagation",
+        "orders_rfm_segments",
+        "ann_recall_audit",
+        "text_bigram_kneser_ney",
+    }
+    load_tables(spark, SF_DIR)  # warm the schema cache
+    sc = spark.sparkContext
+    offenders = {}
+    for name, q in REG.items():
+        if name in materializers:
+            continue
+        group = f"build-audit:{name}"
+        sc.setJobGroup(group, name)
+        try:
+            q.fn(spark, SF_DIR)
+        finally:
+            sc.setJobGroup(None, None)
+        ids = sc.statusTracker().getJobIdsForGroup(group)
+        if ids:
+            offenders[name] = len(ids)
+    assert not offenders, (
+        f"Spark jobs ran during query construction: {offenders}; either "
+        "remove the build-time action or document the query as a "
+        "materializer here"
+    )

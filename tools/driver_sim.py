@@ -74,10 +74,40 @@ def main() -> int:
     qs, osql = E.queries(), E.oracle_sql()
     names = args.names or sorted(qs)
     print(f"T2: {len(names)} queries, {sum(1 for q in names if q in osql)} with oracles")
+    # Build-action audit (standing gate, mirrors
+    # tests/test_plans.py::test_query_construction_runs_no_spark_jobs):
+    # constructing a query must not run Spark jobs except for the
+    # documented materializer classes (DDL/file setup, generated
+    # file-source fixtures, lazy-localCheckpoint lineage cuts whose
+    # stages AQE finalizes in toRdd).  Warm the fixture schema cache
+    # first so first-touch footer jobs aren't charged to a query.
+    from kafka_hadoop_loader_spark.catalog import load_tables
+
+    load_tables(spark, args.sf)
+    build_materializers = {
+        "compact_small_files", "insert_overwrite_day", "sink_partitioned",
+        "sql_ctas_insert", "join_bucketed_colocated", "join_dpp_partitioned",
+        "fk_orphan_check", "reference_loader_parity", "observe_metrics_audit",
+        "scan_corrupt_records", "scan_csv", "scan_json", "scan_orc",
+        "scan_python_datasource", "scan_text_lines", "scan_xml",
+        "dedup_clusters", "dedup_clusters_star", "graph_connected_components",
+        "graph_label_propagation", "orders_rfm_segments", "ann_recall_audit",
+        "text_bigram_kneser_ney",
+    }
+    sc = spark.sparkContext
     failures = []
     for name in names:
         try:
+            sc.setJobGroup(f"build:{name}", name)
             sdf = qs[name](spark, args.sf)
+            build_jobs = len(
+                sc.statusTracker().getJobIdsForGroup(f"build:{name}")
+            )
+            sc.setJobGroup(None, None)
+            if build_jobs and name not in build_materializers:
+                print(f"  {name}: BUILD-ACTION {build_jobs} job(s) at construction")
+                failures.append(name)
+                continue
             srows = [tuple(r) for r in sdf.collect()]
             pandas_canon(srows, sdf.columns)  # driver canonicalizes everything
             if name not in osql:
