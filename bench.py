@@ -17,8 +17,8 @@ round-3 measurements under ambient host load (loadavg ~5 with nothing
 of ours running) showed even min-of-2 drifting 2x on untouched
 queries — the third pass buys the regression gate back its signal.
 Passes run against the same cold-start session.  Index-building
-operators (ANN buckets, dedup shingle tables, the clusters
-convergence loop) memoize their built index per (site, sf_dir) —
+operators (ANN buckets, dedup shingle tables, dedup_clusters' star
+labels) memoize their built index per (site, sf_dir) —
 build-once/serve-many, the production semantic — so for THOSE
 operators pass 1 measures build+query and passes 2-3 measure the
 serving path; their per-query minimum is the serving cost, and

@@ -446,7 +446,7 @@ def _td_quantile(means, weights, q):
             GROUP BY returnflag, q.qlabel
         )
         SELECT returnflag, qlabel, n, lo_bound, hi_bound,
-               TRUE AS within_2pct_rank
+               TRUE AS within_rank_envelope
         FROM bounds
         ORDER BY returnflag, qlabel
     """,
@@ -563,7 +563,7 @@ def quantiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (F.col("est") >= F.col("lo_bound"))
                 & (F.col("est") <= F.col("hi_bound"))
-            ).alias("within_2pct_rank"),
+            ).alias("within_rank_envelope"),
         )
         .orderBy("returnflag", "qlabel")
     )

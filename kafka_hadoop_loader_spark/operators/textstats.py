@@ -113,17 +113,21 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar dimension; a literal, not a collect loop
+    # the corpus doc count rides INSIDE the lazy plan as a broadcast
+    # 1-row cross join (text_perplexity_proxy's convention) — no eager
+    # .count() action or extra scan at plan-build time
+    n = d.groupBy().agg(F.count("*").alias("n_docs"))
     return (
         tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
         .select(
             "tok",
             "tf",
             "df",
-            F.lit(n_docs).cast("bigint").alias("n_docs"),
+            "n_docs",
             (
                 F.col("tf").cast("double")
-                * (F.lit(float(n_docs)) / F.col("df").cast("double"))
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double"))
             ).alias("tfidf_linear"),
         )
         .orderBy(F.col("tfidf_linear").desc(), "tok")

@@ -385,7 +385,7 @@ def test_tdigest_envelope_and_merge_bound(spark):
     merged digest respects the compression bound (mergeability is the
     point of the sketch)."""
     rows = REG["quantiles_tdigest"].fn(spark, SF_DIR).collect()
-    assert rows and all(r.within_2pct_rank for r in rows)
+    assert rows and all(r.within_rank_envelope for r in rows)
     # pure-sketch property: merging bucket digests then compressing
     # never exceeds the delta centroid budget
     import numpy as np
