@@ -447,3 +447,169 @@ def shard_plan_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- Hilbert-curve layout -------------------------------------------------
+_HBITS = 8  # bits per dimension -> 256x256 grid, d in [0, 65535]
+_H_FILES = 16
+
+
+def _hilbert_step_exprs(bits: int) -> list[tuple[str, str, str]]:
+    """Unrolled xy2d Hilbert steps as (d, x, y) SQL expressions over
+    input columns (hx, hy, hd).
+
+    One step of the classic iterative conversion, for literal s:
+        rx = (x & s) > 0;  ry = (y & s) > 0
+        d += s*s * ((3*rx) XOR ry)
+        if ry == 0: { if rx == 1: x,y = s-1-x, s-1-y;  swap(x, y) }
+    The XOR of the 2-bit quadrant code is enumerated as a CASE (DuckDB's
+    ``^`` is exponentiation, so XOR is the one non-portable operator);
+    everything else is +,-,*,& — identical text, identical integers in
+    both engines.  Within a step all three outputs read the step's
+    INPUT columns (SQL aliases are not visible to sibling expressions),
+    so each step is a single projection.
+    """
+    steps = []
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        quad = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 AND {ry} = 1 THEN 1 "
+            f"WHEN {rx} = 1 AND {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        d = f"hd + {s * s} * {quad}"
+        nx = f"(CASE WHEN {ry} = 1 THEN hx WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END)"
+        ny = f"(CASE WHEN {ry} = 1 THEN hy WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END)"
+        steps.append((d, nx, ny))
+    return steps
+
+
+# 8-bit morton for the in-query comparison arm (shift-free: * powers of
+# 2; integer division spelled per engine — Spark DIV, DuckDB // — on
+# non-negative operands, where both truncate identically)
+def _z8(div: str) -> str:
+    return " + ".join(
+        f"((((x8 {div} {1 << i}) % 2) * {1 << (2 * i + 1)})"
+        f" + (((y8 {div} {1 << i}) % 2) * {1 << (2 * i)}))"
+        for i in range(_HBITS)
+    )
+
+
+def _hilbert_oracle() -> str:
+    ctes = [
+        f"""src AS (
+            SELECT o_orderkey,
+                   o_custkey % {1 << _HBITS} AS x8,
+                   (epoch_us(o_orderdate) // 86400000000) % {1 << _HBITS}
+                       AS y8
+            FROM orders
+        )""",
+        f"""h0 AS (
+            SELECT o_orderkey, x8, y8, x8 AS hx, y8 AS hy,
+                   CAST(0 AS BIGINT) AS hd
+            FROM src
+        )""",
+    ]
+    prev = "h0"
+    for n, (d, nx, ny) in enumerate(_hilbert_step_exprs(_HBITS), start=1):
+        ctes.append(
+            f"""h{n} AS (
+            SELECT o_orderkey, x8, y8, {nx} AS hx, {ny} AS hy, {d} AS hd
+            FROM {prev}
+        )"""
+        )
+        prev = f"h{n}"
+    return f"""
+        WITH {",".join(ctes)},
+        keyed AS (
+            SELECT o_orderkey, x8, y8, hd AS hval, {_z8('//')} AS zval
+            FROM {prev}
+        ),
+        assigned AS (
+            SELECT x8, y8, 'hilbert' AS layout,
+                   CAST(ntile({_H_FILES}) OVER (ORDER BY hval, o_orderkey)
+                        AS BIGINT) AS file_id
+            FROM keyed
+            UNION ALL
+            SELECT x8, y8, 'zorder8' AS layout,
+                   CAST(ntile({_H_FILES}) OVER (ORDER BY zval, o_orderkey)
+                        AS BIGINT) AS file_id
+            FROM keyed
+        )
+        SELECT layout, file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(x8) AS BIGINT) AS min_x,
+               CAST(MAX(x8) AS BIGINT) AS max_x,
+               CAST(MIN(y8) AS BIGINT) AS min_y,
+               CAST(MAX(y8) AS BIGINT) AS max_y,
+               CAST(MAX(x8) - MIN(x8) AS BIGINT)
+                   + CAST(MAX(y8) - MIN(y8) AS BIGINT) AS span_sum
+        FROM assigned
+        GROUP BY layout, file_id
+        ORDER BY layout, file_id
+    """
+
+
+@register(
+    "hilbert_layout",
+    oracle=_hilbert_oracle(),
+    doc=f"""Hilbert-curve file layout vs Z-order on the same
+    (custkey, order-day) 8-bit grid: the Hilbert curve never takes the
+    long diagonal jumps Morton interleaving does, so its equal-size
+    file envelopes are tighter on both dimensions — the reason Delta
+    and Iceberg grew OPTIMIZE ZORDER *and* Hilbert clustering.  The
+    curve index is the classic iterative xy2d conversion, unrolled into
+    {_HBITS} integer projection steps generated from ONE template for
+    both engines (see _hilbert_step_exprs); file assignment is the
+    two-phase distributed ntile (plans/ranking.py) — no
+    single-partition window, same contract as zorder_layout.
+
+    Scale: the curve key is pure per-row integer arithmetic fused into
+    the scan; the production write is repartitionByRange(hval) +
+    sortWithinPartitions, one range shuffle bought at write time; the
+    ntile here stands in so the assignment is oracle-checkable.""",
+)
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    df = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % (1 << _HBITS)).alias("x8"),
+        (
+            F.expr("unix_micros(cast(o_orderdate as timestamp)) DIV 86400000000")
+            % (1 << _HBITS)
+        ).alias("y8"),
+    ).selectExpr("o_orderkey", "x8", "y8", "x8 AS hx", "y8 AS hy", "CAST(0 AS BIGINT) AS hd")
+    for d, nx, ny in _hilbert_step_exprs(_HBITS):
+        df = df.selectExpr(
+            "o_orderkey", "x8", "y8",
+            f"{nx} AS hx", f"{ny} AS hy", f"{d} AS hd",
+        )
+    keyed = df.selectExpr(
+        "o_orderkey", "x8", "y8", "hd AS hval", f"{_z8('DIV')} AS zval"
+    ).localCheckpoint(eager=False)
+    by_h = two_phase_rank(
+        keyed, "hval", [F.col("hval"), F.col("o_orderkey")],
+        ntile=("file_id", _H_FILES),
+    ).select("x8", "y8", F.lit("hilbert").alias("layout"), "file_id")
+    by_z = two_phase_rank(
+        keyed, "zval", [F.col("zval"), F.col("o_orderkey")],
+        ntile=("file_id", _H_FILES),
+    ).select("x8", "y8", F.lit("zorder8").alias("layout"), "file_id")
+    assigned = by_h.unionByName(by_z)
+    return (
+        assigned.groupBy("layout", "file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x8").cast("bigint").alias("min_x"),
+            F.max("x8").cast("bigint").alias("max_x"),
+            F.min("y8").cast("bigint").alias("min_y"),
+            F.max("y8").cast("bigint").alias("max_y"),
+            (
+                (F.max("x8") - F.min("x8")).cast("bigint")
+                + (F.max("y8") - F.min("y8")).cast("bigint")
+            ).alias("span_sum"),
+        )
+        .orderBy("layout", "file_id")
+    )

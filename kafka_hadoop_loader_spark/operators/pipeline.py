@@ -1250,3 +1250,66 @@ def mixture_solve_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_KANON_K = 5
+
+
+@register(
+    "k_anonymity_suppress",
+    oracle=f"""
+        WITH g AS (
+            SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+                   CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                   CAST(COUNT(*) AS BIGINT) AS group_n
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT nationkey, mktsegment, bal_band, group_n,
+               (group_n < {_KANON_K}) AS suppress,
+               CASE WHEN group_n < {_KANON_K} THEN group_n ELSE 0 END
+                   AS n_rows_suppressed
+        FROM g
+        ORDER BY nationkey, mktsegment, bal_band
+    """,
+    doc=f"""k-anonymity audit (k = {_KANON_K}) over the quasi-identifier
+    tuple (nation, market segment, account-balance band): any
+    equivalence class smaller than k re-identifies its members, so the
+    release pipeline must suppress or generalize those rows — this
+    emits the per-class census with the suppress verdict, the table a
+    privacy gate anti-joins against before publishing (the structural
+    complement of pii_redact, which handles direct identifiers).
+
+    Determinism: the balance band is FLOOR of an exact-decimal/1000
+    division evaluated with identical expression text in both engines;
+    everything else is integer counts.
+
+    Scale: one map-side-combining hash aggregate over the
+    quasi-identifier grain — the census is O(|classes|), never
+    O(|rows|), and generalization ladders (coarser bands) just re-run
+    the same aggregate on a coarser key.""",
+)
+def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    g = (
+        c.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count("*").alias("group_n"))
+    )
+    return (
+        g.select(
+            "nationkey",
+            "mktsegment",
+            "bal_band",
+            "group_n",
+            (F.col("group_n") < _KANON_K).alias("suppress"),
+            F.when(F.col("group_n") < _KANON_K, F.col("group_n"))
+            .otherwise(0)
+            .cast("bigint")
+            .alias("n_rows_suppressed"),
+        )
+        .orderBy("nationkey", "mktsegment", "bal_band")
+    )

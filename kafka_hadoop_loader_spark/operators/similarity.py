@@ -1196,3 +1196,117 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _HN_K)
         .orderBy("query_id", "rnk")
     )
+
+
+_MAT_DIM = 16  # truncation prefix (matryoshka head) of the 64-dim vectors
+
+
+@register(
+    "ann_matryoshka_recall",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings
+            WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]) AS cos_full,
+                   list_cosine_similarity(q.embedding[1:{_MAT_DIM}]::DOUBLE[],
+                                          c.embedding[1:{_MAT_DIM}]::DOUBLE[])
+                       AS cos_trunc
+            FROM q JOIN embeddings c ON q.query_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_full DESC, neighbor_id)
+                       AS rnk_full,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_trunc DESC, neighbor_id)
+                       AS rnk_trunc
+            FROM scored
+        )
+        SELECT f.query_id AS query_id,
+               CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+               CAST(COUNT(t.neighbor_id) AS DOUBLE) / {K}.0 AS recall_at_k
+        FROM (SELECT * FROM ranked WHERE rnk_full <= {K}) f
+        LEFT JOIN (SELECT * FROM ranked WHERE rnk_trunc <= {K}) t
+          ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        GROUP BY f.query_id
+        ORDER BY query_id
+    """,
+    doc=f"""Matryoshka-truncation recall audit: score the first
+    {N_QUERIES} queries against all candidates with BOTH the full
+    64-dim cosine and the {_MAT_DIM}-dim prefix cosine in ONE pass,
+    rank each (two windows over the same partitioning — one exchange),
+    and report per-query recall@{K} of the truncated ranking against
+    the exact one.  This is the evaluation behind Matryoshka-style
+    embedding deployment: serve the cheap prefix, keep the measured
+    recall cost on a dashboard.  Same audit contract as
+    ann_recall_audit — the exact ranking is computed in-query, so the
+    verdict cannot drift from the audited index.
+
+    Determinism: both cosines are the per-row sequential fold that
+    already hash-matches DuckDB's list_cosine_similarity; ranks
+    tie-break on neighbor_id; recall is one exact division by {K}.
+
+    Scale: candidate scoring is the broadcast-queries pattern (bounded
+    by the query batch); the prefix slice costs nothing extra because
+    both scores ride the same candidate pass.  At 10^9 vectors swap
+    the exact arm for knn_cosine_ivf and keep the same overlap join.""",
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    qh = F.slice(F.col("q_emb"), 1, _MAT_DIM)
+    ch = F.slice(F.col("c_emb"), 1, _MAT_DIM)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_full"),
+            cosine(qh, ch).alias("cos_trunc"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cos_trunc").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wf).alias("rnk_full"),
+        F.row_number().over(wt).alias("rnk_trunc"),
+    )
+    full_top = ranked.where(F.col("rnk_full") <= K).select("query_id", "neighbor_id")
+    trunc_top = ranked.where(F.col("rnk_trunc") <= K).select(
+        F.col("query_id").alias("t_query_id"),
+        F.col("neighbor_id").alias("t_neighbor_id"),
+    )
+    return (
+        full_top.join(
+            trunc_top,
+            (F.col("query_id") == F.col("t_query_id"))
+            & (F.col("neighbor_id") == F.col("t_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("t_neighbor_id").alias("n_overlap"),
+            (F.count("t_neighbor_id").cast("double") / float(K)).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )

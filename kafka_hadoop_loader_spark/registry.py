@@ -139,6 +139,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 #   events_longest_streak events_type_diversity events_new_vs_returning
 #   orders_reorder_cycle
 # round-5 additions (never driver-tested): rank_distributed
+#   join_fuzzy_blocked k_anonymity_suppress ann_matryoshka_recall
+#   hilbert_layout
 
 
 def load_all() -> dict[str, Query]:

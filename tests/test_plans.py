@@ -515,3 +515,40 @@ def test_query_construction_runs_no_spark_jobs(spark):
         "remove the build-time action or document the query as a "
         "materializer here"
     )
+
+
+def test_runtime_bloom_filter_join_injects(spark):
+    """Spark's runtime Bloom-filter join (InjectRuntimeFilter): with the
+    size thresholds lowered to fixture scale, a selective dimension
+    filter must inject a bloom_filter/might_contain pre-filter into the
+    fact side's plan — the row-group-skipping runtime filter that
+    matters at 100 TB (default thresholds: creation side <= 10MB,
+    application side >= 10GB, so it never fires on local fixtures
+    without this test's conf window).  Confs are restored afterward so
+    no other query's plan is affected."""
+    from kafka_hadoop_loader_spark.catalog import table
+    from kafka_hadoop_loader_spark.plans.inspect import formatted_plan
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # rule only fires on shuffle-based joins; disable auto-broadcast
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, SF_DIR, "lineitem")
+        o = table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = formatted_plan(joined)
+        assert "might_contain" in plan or "bloom_filter" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
