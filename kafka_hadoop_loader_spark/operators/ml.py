@@ -454,3 +454,322 @@ def regr_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+# --- Naive Bayes ----------------------------------------------------------
+# Likelihood-product score, ONE expression string shared verbatim by both
+# engines: every operand is an exact BIGINT (class count nc, train total
+# nt, per-feature co-counts n1c/n2c/n3c with +1 Laplace smoothing, domain
+# sizes d1/d2/d3), each cast ONCE to double, four divisions and three
+# multiplications in fixed left-to-right association -> bit-identical
+# IEEE result in Spark and DuckDB.
+_NB_SCORE = (
+    "(CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE))"
+    " * ((CAST(n1c AS DOUBLE) + 1.0E0) / (CAST(nc AS DOUBLE) + CAST(d1 AS DOUBLE)))"
+    " * ((CAST(n2c AS DOUBLE) + 1.0E0) / (CAST(nc AS DOUBLE) + CAST(d2 AS DOUBLE)))"
+    " * ((CAST(n3c AS DOUBLE) + 1.0E0) / (CAST(nc AS DOUBLE) + CAST(d3 AS DOUBLE)))"
+)
+
+
+@register(
+    "ml_naive_bayes",
+    oracle=f"""
+        WITH feat AS (
+            SELECT o_orderkey, o_orderpriority AS cls,
+                   (epoch_us(o_orderdate) // 86400000000) % 7 AS f1,
+                   o_custkey % 8 AS f2,
+                   CAST(FLOOR(o_totalprice / 100000.0) AS BIGINT) AS f3
+            FROM orders
+        ),
+        train AS (SELECT * FROM feat WHERE o_orderkey % 5 <> 0),
+        test  AS (SELECT * FROM feat WHERE o_orderkey % 5 = 0),
+        pri AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS nc FROM train GROUP BY cls),
+        l1 AS (SELECT cls, f1, CAST(COUNT(*) AS BIGINT) AS n FROM train GROUP BY cls, f1),
+        l2 AS (SELECT cls, f2, CAST(COUNT(*) AS BIGINT) AS n FROM train GROUP BY cls, f2),
+        l3 AS (SELECT cls, f3, CAST(COUNT(*) AS BIGINT) AS n FROM train GROUP BY cls, f3),
+        dom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+                   CAST(COUNT(DISTINCT f1) AS BIGINT) AS d1,
+                   CAST(COUNT(DISTINCT f2) AS BIGINT) AS d2,
+                   CAST(COUNT(DISTINCT f3) AS BIGINT) AS d3
+            FROM train
+        ),
+        scored AS (
+            SELECT t.o_orderkey, t.cls AS actual, p.cls AS candidate,
+                   p.nc, dom.nt, dom.d1, dom.d2, dom.d3,
+                   COALESCE(l1.n, 0) AS n1c,
+                   COALESCE(l2.n, 0) AS n2c,
+                   COALESCE(l3.n, 0) AS n3c
+            FROM test t
+            CROSS JOIN pri p
+            CROSS JOIN dom
+            LEFT JOIN l1 ON l1.cls = p.cls AND l1.f1 = t.f1
+            LEFT JOIN l2 ON l2.cls = p.cls AND l2.f2 = t.f2
+            LEFT JOIN l3 ON l3.cls = p.cls AND l3.f3 = t.f3
+        ),
+        ranked AS (
+            SELECT o_orderkey, actual, candidate,
+                   row_number() OVER (PARTITION BY o_orderkey
+                                      ORDER BY {_NB_SCORE} DESC, candidate)
+                       AS rnk
+            FROM scored
+        )
+        SELECT actual, candidate AS predicted,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM ranked WHERE rnk = 1
+        GROUP BY actual, candidate
+        ORDER BY actual, predicted
+    """,
+    doc="""Naive Bayes train-and-score as ONE plan — the canonical
+    count-based classifier at 100 TB: predict order priority from three
+    categorical features (order weekday, customer bucket, total-price
+    band) on an 80/20 deterministic key split, reported as the
+    confusion matrix.  Training IS aggregation (class priors + one
+    (class, value) count table per feature + a 1-row domain/total
+    census); scoring is the broadcast of those tiny model tables back
+    onto the test scan, a likelihood-product expression, and a per-row
+    argmax over the 5 candidate classes.
+
+    Cross-engine exactness: all model statistics are exact BIGINT
+    counts; the Laplace-smoothed score is the shared _NB_SCORE
+    expression (one CAST per operand, fixed association — the
+    regr_normal_equations doctrine), so both engines rank identical
+    doubles; argmax tie-breaks on class name.
+
+    Scale: the model is O(classes × Σ|domain_i|) rows — broadcast-size
+    by construction for categorical features (bin continuous ones
+    first: feature_quantile_bins).  Scoring is map-only after the
+    broadcasts except the 5-rows-per-key argmax window, and the
+    confusion matrix is a bounded hash aggregate.  Nothing in the plan
+    grows faster than the test scan.""",
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    feat = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cls"),
+        (
+            F.expr("unix_micros(cast(o_orderdate as timestamp)) DIV 86400000000")
+            % 7
+        ).alias("f1"),
+        (F.col("o_custkey") % 8).alias("f2"),
+        F.floor(F.col("o_totalprice") / 100000.0).cast("bigint").alias("f3"),
+    )
+    train = feat.where(F.col("o_orderkey") % 5 != 0)
+    test = feat.where(F.col("o_orderkey") % 5 == 0)
+    pri = train.groupBy("cls").agg(F.count("*").alias("nc"))
+    l1 = train.groupBy("cls", "f1").agg(F.count("*").alias("n1"))
+    l2 = train.groupBy("cls", "f2").agg(F.count("*").alias("n2"))
+    l3 = train.groupBy("cls", "f3").agg(F.count("*").alias("n3"))
+    dom = train.agg(
+        F.count("*").alias("nt"),
+        F.countDistinct("f1").alias("d1"),
+        F.countDistinct("f2").alias("d2"),
+        F.countDistinct("f3").alias("d3"),
+    )
+    p = pri.select(F.col("cls").alias("candidate"), "nc")
+    scored = (
+        test.withColumnRenamed("cls", "actual")
+        .crossJoin(F.broadcast(p))
+        .crossJoin(F.broadcast(dom))
+        .join(
+            F.broadcast(l1).select(
+                F.col("cls").alias("candidate"), "f1", F.col("n1")
+            ),
+            ["candidate", "f1"],
+            "left",
+        )
+        .join(
+            F.broadcast(l2).select(
+                F.col("cls").alias("candidate"), "f2", F.col("n2")
+            ),
+            ["candidate", "f2"],
+            "left",
+        )
+        .join(
+            F.broadcast(l3).select(
+                F.col("cls").alias("candidate"), "f3", F.col("n3")
+            ),
+            ["candidate", "f3"],
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            "actual",
+            "candidate",
+            "nc",
+            "nt",
+            "d1",
+            "d2",
+            "d3",
+            F.coalesce("n1", F.lit(0)).alias("n1c"),
+            F.coalesce("n2", F.lit(0)).alias("n2c"),
+            F.coalesce("n3", F.lit(0)).alias("n3c"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.expr(_NB_SCORE).desc(), F.col("candidate")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .groupBy("actual", F.col("candidate").alias("predicted"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("actual", "predicted")
+    )
+
+
+# --- Decision-stump split search ------------------------------------------
+# Weighted Gini impurity of a binary split, shared expression string:
+# every operand is an exact BIGINT count below 2^26, so the squares are
+# exact doubles and the two divisions + three additions associate
+# identically in both engines.
+_GINI = (
+    "((CAST(nl AS DOUBLE) - (CAST(posl AS DOUBLE) * CAST(posl AS DOUBLE)"
+    " + CAST(negl AS DOUBLE) * CAST(negl AS DOUBLE)) / CAST(nl AS DOUBLE))"
+    " + (CAST(nr AS DOUBLE) - (CAST(posr AS DOUBLE) * CAST(posr AS DOUBLE)"
+    " + CAST(negr AS DOUBLE) * CAST(negr AS DOUBLE)) / CAST(nr AS DOUBLE)))"
+)
+
+
+@register(
+    "ml_gini_split",
+    oracle=f"""
+        WITH obs AS (
+            SELECT 'quantity' AS feature, l_quantity AS val,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+            FROM lineitem
+            UNION ALL
+            SELECT 'discount', l_discount,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+            FROM lineitem
+            UNION ALL
+            SELECT 'tax', l_tax,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+            FROM lineitem
+        ),
+        grid AS (
+            SELECT feature, val,
+                   CAST(COUNT(*) AS BIGINT) AS n_v,
+                   CAST(SUM(pos) AS BIGINT) AS pos_v
+            FROM obs GROUP BY feature, val
+        ),
+        cum AS (
+            SELECT feature, val,
+                   CAST(SUM(n_v) OVER w AS BIGINT) AS nl,
+                   CAST(SUM(pos_v) OVER w AS BIGINT) AS posl,
+                   CAST(SUM(n_v) OVER t AS BIGINT) AS nt,
+                   CAST(SUM(pos_v) OVER t AS BIGINT) AS post
+            FROM grid
+            WINDOW w AS (PARTITION BY feature ORDER BY val
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   t AS (PARTITION BY feature)
+        ),
+        cand AS (
+            SELECT feature, val AS threshold, nl, posl,
+                   nl - posl AS negl,
+                   nt - nl AS nr,
+                   post - posl AS posr,
+                   (nt - nl) - (post - posl) AS negr
+            FROM cum WHERE nl < nt
+        ),
+        scored AS (
+            SELECT feature, threshold, nl, posl, nr, posr,
+                   {_GINI} AS gini,
+                   row_number() OVER (PARTITION BY feature
+                                      ORDER BY {_GINI}, threshold) AS rnk
+            FROM cand
+        )
+        SELECT feature, threshold, nl, posl, nr, posr, gini,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM scored WHERE rnk <= 5
+        ORDER BY feature, rnk
+    """,
+    doc="""Decision-stump split search — the inner loop of distributed
+    tree learning (XGBoost/LightGBM histogram method, MLlib decision
+    trees): for label returnflag='R', evaluate EVERY candidate binary
+    split "feature <= t" over three lineitem features and report the 5
+    best per feature by weighted Gini impurity.  The crucial shape: one
+    hash aggregate collapses the scan to the (feature, value) count
+    grid, cumulative sums over that tiny grid turn each candidate's
+    four contingency counts into a window expression, and the split
+    scoring never touches row data again — candidate evaluation is
+    O(|grid|), not O(rows × candidates).
+
+    Cross-engine exactness: contingency counts are exact BIGINTs via
+    windowed prefix sums (explicit ROWS frame, distinct-by-construction
+    ordering keys); impurity is the shared _GINI expression; ranking
+    tie-breaks on threshold.
+
+    Scale: the per-feature window runs over at most |distinct values|
+    rows (bin continuous features to a fixed histogram first — exactly
+    what the GBDT histogram trick does — so the grid stays bounded);
+    the scan-sized work is the one map-side-combining aggregate.  This
+    is the per-node split primitive a tree trainer would call per
+    level, with features partitioned across the cluster.""",
+)
+def ml_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    obs = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity").alias("feature"),
+                    F.col("l_quantity").alias("val"),
+                ),
+                F.struct(
+                    F.lit("discount").alias("feature"),
+                    F.col("l_discount").alias("val"),
+                ),
+                F.struct(
+                    F.lit("tax").alias("feature"), F.col("l_tax").alias("val")
+                ),
+            )
+        ).alias("fv"),
+        pos.alias("pos"),
+    ).select("fv.feature", "fv.val", "pos")
+    grid = obs.groupBy("feature", "val").agg(
+        F.count("*").alias("n_v"), F.sum("pos").alias("pos_v")
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = Window.partitionBy("feature")
+    cum = grid.select(
+        "feature",
+        "val",
+        F.sum("n_v").over(w).cast("bigint").alias("nl"),
+        F.sum("pos_v").over(w).cast("bigint").alias("posl"),
+        F.sum("n_v").over(t).cast("bigint").alias("nt"),
+        F.sum("pos_v").over(t).cast("bigint").alias("post"),
+    )
+    cand = cum.where(F.col("nl") < F.col("nt")).select(
+        "feature",
+        F.col("val").alias("threshold"),
+        "nl",
+        "posl",
+        (F.col("nl") - F.col("posl")).alias("negl"),
+        (F.col("nt") - F.col("nl")).alias("nr"),
+        (F.col("post") - F.col("posl")).alias("posr"),
+        ((F.col("nt") - F.col("nl")) - (F.col("post") - F.col("posl"))).alias(
+            "negr"
+        ),
+    )
+    wr = Window.partitionBy("feature").orderBy(F.expr(_GINI), F.col("threshold"))
+    return (
+        cand.select(
+            "feature",
+            "threshold",
+            "nl",
+            "posl",
+            "nr",
+            "posr",
+            F.expr(_GINI).alias("gini"),
+            F.row_number().over(wr).cast("bigint").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 5)
+        .orderBy("feature", "rnk")
+    )

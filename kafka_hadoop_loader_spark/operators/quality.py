@@ -383,3 +383,119 @@ def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# --- Distribution drift ---------------------------------------------------
+# Chi-square contribution of one category, shared expression: dnum =
+# o*N_ref - n_ref*N_cur and dden = n_ref*N_cur*N_ref are exact BIGINTs
+# (|dnum| < 4e11, dden < 3e17 at sf0.1 — int64-safe), each cast ONCE to
+# double; the square and the division are then identical IEEE ops in
+# both engines.  n_ref = 0 (a category born after the split) is an
+# explicit CASE -> NULL, not an engine-specific inf.
+_CHI2 = (
+    "CASE WHEN n_ref = 0 THEN NULL ELSE "
+    "(CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE)) / CAST(dden AS DOUBLE) "
+    "END"
+)
+
+
+@register(
+    "drift_category_chi2",
+    oracle=f"""
+        WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+        bounds AS (
+            SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) // 2 AS mid
+            FROM ev
+        ),
+        g AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN ts_us < mid THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ref,
+                   CAST(SUM(CASE WHEN ts_us < mid THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_cur
+            FROM ev CROSS JOIN bounds
+            GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_ref) AS BIGINT) AS nref_total,
+                   CAST(SUM(n_cur) AS BIGINT) AS ncur_total
+            FROM g
+        ),
+        d AS (
+            SELECT event_type, n_ref, n_cur, nref_total, ncur_total,
+                   n_cur * nref_total - n_ref * ncur_total AS dnum,
+                   n_ref * ncur_total * nref_total AS dden
+            FROM g CROSS JOIN tot
+        )
+        SELECT event_type, n_ref, n_cur,
+               {_CHI2} AS chi2_contrib,
+               abs(dnum) * 50 > ncur_total * nref_total AS share_drifted
+        FROM d
+        ORDER BY event_type
+    """,
+    doc="""Per-category distribution-drift audit between the two halves
+    of the event stream (split at the observed mid-timestamp): each
+    event type's chi-square contribution (observed current count vs
+    expected-under-reference-share) plus an exact share-shift verdict
+    (|current share - reference share| > 2%).  This is the monitoring
+    query a training-data pipeline runs on every new ingest batch —
+    category mix drift is the cheapest early warning that an upstream
+    source changed.
+
+    Cross-engine exactness: the verdict is pure cross-multiplied BIGINT
+    (no division); the chi-square statistic is the shared _CHI2
+    expression over two exact integers.  The time split rides in as a
+    1-row broadcast (no build-time action).
+
+    Scale: two map-side-combining aggregates (category grain, then the
+    1-row total) and a broadcast back over the category table — O(rows)
+    scan cost, O(|categories|) state.  PSI/KL variants swap the scoring
+    expression; the plan is unchanged.""",
+)
+def drift_category_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("event_type", "ts_us")
+    bounds = e.agg(
+        (
+            F.min("ts_us")
+            + F.expr("(max(ts_us) - min(ts_us)) DIV 2")
+        ).alias("mid")
+    )
+    g = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ts_us") < F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("ts_us") < F.col("mid"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_cur"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_ref").cast("bigint").alias("nref_total"),
+        F.sum("n_cur").cast("bigint").alias("ncur_total"),
+    )
+    d = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "nref_total",
+        "ncur_total",
+        (
+            F.col("n_cur") * F.col("nref_total")
+            - F.col("n_ref") * F.col("ncur_total")
+        ).alias("dnum"),
+        (F.col("n_ref") * F.col("ncur_total") * F.col("nref_total")).alias(
+            "dden"
+        ),
+    )
+    return d.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.expr(_CHI2).alias("chi2_contrib"),
+        (
+            F.abs(F.col("dnum")) * 50 > F.col("ncur_total") * F.col("nref_total")
+        ).alias("share_drifted"),
+    ).orderBy("event_type")

@@ -132,3 +132,114 @@ def spatial_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rect_id")
     )
+
+
+# --- Geohash --------------------------------------------------------------
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_BITS = 25  # 5 base32 chars: 13 longitude bits, 12 latitude bits
+
+
+def _geohash_bits(div: str) -> str:
+    """25-bit interleave (lon MSB first, as geohash specifies) as one
+    integer expression over columns (x13, y12); ``div`` spells integer
+    division per engine (Spark ``DIV``, DuckDB ``//``) — on non-negative
+    operands both truncate identically."""
+    terms = []
+    for i in range(13):  # lon bit 12-i -> output bit 24-2i
+        terms.append(f"(((x13 {div} {1 << (12 - i)}) % 2) * {1 << (24 - 2 * i)})")
+    for j in range(12):  # lat bit 11-j -> output bit 23-2j
+        terms.append(f"(((y12 {div} {1 << (11 - j)}) % 2) * {1 << (23 - 2 * j)})")
+    return " + ".join(terms)
+
+
+def _geohash_chars(div: str, substr_fn: str) -> str:
+    """5-char base32 string from the 25-bit integer column ``g``."""
+    parts = [
+        f"{substr_fn}('{_GH_ALPHABET}', CAST((g {div} {32 ** (4 - i)}) % 32 AS INT) + 1, 1)"
+        for i in range(5)
+    ]
+    return " || ".join(parts) if substr_fn == "substr" else f"CONCAT({', '.join(parts)})"
+
+
+@register(
+    "spatial_geohash",
+    oracle=f"""
+        WITH pos AS (
+            SELECT c_custkey,
+                   (c_custkey * 7919) % 360000 AS lon_md,
+                   (c_custkey * 104729) % 180000 AS lat_md
+            FROM customer
+        ),
+        grid AS (
+            SELECT c_custkey,
+                   (lon_md * 8192) // 360000 AS x13,
+                   (lat_md * 4096) // 180000 AS y12
+            FROM pos
+        ),
+        coded AS (
+            SELECT c_custkey, {_geohash_bits('//')} AS g
+            FROM grid
+        ),
+        named AS (
+            SELECT c_custkey, {_geohash_chars('//', 'substr')} AS geohash5
+            FROM coded
+        )
+        SELECT substr(geohash5, 1, 3) AS cell3,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(COUNT(DISTINCT geohash5) AS BIGINT) AS n_cells5,
+               CAST(MIN(c_custkey) AS BIGINT) AS min_custkey,
+               CAST(MAX(c_custkey) AS BIGINT) AS max_custkey
+        FROM named
+        GROUP BY cell3
+        ORDER BY cell3
+    """,
+    doc="""Geohash encoding + hierarchical cell census — the spatial
+    bucketing primitive behind location sharding, proximity blocking,
+    and map tiling: synthesize a deterministic lat/lon per customer on
+    an integer milli-degree grid, encode the standard 5-character
+    geohash (13 lon bits + 12 lat bits interleaved lon-first, base32
+    alphabet), and report per 3-character parent cell the customer
+    count, distinct child-cell count, and key range.  Prefix truncation
+    IS spatial containment — the property that makes geohash a
+    join/partition key (neighbor search = probe a cell and its 8
+    neighbors at the precision that bounds the radius).
+
+    Cross-engine exactness: the fixed-point grid, the bit interleave
+    (generated from one template, engine-spelled integer division on
+    non-negative operands), and the base32 table lookup are all exact
+    integer/string ops — no floating point anywhere.
+
+    Scale: encoding is map-only and fuses into the scan; the census is
+    one map-side-combining aggregate on the cell key.  At 100 TB the
+    geohash string is the partition/bucket column — range- or
+    hash-partitioned writes give physical locality for free because
+    lexicographic order on geohashes approximates spatial order.""",
+)
+def spatial_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    grid = c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7919) % 360000) * 8192).alias("_lx"),
+        (((F.col("c_custkey") * 104729) % 180000) * 4096).alias("_ly"),
+    ).select(
+        "c_custkey",
+        F.expr("_lx DIV 360000").alias("x13"),
+        F.expr("_ly DIV 180000").alias("y12"),
+    )
+    coded = grid.select(
+        "c_custkey", F.expr(_geohash_bits("DIV")).alias("g")
+    )
+    named = coded.select(
+        "c_custkey",
+        F.expr(_geohash_chars("DIV", "substring")).alias("geohash5"),
+    )
+    return (
+        named.groupBy(F.substring("geohash5", 1, 3).alias("cell3"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.countDistinct("geohash5").alias("n_cells5"),
+            F.min("c_custkey").alias("min_custkey"),
+            F.max("c_custkey").alias("max_custkey"),
+        )
+        .orderBy("cell3")
+    )

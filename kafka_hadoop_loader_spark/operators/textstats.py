@@ -700,3 +700,82 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+# --- Readability ----------------------------------------------------------
+# Flesch reading-ease over exact integer counts, shared expression: one
+# CAST per count, two divisions, fixed association — identical IEEE
+# arithmetic in both engines.  The literals parse to identical doubles.
+_FLESCH = (
+    "206.835E0 - 1.015E0 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))"
+    " - 84.6E0 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))"
+)
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+        WITH counts AS (
+            SELECT doc_id,
+                   GREATEST(CAST(len(regexp_split_to_array(text, '[.!?]+'))
+                                 - 1 AS BIGINT), 1) AS s,
+                   CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS w,
+                   GREATEST(CAST(len(regexp_split_to_array(lower(text),
+                                                           '[aeiouy]+'))
+                                 - 1 AS BIGINT), 1) AS syl
+            FROM documents
+        )
+        SELECT doc_id, s AS n_sentences, w AS n_words, syl AS n_syllables,
+               {_FLESCH} AS flesch,
+               206835 * s * w - 1015 * w * w - 84600 * syl * s
+                   >= 60000 * s * w AS easy_read
+        FROM counts
+        ORDER BY doc_id
+    """,
+    doc="""Flesch reading-ease scoring — the classic text-quality
+    heuristic a pretraining pipeline uses alongside stopword/length
+    gates: per document, sentence count (terminal-punctuation runs),
+    word count (tokenizer whitespace convention), a syllable proxy
+    (vowel-group runs — the standard dictionary-free estimator), the
+    Flesch score, and an 'easy read' verdict at the conventional 60
+    threshold.
+
+    Cross-engine exactness: all three counts are separator-run counts
+    via split-length (both engines keep empty fields, so parts - 1 IS
+    the match count; the regexes use no syntax that differs between
+    Java regex and RE2); the score is the shared _FLESCH expression;
+    the threshold verdict is cross-multiplied pure BIGINT — score
+    values ON the boundary cannot flip between engines.
+
+    Scale: map-only — three regex scans per row fused into one
+    projection, no shuffle at all until the output sort; composes with
+    quality_gate as one more conjunct at zero extra passes.""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id",
+        F.greatest(
+            (F.size(F.split("text", r"[.!?]+")) - 1).cast("bigint"), F.lit(1)
+        ).alias("s"),
+        F.size(F.split("text", " ")).cast("bigint").alias("w"),
+        F.greatest(
+            (F.size(F.split(F.lower(F.col("text")), "[aeiouy]+")) - 1).cast(
+                "bigint"
+            ),
+            F.lit(1),
+        ).alias("syl"),
+    )
+    return counts.select(
+        "doc_id",
+        F.col("s").alias("n_sentences"),
+        F.col("w").alias("n_words"),
+        F.col("syl").alias("n_syllables"),
+        F.expr(_FLESCH).alias("flesch"),
+        (
+            F.lit(206835) * F.col("s") * F.col("w")
+            - F.lit(1015) * F.col("w") * F.col("w")
+            - F.lit(84600) * F.col("syl") * F.col("s")
+            >= F.lit(60000) * F.col("s") * F.col("w")
+        ).alias("easy_read"),
+    ).orderBy("doc_id")
