@@ -387,14 +387,20 @@ def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Distribution drift ---------------------------------------------------
 # Chi-square contribution of one category, shared expression: dnum =
-# o*N_ref - n_ref*N_cur and dden = n_ref*N_cur*N_ref are exact BIGINTs
-# (|dnum| < 4e11, dden < 3e17 at sf0.1 — int64-safe), each cast ONCE to
-# double; the square and the division are then identical IEEE ops in
-# both engines.  n_ref = 0 (a category born after the split) is an
-# explicit CASE -> NULL, not an engine-specific inf.
+# o*N_ref - n_ref*N_cur is an exact BIGINT (two 2-factor products:
+# safe until per-half counts reach ~3e9, i.e. well past any single
+# ingest batch this audit runs on), cast ONCE to double.  The
+# denominator n_ref*N_cur*N_ref is a THREE-factor product that would
+# overflow int64 once per-half counts reach ~2M, so it is computed in
+# DOUBLE from the start (one cast per count, identical multiply order
+# in both engines — the division result is then the same IEEE value).
+# n_ref = 0 (a category born after the split) is an explicit
+# CASE -> NULL, not an engine-specific inf.
 _CHI2 = (
     "CASE WHEN n_ref = 0 THEN NULL ELSE "
-    "(CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE)) / CAST(dden AS DOUBLE) "
+    "(CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE)) / "
+    "(CAST(n_ref AS DOUBLE) * CAST(ncur_total AS DOUBLE)"
+    " * CAST(nref_total AS DOUBLE)) "
     "END"
 )
 
@@ -423,8 +429,7 @@ _CHI2 = (
         ),
         d AS (
             SELECT event_type, n_ref, n_cur, nref_total, ncur_total,
-                   n_cur * nref_total - n_ref * ncur_total AS dnum,
-                   n_ref * ncur_total * nref_total AS dden
+                   n_cur * nref_total - n_ref * ncur_total AS dnum
             FROM g CROSS JOIN tot
         )
         SELECT event_type, n_ref, n_cur,
@@ -486,9 +491,6 @@ def drift_category_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cur") * F.col("nref_total")
             - F.col("n_ref") * F.col("ncur_total")
         ).alias("dnum"),
-        (F.col("n_ref") * F.col("ncur_total") * F.col("nref_total")).alias(
-            "dden"
-        ),
     )
     return d.select(
         "event_type",

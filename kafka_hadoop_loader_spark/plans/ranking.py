@@ -59,9 +59,12 @@ def bounded_window_key(col: Column | str) -> Column:
     foldable, so the single partition is DECLARED — WindowExec skips
     its "No Partition Defined" warning path, and the plan auditor
     (tools/plan_report.py) can tell deliberate bounded-input windows
-    from accidental whole-table ones.  ``col`` must be numeric."""
+    from accidental whole-table ones.  ``col`` must be numeric; NULLs
+    are coalesced to 0 first — ``pmod(NULL, 1)`` is NULL, which would
+    silently split the declared single partition into two (0 and NULL)
+    and break the global order the window was declaring."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.pmod(c, F.lit(1))
+    return F.pmod(F.coalesce(c, F.lit(0)), F.lit(1))
 
 
 # Internal column names (dropped before returning).
@@ -153,8 +156,20 @@ def two_phase_rank(
     bnds = df.agg(F.percentile_approx(p, qs, 100).alias("_sg_bnds"))
     src = df.crossJoin(F.broadcast(bnds))
     passed = (lambda b: b > p) if descending else (lambda b: b < p)
+    # NULL keys: the filter lambda is NULL for a NULL ``primary``, which
+    # would silently land every NULL row in bucket 0 — the FIRST bucket,
+    # i.e. the largest-values bucket under ``descending`` — while the
+    # global ``Window.orderBy`` this helper is bit-parity with sorts
+    # NULLs FIRST ascending / LAST descending (Spark default).  Route
+    # NULLs to the matching extreme bucket explicitly; the within-bucket
+    # window then places them first/last inside that bucket, preserving
+    # the global NULL ordering.
+    null_bucket = F.lit(n_buckets - 1 if descending else 0).cast("int")
     bucketed = src.withColumn(
-        _BKT, F.size(F.filter("_sg_bnds", passed)).cast("int")
+        _BKT,
+        F.when(p.isNull(), null_bucket).otherwise(
+            F.size(F.filter("_sg_bnds", passed)).cast("int")
+        ),
     ).drop("_sg_bnds")
 
     # Phase 1: local ranks within each value bucket.

@@ -60,87 +60,47 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # FRONT of the returned mapping each round, so every query accumulates
 # a driver-green CORRECTNESS row over successive rounds.
 #
-# Round 5 priority (exactly 50 entries; after r4 the cumulative
-# driver-green set is 189/248 with 0 red, leaving 59 never-tested —
-# computed by diffing CORRECTNESS_r0{1..4}.json keys against the
-# registry).  Ordering per the round-4 verdict:
-# 1. the 15 round-4 operators (highest novelty risk: graph CC/LPA,
-#    t-digest, KN-LM, XML, pipe syntax, ANN audit);
-# 2. 35 of the 44-name recorded queue, in queue order, explicitly
-#    keeping the three round-2 stragglers the verdict called out
-#    (text_gini_diversity, agg_bitmap_presence, sample_reservoir_group)
-#    and events_peak_concurrency (rewritten onto the two-phase
-#    distributed rank this round — its driver row proves the rewrite).
-# The 9 spilled names (events/orders §2.BB satellites only) are listed
-# in the round-6 queue below.  Pure presentation order — names, fns,
-# and oracles are unchanged.
+# Round 6 priority (after r5 the cumulative driver-green set is
+# 239/258 with 0 red ever — computed by diffing CORRECTNESS_r0{1..5}.json
+# keys against the registry; tests/test_driver_window.py mechanizes the
+# check).  Exactly the 19 never-driver-tested names remain, ordered:
+# 1. the 5 round-5 SURVEY §2 operators (highest novelty risk);
+# 2. the 5 final-commit extras (ml/quality/spatial/textstats);
+# 3. the 9 events/orders §2.BB satellites that spilled past the
+#    round-5 window.
+# New round-6 operators are PREPENDED above this block as they land so
+# they reach the driver in the same round they are written.  Pure
+# presentation order — names, fns, and oracles are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- 1. the 15 round-4 operators --
-    "graph_connected_components",
-    "text_perplexity_proxy",
-    "ann_recall_audit",
-    "sample_hard_negatives",
-    "quantiles_tdigest",
-    "dedup_semantic_prune",
-    "regr_normal_equations",
-    "sql_pipe_syntax",
-    "window_session_native",
-    "udf_arrow_optimized",
-    "scan_xml",
-    "phrase_search",
-    "text_bigram_kneser_ney",
-    "graph_label_propagation",
-    "dedup_clusters_star",
-    # -- 2. the recorded round-5 queue (35 of 44, queue order) --
-    "agg_bitmap_presence",
-    "agg_share_reused_exchange",
-    "agg_filtered_bool",
-    "agg_grouping_id",
-    "orders_basket_size_dist",
-    "nation_trade_balance",
-    "sample_reservoir_group",
-    "pipeline_funnel",
-    "sample_weighted_priority",
-    "curriculum_order",
-    "pack_padding_waste",
-    "skew_profile",
-    "interval_overlap_join",
-    "observe_metrics_audit",
-    "schema_contract_check",
-    "fn_struct_bitwise",
-    "fn_array_setops",
-    "doc_sparse_cosine",
-    "embedding_quantize_int8",
-    "stats_mad_robust",
-    "stats_winsorize",
-    "basket_part_affinity",
-    "supplier_lead_time",
-    "quantiles_interpolated",
-    "orders_rfm_segments",
-    "supplier_concentration_hhi",
-    "events_bot_regularity",
-    "text_gini_diversity",
-    "text_hapax_ratio",
-    "cumulative_distinct_users",
-    "ts_similarity_search",
-    "events_user_lifetime",
-    "events_pipeline_report",
-    "events_activity_islands",
-    "events_peak_concurrency",
+    # -- 1. round-5 SURVEY §2 operators --
+    "rank_distributed",
+    "join_fuzzy_blocked",
+    "k_anonymity_suppress",
+    "hilbert_layout",
+    "ann_matryoshka_recall",
+    # -- 2. round-5 final-commit extras --
+    "ml_naive_bayes",
+    "ml_gini_split",
+    "drift_category_chi2",
+    "spatial_geohash",
+    "text_readability",
+    # -- 3. events/orders satellites spilled from the round-5 window --
+    "events_markov_transitions",
+    "events_time_weighted_avg",
+    "orders_cohort_revenue",
+    "events_dau_wau_mau",
+    "events_seasonality_profile",
+    "events_longest_streak",
+    "events_type_diversity",
+    "events_new_vs_returning",
+    "orders_reorder_cycle",
 )
 
-# Round-6 rotation queue (the 9 events/orders satellite names that
-# spilled past round-5's 50-entry window, plus operators newly added in
-# round 5; recompute by diffing CORRECTNESS_r0{1..5}.json keys against
-# the registry at round-6 start — any r5 misses get re-promoted first,
-# then:
-#   events_markov_transitions events_time_weighted_avg
-#   orders_cohort_revenue events_dau_wau_mau events_seasonality_profile
-#   events_longest_streak events_type_diversity events_new_vs_returning
-#   orders_reorder_cycle
-# round-5 additions (never driver-tested): rank_distributed
-#   join_fuzzy_blocked k_anonymity_suppress ann_matryoshka_recall
-#   hilbert_layout
+# Round-7 rotation queue: EMPTY as of round-6 start — every registered
+# query either has a driver-green row (239) or sits in the window above
+# (19).  Operators added during round 6 must be prepended to the window
+# in the same commit that registers them; recompute the pending set by
+# diffing CORRECTNESS_r0{1..6}.json keys against the registry.
 
 
 def load_all() -> dict[str, Query]:

@@ -16,10 +16,29 @@ from __future__ import annotations
 import glob
 import json
 import os
+import subprocess
 
 from kafka_hadoop_loader_spark import registry
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _correctness_files() -> list[str]:
+    """Committed CORRECTNESS artifacts only.
+
+    The driver drops ``CORRECTNESS_r{N}.json`` into the working tree at
+    round end, BEFORE the builder has a chance to rotate the window — so
+    an untracked artifact must not redden an otherwise-correct tree.
+    The contract is: the rotation happens in the same commit that tracks
+    the artifact.  Fall back to all files if git is unavailable."""
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "ls-files", "CORRECTNESS_r0*.json"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.split()
+        return [os.path.join(REPO, p) for p in out]
+    except (OSError, subprocess.SubprocessError):
+        return glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))
 
 # Names allowed in the window despite an existing green row (deliberate
 # re-verification after a behavior change).  Keep empty unless needed.
@@ -33,7 +52,7 @@ def _driver_green() -> set[str]:
     requires re-promoting it, so it must stay eligible for the
     window."""
     green: set[str] = set()
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json")):
+    for path in _correctness_files():
         try:
             rows = json.load(open(path))
         except (OSError, json.JSONDecodeError):

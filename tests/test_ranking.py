@@ -103,3 +103,49 @@ def test_bounded_window_key_not_folded(spark):
 def test_requires_a_rank_request(data):
     with pytest.raises(ValueError):
         two_phase_rank(data, "v", [F.col("v")])
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_null_primary_matches_spark_null_ordering(spark, descending):
+    """NULL primary keys must land where the global window puts them:
+    FIRST ascending / LAST descending (Spark's default null ordering).
+    Regression for the bucket-0 misroute under descending=True."""
+    rng = random.Random(7)
+    rows = [
+        (i, None if i % 9 == 0 else rng.randint(-50, 50), rng.randint(-5, 5))
+        for i in range(400)
+    ]
+    data = spark.createDataFrame(rows, "id long, v long, delta long").repartition(7)
+    order = [F.col("v").desc() if descending else F.col("v").asc(), F.col("id")]
+    w = Window.orderBy(*order)
+    expected = data.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(6).over(w).cast("long").alias("nt"),
+        F.sum("delta")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("ps"),
+    )
+    got = two_phase_rank(
+        data,
+        "v",
+        order,
+        descending=descending,
+        row_number_col="rn",
+        ntile=("nt", 6),
+        prefix_sum=("ps", "delta"),
+        n_buckets=8,
+    ).select("id", "rn", "nt", "ps")
+    j = expected.alias("e").join(got.alias("g"), "id")
+    assert j.count() == 400
+    assert (
+        j.filter("e.rn != g.rn OR e.nt != g.nt OR e.ps != g.ps").count() == 0
+    )
+
+
+def test_bounded_window_key_null_safe(spark):
+    """A NULL in the chosen column must not split the declared single
+    partition (pmod(NULL, 1) is NULL)."""
+    df = spark.createDataFrame([(1,), (None,), (3,)], "k int")
+    vals = df.select(bounded_window_key("k").alias("b")).distinct().collect()
+    assert {r["b"] for r in vals} == {0}
