@@ -344,7 +344,8 @@ def _minhash_pairs(d: DataFrame, sf_dir: str) -> DataFrame:
             FROM cc GROUP BY cluster_id
         )
         SELECT cc.doc_id, cc.cluster_id, sizes.cluster_size,
-               (cc.doc_id = cc.cluster_id) AS is_canonical
+               (cc.doc_id = cc.cluster_id) AS is_canonical,
+               TRUE AS converged
         FROM cc JOIN sizes USING (cluster_id)
         ORDER BY cc.doc_id
     """,
@@ -394,6 +395,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id",
             "cluster_size",
             (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+            "converged",
         )
         .orderBy("doc_id")
     )
@@ -1300,18 +1302,23 @@ _STAR_ROUNDS = 4  # doc near-dup graphs are tiny cliques/chains:
 
 
 def _star_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id) for every document: exact connected
-    components of the verified MinHash pair graph via action-free
-    star contraction; singletons label themselves.  Shared by
-    dedup_clusters (memoized) and dedup_clusters_star (pure-lazy)."""
-    from kafka_hadoop_loader_spark.operators.graph import star_contract
+    """(doc_id, cluster_id, converged) for every document: exact
+    connected components of the verified MinHash pair graph via
+    action-free star contraction; singletons label themselves.
+    ``converged`` is the in-plan convergence certificate (one extra
+    round, labels compared — graph.star_contract_certified), a single
+    broadcast constant per run.  Shared by dedup_clusters (memoized)
+    and dedup_clusters_star (pure-lazy)."""
+    from kafka_hadoop_loader_spark.operators.graph import (
+        star_contract_certified,
+    )
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     pairs = _minhash_pairs(d, sf_dir)
     edges = pairs.select(
         F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
     )
-    labels = star_contract(edges, _STAR_ROUNDS)
+    labels, cert = star_contract_certified(edges, _STAR_ROUNDS)
     return (
         d.select("doc_id")
         .join(labels, d.doc_id == labels.node, "left")
@@ -1319,6 +1326,7 @@ def _star_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
         )
+        .crossJoin(F.broadcast(cert))
     )
 
 
@@ -1358,6 +1366,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id",
             "cluster_size",
             (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+            "converged",
         )
         .orderBy("doc_id")
     )

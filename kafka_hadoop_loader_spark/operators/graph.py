@@ -530,6 +530,42 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _star_round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star phase over canonical (u < v) pairs,
+    ending in a LAZY localCheckpoint lineage cut (no action)."""
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # large star: m = min(N(u) ∪ {u}); emit (m, v) for v > u
+    ls = (
+        sym.withColumn(
+            "m",
+            F.least(F.min("v").over(Window.partitionBy("u")), F.col("u")),
+        )
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("u"), "v")
+        .distinct()
+    )
+    # small star over canonical (u < v): group by the high node v,
+    # m = min(low neighbors); emit (m, x) for x in N(v) ∪ {v}, x ≠ m
+    return (
+        ls.withColumn("m", F.min("u").over(Window.partitionBy("v")))
+        .select("m", F.explode(F.array(F.col("u"), F.col("v"))).alias("x"))
+        .where(F.col("x") != F.col("m"))
+        .select(F.col("m").alias("u"), F.col("x").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def _star_labels(e: DataFrame) -> DataFrame:
+    """(node, comp) labels from a contracted edge set."""
+    return (
+        e.select(F.col("v").alias("node"), F.col("u").alias("comp"))
+        .unionAll(e.select(F.col("u").alias("node"), F.col("u").alias("comp")))
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+    )
+
+
 def star_contract(edges: DataFrame, rounds: int) -> DataFrame:
     """Alternating large-star/small-star contraction over canonical
     (u < v) edge pairs; returns (node, comp) labels for every node
@@ -544,33 +580,45 @@ def star_contract(edges: DataFrame, rounds: int) -> DataFrame:
     lineage re-executes round i 2^(rounds-i) times."""
     e = edges.localCheckpoint(eager=False)
     for _ in range(rounds):
-        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        # large star: m = min(N(u) ∪ {u}); emit (m, v) for v > u
-        ls = (
-            sym.withColumn(
-                "m",
-                F.least(F.min("v").over(Window.partitionBy("u")), F.col("u")),
-            )
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("m").alias("u"), "v")
-            .distinct()
+        e = _star_round(e)
+    return _star_labels(e)
+
+
+def star_contract_certified(
+    edges: DataFrame, rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """``star_contract`` plus an IN-PLAN convergence certificate.
+
+    The fixed round counts (_CC_ROUNDS, dedup's _STAR_ROUNDS) are
+    fixpoint+headroom on every fixture, but graph diameters grow with
+    the data — at 100 TB a fixture-fit constant is an assumption, not
+    a proof.  This variant runs ONE extra round and compares the label
+    sets before/after in the same lazy plan: returns ``(labels,
+    cert)`` where ``cert`` is a 1-row DataFrame with a single
+    ``converged`` boolean — true iff zero labels (and zero nodes)
+    change in round ``rounds+1``, i.e. the edge set had already
+    reached its star fixpoint.  Consumers cross-join the broadcast
+    certificate onto their output, so an insufficient round count
+    turns into ``converged = false`` — a value-level mismatch against
+    the oracle's ``TRUE`` — instead of silently identical-but-wrong
+    labels on both sides.  Still zero driver-side actions; cost is one
+    extra round over an at-fixpoint (hence tiny) edge set."""
+    e = edges.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        e = _star_round(e)
+    labels = _star_labels(e).localCheckpoint(eager=False)
+    after = _star_labels(_star_round(e))
+    cert = (
+        labels.alias("a")
+        .join(after.alias("b"), F.col("a.node") == F.col("b.node"), "full")
+        .select(
+            F.when(F.col("a.comp").eqNullSafe(F.col("b.comp")), 0)
+            .otherwise(1)
+            .alias("d")
         )
-        # small star over canonical (u < v): group by the high node v,
-        # m = min(low neighbors); emit (m, x) for x in N(v) ∪ {v}, x ≠ m
-        e = (
-            ls.withColumn("m", F.min("u").over(Window.partitionBy("v")))
-            .select("m", F.explode(F.array(F.col("u"), F.col("v"))).alias("x"))
-            .where(F.col("x") != F.col("m"))
-            .select(F.col("m").alias("u"), F.col("x").alias("v"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-    return (
-        e.select(F.col("v").alias("node"), F.col("u").alias("comp"))
-        .unionAll(e.select(F.col("u").alias("node"), F.col("u").alias("comp")))
-        .groupBy("node")
-        .agg(F.min("comp").alias("comp"))
+        .agg((F.coalesce(F.sum("d"), F.lit(0)) == 0).alias("converged"))
     )
+    return labels, cert
 
 
 @register(
@@ -589,7 +637,8 @@ def star_contract(edges: DataFrame, rounds: int) -> DataFrame:
             SELECT comp, CAST(COUNT(*) AS BIGINT) AS comp_size
             FROM labels GROUP BY comp
         )
-        SELECT l.node AS part_id, l.comp AS component_id, s.comp_size
+        SELECT l.node AS part_id, l.comp AS component_id, s.comp_size,
+               TRUE AS converged
         FROM labels l JOIN sizes s ON l.comp = s.comp
         ORDER BY part_id
     """,
@@ -605,7 +654,12 @@ def star_contract(edges: DataFrame, rounds: int) -> DataFrame:
     scale upgrade).  _CC_ROUNDS = 6 is fixpoint+1 on every fixture
     (measured; pytest asserts equality with union-find ground truth),
     and the oracle unrolls the identical 6 rounds, so the result is
-    exact by construction.
+    exact by construction.  Since round 6 the output also carries a
+    per-run CONVERGENCE CERTIFICATE (star_contract_certified): one
+    extra in-plan round, labels compared before/after, so a graph
+    whose diameter outgrows the fixed round count yields
+    converged=false — a hash mismatch against the oracle's TRUE —
+    instead of two engines agreeing on identically unconverged labels.
 
     Plan shape: the Python loop appends (union, window-min, distinct)
     x 6 to ONE lazy plan — no driver action inside the loop.  Each
@@ -627,7 +681,9 @@ def star_contract(edges: DataFrame, rounds: int) -> DataFrame:
     on a node id; edge rows only ever shrink.""",
 )
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    labels = star_contract(_copurchase_edges(spark, sf_dir), _CC_ROUNDS)
+    labels, cert = star_contract_certified(
+        _copurchase_edges(spark, sf_dir), _CC_ROUNDS
+    )
     sizes = labels.groupBy("comp").agg(F.count("*").alias("comp_size"))
     return (
         labels.join(sizes, "comp")
@@ -636,6 +692,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("comp").alias("component_id"),
             "comp_size",
         )
+        .crossJoin(F.broadcast(cert))
         .orderBy("part_id")
     )
 

@@ -72,6 +72,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # they reach the driver in the same round they are written.  Pure
 # presentation order — names, fns, and oracles are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- 0. round-6 re-verification: convergence certificate added to
+    # the star-contraction consumers (schema + oracle changed, so the
+    # prior green rows no longer describe them; tests/test_driver_window
+    # lists these in _REVERIFY_OK) --
+    "graph_connected_components",
+    "dedup_clusters",
+    "dedup_clusters_star",
     # -- 1. round-5 SURVEY §2 operators --
     "rank_distributed",
     "join_fuzzy_blocked",
