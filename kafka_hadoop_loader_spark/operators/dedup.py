@@ -1380,3 +1380,138 @@ from kafka_hadoop_loader_spark.registry import REGISTRY as _REG  # noqa: E402
 _REG["dedup_clusters_star"] = _dc.replace(
     _REG["dedup_clusters_star"], oracle=_REG["dedup_clusters"].oracle
 )
+
+
+# --- Cross-split leakage: near-dups that cross train/val/test ----------
+
+_SPLIT_CASE_SQL = """CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END"""
+_SPLIT_RANK_SQL = "CASE WHEN bucket < 80 THEN 0 WHEN bucket < 90 THEN 1 ELSE 2 END"
+
+
+@register(
+    "dedup_cross_split_leakage",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in generate_series(1, len(w) - 2)]) AS s
+            FROM t WHERE len(w) >= 3
+        ),
+        pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5
+        ),
+        sp AS (
+            SELECT doc_id, {split} AS split, {rank} AS rk FROM (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('split:'
+                            || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 100 AS bucket
+                FROM documents
+            )
+        ),
+        lab AS (
+            SELECT CASE WHEN x.rk <= y.rk THEN x.split ELSE y.split END
+                       AS split_from,
+                   CASE WHEN x.rk <= y.rk THEN y.split ELSE x.split END
+                       AS split_to,
+                   CASE WHEN x.rk < y.rk THEN p.db
+                        WHEN x.rk > y.rk THEN p.da
+                        ELSE NULL END AS hi_doc
+            FROM pairs p
+            JOIN sp x ON p.da = x.doc_id
+            JOIN sp y ON p.db = y.doc_id
+        )
+        SELECT split_from, split_to, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CASE WHEN split_from = split_to THEN NULL
+                    ELSE CAST(COUNT(DISTINCT hi_doc) AS BIGINT)
+               END AS leaked_eval_docs
+        FROM lab
+        GROUP BY split_from, split_to
+        ORDER BY split_from, split_to
+    """.format(split=_SPLIT_CASE_SQL, rank=_SPLIT_RANK_SQL),
+    doc="""Train/eval contamination audit at the NEAR-DUPLICATE level:
+    the evaluation-integrity check a training pipeline runs after
+    splitting — decontaminate_ngram catches verbatim n-gram overlap,
+    but a paraphrased or lightly-edited eval document (Jaccard >= 0.5)
+    leaks signal that exact matching misses.  Near-dup pairs come from
+    the SAME verified MinHash-LSH cascade as dedup_minhash_lsh
+    (_minhash_pairs, memoized build-once/serve-many) and split
+    membership from the SAME salted portable hash as
+    sample_hash_split — the audit composes the two registered
+    conventions, so it can never drift from either.  Output: per
+    (split_from, split_to) pair class (ordered train < val < test),
+    the number of near-dup pairs and — for cross-split classes — the
+    count of distinct HIGHER-split documents contaminated (a val/test
+    doc with a train near-dup must be dropped from eval; within-split
+    rows report NULL, those are dedup_clusters' business).
+
+    Scale: the pair list is LSH-banded (never all-pairs); the two
+    split joins are narrow hash joins on doc_id; the final aggregate
+    is at most 6 rows.  At 100 TB the split table rides along the
+    existing dedup shuffle — the audit is ~free on top of the dedup
+    pass the pipeline already runs.""",
+)
+def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.operators.pipeline import _phash
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    bucket = (
+        _phash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    )
+    rk = (
+        F.when(bucket < 80, 0).when(bucket < 90, 1).otherwise(2)
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    sp = d.select("doc_id", split.alias("split"), rk.alias("rk"))
+    pairs = _minhash_pairs(d, sf_dir).select("doc_id_a", "doc_id_b")
+    x = sp.select(
+        F.col("doc_id").alias("da"),
+        F.col("split").alias("sa"),
+        F.col("rk").alias("ra"),
+    )
+    y = sp.select(
+        F.col("doc_id").alias("db"),
+        F.col("split").alias("sb"),
+        F.col("rk").alias("rb"),
+    )
+    lab = (
+        pairs.join(x, pairs.doc_id_a == x.da)
+        .join(y, pairs.doc_id_b == y.db)
+        .select(
+            F.when(F.col("ra") <= F.col("rb"), F.col("sa"))
+            .otherwise(F.col("sb"))
+            .alias("split_from"),
+            F.when(F.col("ra") <= F.col("rb"), F.col("sb"))
+            .otherwise(F.col("sa"))
+            .alias("split_to"),
+            F.when(F.col("ra") < F.col("rb"), F.col("db"))
+            .when(F.col("ra") > F.col("rb"), F.col("da"))
+            .alias("hi_doc"),
+        )
+    )
+    return (
+        lab.groupBy("split_from", "split_to")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("hi_doc").cast("bigint").alias("_ld"),
+        )
+        .select(
+            "split_from",
+            "split_to",
+            "n_pairs",
+            F.when(
+                F.col("split_from") != F.col("split_to"), F.col("_ld")
+            ).alias("leaked_eval_docs"),
+        )
+        .orderBy("split_from", "split_to")
+    )

@@ -773,3 +773,95 @@ def ml_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .orderBy("feature", "rnk")
     )
+
+
+# --- Leave-one-out target encoding -------------------------------------
+
+_TE_M = 20.0  # smoothing pseudo-count
+
+
+@register(
+    "feature_target_encoding",
+    oracle=f"""
+        WITH base AS (
+            SELECT o.o_orderkey, c.c_mktsegment AS segment,
+                   CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        seg AS (
+            SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS s
+            FROM base GROUP BY segment
+        ),
+        g AS (
+            SELECT CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS prior
+            FROM base
+        )
+        SELECT b.o_orderkey, b.segment, b.y,
+               (CAST(seg.s - b.y AS DOUBLE) + {_TE_M} * g.prior)
+                   / (CAST(seg.n - 1 AS DOUBLE) + {_TE_M}) AS loo_enc
+        FROM base b JOIN seg ON b.segment = seg.segment CROSS JOIN g
+        ORDER BY b.o_orderkey
+    """,
+    doc=f"""Leave-one-out target encoding with additive smoothing — the
+    categorical-feature workhorse of tabular ML pipelines (each row's
+    category is replaced by the target mean of the OTHER rows in its
+    category, shrunk toward the global prior by {_TE_M:.0f}
+    pseudo-counts so rare categories don't memorize their own label):
+    encode customer market segment against a binary urgent-order
+    target.  Subtracting the row's own label before dividing is what
+    prevents the target leak naive mean-encoding commits.
+
+    Determinism: sums/counts are exact BIGINTs; the encoded value is a
+    fixed-shape IEEE expression over them (one cast per aggregate, one
+    multiply, one divide) — bit-identical in both engines.
+
+    Scale: one hash aggregate at category grain, a broadcast of the
+    (tiny) category stats back onto the fact rows, and a 1-row prior
+    broadcast — a single shuffle of the fact table at any size, the
+    same shape MLlib's own target encoder produces.  High-cardinality
+    categories (user id) just make the stats table bigger; the plan is
+    unchanged and never quadratic.""",
+)
+def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    seg = base.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    g = base.agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "prior"
+        )
+    )
+    return (
+        base.join(F.broadcast(seg), "segment")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_orderkey",
+            "segment",
+            "y",
+            (
+                (
+                    (F.col("s") - F.col("y")).cast("double")
+                    + F.lit(_TE_M) * F.col("prior")
+                )
+                / ((F.col("n") - 1).cast("double") + F.lit(_TE_M))
+            ).alias("loo_enc"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -458,11 +458,13 @@ _FOLD_DOT = (
     "for i in generate_series(1, len({a}))]), (x, y) -> x + y)"
 )
 
-
-@register(
-    "knn_cosine_ivf",
-    oracle=f"""
-        WITH pos AS (
+# Shared IVF coarse-assignment CTE chain (pos -> cent -> cvec -> cnorm
+# -> vecs -> ranked): factored out so knn_cosine_ivf and
+# ann_ivf_probe_frontier replay the IDENTICAL codebook + assignment —
+# the fragment-level form of ann_recall_audit's compose-the-oracles
+# lockstep trick.
+_IVF_ASSIGN_SQL = f"""
+        pos AS (
             SELECT label, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS v
             FROM embeddings,
                  unnest(generate_series(1, len(embedding))) AS u(i)
@@ -496,7 +498,65 @@ _FOLD_DOT = (
                            / (v.nrm * c.cnrm) AS sim
                 FROM vecs v CROSS JOIN cnorm c
             )
-        ),
+        )
+"""
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, embedding, nrm, cell, sim, rk): every vector's
+    cosine to every centroid, ranked per vector — the IVF codebook +
+    assignment table, memoized per (site, sf_dir) and shared by
+    knn_cosine_ivf and ann_ivf_probe_frontier (build once, serve
+    many).  The Spark mirror of _IVF_ASSIGN_SQL."""
+    from pyspark.sql import Window
+
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    e = F.col("embedding")
+    with_norm = emb.select(
+        "vec_id", "label", "embedding", F.sqrt(dot(e, e)).alias("nrm")
+    )
+
+    # coarse quantizer: per-label mean vectors (offline-k-means stand-in);
+    # exact scaled-BIGINT averages so the codebook is order-independent
+    # (and the DuckDB oracle can rebuild it bit-for-bit)
+    pos = emb.select("label", F.posexplode("embedding").alias("d", "v"))
+    cent = (
+        pos.groupBy("label", "d")
+        .agg(exact_avg(F.col("v").cast("double"), _CENT_SCALE).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("dc", lambda s: s.getField("c")).alias("centroid"),
+        )
+        .select(
+            "cell",
+            "centroid",
+            F.sqrt(dot(F.col("centroid"), F.col("centroid"))).alias("cnrm"),
+        )
+    )
+
+    # assignment: one dot-fold per (vector, cell); norms precomputed
+    sim = dot(F.col("embedding"), F.col("centroid")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    asg_w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cell")
+    )
+    assign = (
+        with_norm.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "label", "embedding", "nrm", "cell", sim.alias("sim")
+        )
+        .withColumn("rk", F.row_number().over(asg_w))
+    )
+    return managed_persist(f"knn_ivf:assign:{sf_dir}", assign)
+
+
+@register(
+    "knn_cosine_ivf",
+    oracle=f"""
+        WITH {_IVF_ASSIGN_SQL.strip()},
         home AS (
             SELECT vec_id AS neighbor_id, label AS neighbor_label,
                    embedding AS c_emb, nrm AS c_nrm, cell
@@ -543,39 +603,7 @@ _FOLD_DOT = (
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    e = F.col("embedding")
-    with_norm = emb.select(
-        "vec_id", "label", "embedding", F.sqrt(dot(e, e)).alias("nrm")
-    )
-
-    # coarse quantizer: per-label mean vectors (offline-k-means stand-in);
-    # exact scaled-BIGINT averages so the codebook is order-independent
-    # (and the DuckDB oracle can rebuild it bit-for-bit)
-    pos = emb.select("label", F.posexplode("embedding").alias("d", "v"))
-    cent = (
-        pos.groupBy("label", "d")
-        .agg(exact_avg(F.col("v").cast("double"), _CENT_SCALE).alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("dc", lambda s: s.getField("c")).alias("centroid"),
-        )
-        .select(
-            "cell", "centroid", F.sqrt(dot(F.col("centroid"), F.col("centroid"))).alias("cnrm")
-        )
-    )
-
-    # assignment: one dot-fold per (vector, cell); norms precomputed
-    sim = dot(F.col("embedding"), F.col("centroid")) / (F.col("nrm") * F.col("cnrm"))
-    asg_w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
-    assign = (
-        with_norm.crossJoin(F.broadcast(cent))
-        .select("vec_id", "label", "embedding", "nrm", "cell", sim.alias("sim"))
-        .withColumn("rk", F.row_number().over(asg_w))
-    )
-    assign = managed_persist(f"knn_ivf:assign:{sf_dir}", assign)
+    assign = _ivf_assign(spark, sf_dir)
     nprobe = 3
     home = assign.where(F.col("rk") == 1)
     probes = assign.where((F.col("rk") <= nprobe) & (F.col("vec_id") < N_QUERIES)).select(
@@ -1310,3 +1338,193 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- IVF build frontier: cost vs recall across probe depths -------------
+
+_FRONTIER_NPROBES = (1, 2, 3, 5)
+_FRONTIER_MAXP = max(_FRONTIER_NPROBES)
+
+
+@register(
+    "ann_ivf_probe_frontier",
+    # Oracle composed from the SHARED assignment fragment
+    # (_IVF_ASSIGN_SQL — the same CTE chain knn_cosine_ivf replays) and
+    # the already-registered brute-force oracle, so the frontier stays
+    # in lockstep with both the index it measures and the ground truth
+    # it scores against ({bf} is late-bound below).
+    oracle=f"""
+        WITH {_IVF_ASSIGN_SQL.strip()},
+        fhome AS (
+            SELECT vec_id AS neighbor_id, embedding AS c_emb,
+                   nrm AS c_nrm, cell
+            FROM ranked WHERE rk = 1
+        ),
+        fprobes AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+                   cell, rk AS probe_rk
+            FROM ranked WHERE rk <= {_FRONTIER_MAXP} AND vec_id < {N_QUERIES}
+        ),
+        fcand AS (
+            SELECT p.query_id, h.neighbor_id, p.probe_rk,
+                   {_FOLD_DOT.format(a="p.q_emb", b="h.c_emb")}
+                       / (p.q_nrm * h.c_nrm) AS cos_sim
+            FROM fprobes p JOIN fhome h USING (cell)
+            WHERE p.query_id <> h.neighbor_id
+        ),
+        nps(nprobe) AS (VALUES {", ".join(f"({n})" for n in _FRONTIER_NPROBES)}),
+        sel AS (
+            SELECT n.nprobe, c.query_id, c.neighbor_id, c.cos_sim
+            FROM fcand c JOIN nps n ON c.probe_rk <= n.nprobe
+        ),
+        topk AS (
+            SELECT nprobe, query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY nprobe, query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rnk
+                FROM sel
+            ) WHERE rnk <= {K}
+        ),
+        exact AS ({{bf}}),
+        hits AS (
+            SELECT t.nprobe, CAST(COUNT(e.neighbor_id) AS BIGINT) AS total_hits
+            FROM topk t LEFT JOIN exact e
+              ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+            GROUP BY t.nprobe
+        ),
+        scanned AS (
+            SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS scanned_rows
+            FROM sel GROUP BY nprobe
+        ),
+        nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vec FROM embeddings)
+        SELECT s.nprobe, s.scanned_rows,
+               CAST(s.scanned_rows AS DOUBLE)
+                   / (CAST({N_QUERIES} AS DOUBLE) * CAST(nv.n_vec AS DOUBLE))
+                   AS scanned_frac,
+               COALESCE(h.total_hits, CAST(0 AS BIGINT)) AS total_hits,
+               CAST(COALESCE(h.total_hits, CAST(0 AS BIGINT)) AS DOUBLE)
+                   / CAST({K * N_QUERIES} AS DOUBLE) AS recall_at_k
+        FROM scanned s LEFT JOIN hits h ON s.nprobe = h.nprobe CROSS JOIN nv
+        ORDER BY s.nprobe
+    """,
+    doc=f"""IVF index-tuning frontier: recall@{K} versus fraction of the
+    corpus scanned, at probe depths nprobe = {_FRONTIER_NPROBES} — the
+    cost/recall curve an ANN deployment reads to pick its operating
+    point (the FAISS-style "probe more cells, scan more lists, recall
+    rises" trade made queryable, next to ann_recall_audit's
+    fixed-parameter acceptance gate).
+
+    One candidate pass serves every probe depth: candidates are
+    generated ONCE at the maximum nprobe with the probe rank that
+    produced each (query, neighbor) pair (a neighbor lives in exactly
+    one home cell, so the pair's probe_rk is unique), then each depth
+    is a filter probe_rk <= nprobe over the same exchange — the
+    matryoshka-recall trick applied to index tuning.  Recall is scored
+    against the registered brute-force top-{K}; the oracle nests the
+    shared assignment fragment and the brute-force oracle as CTEs, so
+    the frontier can never drift from the index or the ground truth.
+
+    Scale: reuses knn_cosine_ivf's memoized assignment (build once,
+    serve many); the per-depth work is a broadcast of {N_QUERIES}
+    queries' probe lists against cell-bucketed posting lists — never
+    all-pairs — and the final aggregate is {len(_FRONTIER_NPROBES)}
+    rows.  At 10^9 vectors the same query runs on a sampled query set
+    and the conclusion (the knee of the curve) transfers.""",
+)
+def ann_ivf_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    assign = _ivf_assign(spark, sf_dir)
+    home = assign.where(F.col("rk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        "cell",
+    )
+    probes = assign.where(
+        (F.col("rk") <= _FRONTIER_MAXP) & (F.col("vec_id") < N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "cell",
+        F.col("rk").alias("probe_rk"),
+    )
+    pair_cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    cand = (
+        probes.join(home, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "probe_rk", pair_cos.alias("cos_sim"))
+        # read twice below (topk + scanned); the probe/home exchanges are
+        # memoized via _ivf_assign and reused, and a lazy localCheckpoint
+        # here would cost a build-time job (no-action-at-construction)
+    )
+    nps = spark.createDataFrame(
+        [(n,) for n in _FRONTIER_NPROBES], "nprobe int"
+    )
+    sel = cand.crossJoin(F.broadcast(nps)).where(
+        F.col("probe_rk") <= F.col("nprobe")
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        sel.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= K)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    exact = (
+        _REG["knn_cosine_bruteforce"]
+        .fn(spark, sf_dir)
+        .select(
+            F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
+        )
+    )
+    hits = (
+        topk.join(
+            exact,
+            (F.col("query_id") == F.col("eq"))
+            & (F.col("neighbor_id") == F.col("en")),
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(F.count("en").cast("bigint").alias("total_hits"))
+    )
+    scanned = sel.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("scanned_rows")
+    )
+    nv = spread(table(spark, sf_dir, "embeddings"), "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vec")
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        scanned.join(F.broadcast(hits), "nprobe", "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "nprobe",
+            "scanned_rows",
+            (
+                F.col("scanned_rows").cast("double")
+                / (
+                    F.lit(float(N_QUERIES))
+                    * F.col("n_vec").cast("double")
+                )
+            ).alias("scanned_frac"),
+            F.coalesce(F.col("total_hits"), zero).alias("total_hits"),
+            (
+                F.coalesce(F.col("total_hits"), zero).cast("double")
+                / F.lit(float(K * N_QUERIES))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+_REG["ann_ivf_probe_frontier"] = _dc.replace(
+    _REG["ann_ivf_probe_frontier"],
+    oracle=_REG["ann_ivf_probe_frontier"].oracle.format(
+        bf=_REG["knn_cosine_bruteforce"].oracle
+    ),
+)

@@ -567,3 +567,174 @@ def quantiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag", "qlabel")
     )
+
+
+# --- KMV sketch: mergeable distinct + SET OPERATIONS -------------------
+
+_KMV_K = 256
+_KMV_SCALE = float(1 << 60)  # hash domain: 60-bit md5 prefix
+_KMV_HASH_SQL = (
+    "CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "sketch_kmv_setops",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS in_a,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS in_b,
+                   {_KMV_HASH_SQL} AS h
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY user_id
+        ),
+        ta AS (SELECT h FROM u WHERE in_a = 1 ORDER BY h, user_id
+               LIMIT {_KMV_K}),
+        tb AS (SELECT h FROM u WHERE in_b = 1 ORDER BY h, user_id
+               LIMIT {_KMV_K}),
+        tu AS (SELECT h, in_a, in_b FROM u ORDER BY h, user_id
+               LIMIT {_KMV_K}),
+        sa AS (SELECT MAX(h) AS uk, CAST(COUNT(*) AS BIGINT) AS n FROM ta),
+        sb AS (SELECT MAX(h) AS uk, CAST(COUNT(*) AS BIGINT) AS n FROM tb),
+        su AS (SELECT MAX(h) AS uk, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+               FROM tu),
+        ex AS (SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a,
+                      CAST(SUM(in_b) AS BIGINT) AS exact_b,
+                      CAST(COUNT(*) AS BIGINT) AS exact_union,
+                      CAST(SUM(in_a * in_b) AS BIGINT) AS exact_inter
+               FROM u)
+        SELECT CAST({_KMV_K} AS INTEGER) AS k,
+               CASE WHEN sa.n < {_KMV_K} THEN CAST(sa.n AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_SCALE}
+                         / CAST(sa.uk AS DOUBLE) END AS est_a,
+               ex.exact_a,
+               CASE WHEN sb.n < {_KMV_K} THEN CAST(sb.n AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_SCALE}
+                         / CAST(sb.uk AS DOUBLE) END AS est_b,
+               ex.exact_b,
+               CASE WHEN su.n < {_KMV_K} THEN CAST(su.n AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_SCALE}
+                         / CAST(su.uk AS DOUBLE) END AS est_union,
+               ex.exact_union,
+               (CAST(su.n_common AS DOUBLE) / CAST({_KMV_K} AS DOUBLE))
+                   * (CASE WHEN su.n < {_KMV_K} THEN CAST(su.n AS DOUBLE)
+                           ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_SCALE}
+                                / CAST(su.uk AS DOUBLE) END)
+                   AS est_inter,
+               ex.exact_inter,
+               CAST(su.n_common AS DOUBLE) / CAST({_KMV_K} AS DOUBLE)
+                   AS jaccard_est
+        FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN ex
+    """,
+    doc=f"""KMV (k-minimum-values) distinct sketch with SET-OPERATION
+    estimates — the capability HLL lacks: sketch_hll_distinct can union
+    but never intersect, while the KMV synopsis (Beyer et al., "On
+    synopses for distinct-value estimation under multiset operations",
+    SIGMOD'07) supports union AND intersection from the same k-sized
+    state.  Populations: users who click (A) vs users who purchase (B).
+    Each sketch is the {_KMV_K} smallest portable-hash values of the
+    population (distinct-user grain); DV estimate = (k-1)/U(k) with
+    U(k) the k-th order statistic of the uniform hash, degenerating to
+    the exact count when the population is smaller than k.  The
+    union sketch is the k smallest of the merged population, and the
+    intersection estimate is the within-sketch Jaccard (matching
+    members among the union's k minima) scaled by the union estimate.
+    Exact counts ride along as audit columns ("measure, don't guess"),
+    so the result quantifies its own estimation error.
+
+    Determinism: the hash is the salted md5 prefix (same convention as
+    sample_hash_split), order statistics are integer, every estimate
+    is a fixed-shape IEEE expression — bit-identical in both engines;
+    boundary ties are broken by user_id in both.
+
+    Scale: the per-population "k smallest" is TakeOrdered — each task
+    keeps its local {_KMV_K} minima, the driver-free final merge sees
+    only tasks x {_KMV_K} rows, never the population (exactly how the
+    sketch would merge across 1000 executors or across daily
+    partitions: KMV state is a mergeable {_KMV_K}-value set).  The
+    audit columns are one extra hash aggregate; at 100 TB you would
+    drop them and keep only the sketches.""",
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.operators.pipeline import _phash
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "event_type")
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("in_b"),
+        )
+        .withColumn(
+            "h",
+            _phash(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+        )
+        # read 4x below; the shared groupBy exchange is reused by AQE,
+        # and a lazy localCheckpoint here would cost a build-time job
+        # (the no-action-at-construction rule, tests/test_plans.py)
+    )
+
+    def sketch(df):
+        return df.orderBy("h", "user_id").limit(_KMV_K)
+
+    kd = float(_KMV_K)
+    km1 = float(_KMV_K - 1)
+
+    def est(uk, n):
+        return F.when(n < _KMV_K, n.cast("double")).otherwise(
+            F.lit(km1) * F.lit(_KMV_SCALE) / uk.cast("double")
+        )
+
+    sa = sketch(u.where(F.col("in_a") == 1)).agg(
+        F.max("h").alias("uk_a"), F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    sb = sketch(u.where(F.col("in_b") == 1)).agg(
+        F.max("h").alias("uk_b"), F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    su = sketch(u).agg(
+        F.max("h").alias("uk_u"),
+        F.count(F.lit(1)).cast("bigint").alias("n_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_common"),
+    )
+    ex = u.agg(
+        F.sum("in_a").cast("bigint").alias("exact_a"),
+        F.sum("in_b").cast("bigint").alias("exact_b"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("exact_inter"),
+    )
+    est_union = est(F.col("uk_u"), F.col("n_u"))
+    return (
+        sa.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(su))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(_KMV_K).cast("int").alias("k"),
+            est(F.col("uk_a"), F.col("n_a")).alias("est_a"),
+            "exact_a",
+            est(F.col("uk_b"), F.col("n_b")).alias("est_b"),
+            "exact_b",
+            est_union.alias("est_union"),
+            "exact_union",
+            (
+                (F.col("n_common").cast("double") / F.lit(kd)) * est_union
+            ).alias("est_inter"),
+            "exact_inter",
+            (F.col("n_common").cast("double") / F.lit(kd)).alias(
+                "jaccard_est"
+            ),
+        )
+    )

@@ -1295,3 +1295,136 @@ def rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("global_rank")
     )
+
+
+# --- Poisson bootstrap: distributed confidence intervals ---------------
+
+_BOOT_R = 32  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds scaled to 1e9 (floor(CDF(k)*1e9)):
+# a 60-bit portable hash mod 1e9 is a uniform draw; the CASE ladder maps
+# it to a Poisson(1) weight.  The constants are shared verbatim with the
+# oracle, so both engines draw IDENTICAL replicate weights.
+_POIS_T = (367879441, 735758882, 919698602, 981011843, 996340153, 999405815)
+_POIS_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN h < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    + f" ELSE {len(_POIS_T)} END"
+)
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        drawn AS (
+            SELECT r, cents, {_POIS_CASE_SQL} AS wt
+            FROM (
+                SELECT cents, r,
+                       CAST(('0x' || substr(md5('boot:'
+                            || CAST(k AS VARCHAR) || ':'
+                            || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 1000000000 AS h
+                FROM base, unnest(generate_series(0, {_BOOT_R - 1})) AS u(r)
+            )
+        ),
+        rep AS (
+            SELECT r,
+                   CAST(SUM(wt * cents) AS DOUBLE)
+                       / (100.0 * CAST(SUM(wt) AS DOUBLE)) AS m
+            FROM drawn GROUP BY r
+        ),
+        sorted AS (SELECT list(m ORDER BY m) AS ms FROM rep),
+        pt AS (
+            SELECT CAST(SUM(cents) AS DOUBLE)
+                       / (100.0 * CAST(COUNT(*) AS DOUBLE)) AS point_mean
+            FROM base
+        )
+        SELECT CAST({_BOOT_R} AS INTEGER) AS n_replicates,
+               pt.point_mean,
+               sorted.ms[2] AS ci_low,
+               sorted.ms[{_BOOT_R - 1}] AS ci_high
+        FROM pt CROSS JOIN sorted
+    """,
+    doc=f"""Poisson-bootstrap 95% confidence interval for the mean order
+    value — THE technique for error bars on massive data (each of the
+    {_BOOT_R} replicates resamples every row with an independent
+    Poisson(1) weight, so the whole bootstrap is ONE streaming pass; a
+    classic resample-with-replacement would need {_BOOT_R} global
+    shuffles of the full table).  The uniform draw per (row, replicate)
+    is the portable 60-bit md5 hash mod 1e9 pushed through a Poisson(1)
+    inverse-CDF ladder of integer thresholds — fully deterministic and
+    engine-exact, so the oracle reproduces every weight bit-for-bit
+    (the same salted-hash-decision convention as sample_hash_split).
+    Replicate means are exact scaled-BIGINT sums with one final
+    division; the CI is the 2nd/{_BOOT_R - 1}th order statistic of the
+    {_BOOT_R} sorted replicate means (percentile bootstrap).
+
+    Scale: the explode is {_BOOT_R}x the input ROWS but the aggregate
+    is map-side combining into {_BOOT_R} groups — the shuffle carries
+    ~{_BOOT_R} partial rows per task, not the data.  At 100 TB replace
+    the explode with an in-row array fold emitting one {_BOOT_R}-wide
+    partial per partition; the semantics (and these thresholds) are
+    unchanged.""",
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    drawn = o.select(
+        "k",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("k").cast("string"),
+                        F.lit(":"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000000
+    )
+    wt = F.when(h < _POIS_T[0], 0)
+    for k_, t in list(enumerate(_POIS_T))[1:]:
+        wt = wt.when(h < t, k_)
+    wt = wt.otherwise(len(_POIS_T))
+    rep = (
+        drawn.select("r", "cents", wt.alias("wt"))
+        .groupBy("r")
+        .agg(
+            (
+                F.sum(F.col("wt") * F.col("cents")).cast("double")
+                / (F.lit(100.0) * F.sum("wt").cast("double"))
+            ).alias("m")
+        )
+    )
+    sorted_ms = rep.agg(F.array_sort(F.collect_list("m")).alias("ms"))
+    pt = o.agg(
+        (
+            F.sum("cents").cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1)).cast("double"))
+        ).alias("point_mean")
+    )
+    return pt.crossJoin(F.broadcast(sorted_ms)).select(
+        F.lit(_BOOT_R).cast("int").alias("n_replicates"),
+        "point_mean",
+        F.element_at("ms", 2).alias("ci_low"),
+        F.element_at("ms", _BOOT_R - 1).alias("ci_high"),
+    )

@@ -72,6 +72,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # they reach the driver in the same round they are written.  Pure
 # presentation order — names, fns, and oracles are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- new round-6 operators (never driver-tested) --
+    "ann_ivf_probe_frontier",
+    "dedup_cross_split_leakage",
+    "stats_bootstrap_ci",
+    "sketch_kmv_setops",
+    "feature_target_encoding",
+    "graph_kcore",
     # -- 0. round-6 re-verification: convergence certificate added to
     # the star-contraction consumers (schema + oracle changed, so the
     # prior green rows no longer describe them; tests/test_driver_window

@@ -328,3 +328,62 @@ def dedup_within_watermark_stream(
     return events.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def backfill_overwrite_days(records: DataFrame, target_dir: str):
+    """Rate-limited historical backfill with idempotent day-partition
+    overwrite — the streaming mirror of sources/formats.py's
+    insert_overwrite_day, run under `availableNow` so a bounded
+    reprocess of months of history proceeds in rate-limited
+    micro-batches (cap files/offsets per trigger on the source) with
+    checkpointed progress: kill it mid-backfill and the next run
+    resumes from the last committed batch instead of day one.
+
+    Per batch, for the day partitions the batch TOUCHES: read the
+    current content of just those partitions, merge (batch wins over
+    existing on event_id — the redelivery/correction rule), and commit
+    with dynamic partition overwrite so untouched days are never
+    rewritten.  The merge makes the result a pure function of
+    (existing, batch): a retried batch (foreachBatch is at-least-once
+    on retry) and a day split across several rate-limited batches both
+    converge to the same partition content — idempotence comes from
+    the merge, not the sink.
+
+    Scale: each micro-batch shuffles only its own rows plus the rows
+    of the days it touches (read via partition-pruned paths, never the
+    whole target); the rate limit bounds both.  A transactional format
+    (Delta/Iceberg `replaceWhere`) replaces the dynamic-overwrite
+    commit in production; the merge logic is identical.
+    """
+    import os
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        b = batch.withColumn(
+            "d", F.date_format("event_ts", "yyyy-MM-dd")
+        )
+        days = [r["d"] for r in b.select("d").distinct().collect()]
+        existing_dirs = [
+            os.path.join(target_dir, f"d={day}")
+            for day in days
+            if os.path.isdir(os.path.join(target_dir, f"d={day}"))
+        ]
+        merged = b
+        if existing_dirs:
+            cur = spark.read.option("basePath", target_dir).parquet(
+                *existing_dirs
+            )
+            keep = cur.join(
+                b.select("event_id").distinct(), "event_id", "left_anti"
+            )
+            merged = keep.select(*b.columns).unionByName(b)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("d")
+            .parquet(target_dir)
+        )
+
+    return records.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )

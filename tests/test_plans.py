@@ -494,6 +494,7 @@ def test_query_construction_runs_no_spark_jobs(spark):
         "orders_rfm_segments",
         "ann_recall_audit",
         "text_bigram_kneser_ney",
+        "graph_kcore",
     }
     load_tables(spark, SF_DIR)  # warm the schema cache
     sc = spark.sparkContext

@@ -461,3 +461,69 @@ def test_statestore_reader_exposes_aggregate_state(spark, tmp_path):
     assert state == emitted == {0: 4, 1: 4, 2: 4}
     meta = spark.read.format("state-metadata").load(ckpt).collect()
     assert len(meta) == 1 and meta[0].operatorName == "stateStoreSave"
+
+
+def test_backfill_overwrite_days(spark, tmp_path):
+    """Rate-limited backfill: one file per micro-batch, a day split
+    across batches must not clobber itself, and a resumed run merges
+    corrections idempotently while leaving untouched days alone."""
+    target = str(tmp_path / "backfill_out")
+    ckpt = str(tmp_path / "ckpt_backfill")
+    day1, day2 = BASE_US, BASE_US + 86_400_000_000
+
+    def rec(i, ts, value):
+        return {"event_id": i, "ts": ts, "user_id": i % 2,
+                "event_type": "view", "value": value, "props": "{}"}
+
+    # three files -> three rate-limited batches; day1 spans f1+f2
+    _write_events(str(tmp_path / "in" / "f1.jsonl"),
+                  [rec(1, day1, 1.0), rec(2, day1 + 1_000_000, 2.0)])
+    _write_events(str(tmp_path / "in" / "f2.jsonl"),
+                  [rec(3, day1 + 2_000_000, 3.0), rec(4, day2, 4.0)])
+    _write_events(str(tmp_path / "in" / "f3.jsonl"),
+                  [rec(5, day2 + 1_000_000, 5.0)])
+
+    def stream():
+        cfg = LoaderConfig(input_path=str(tmp_path / "in"),
+                           max_files_per_trigger=1)
+        raw = transform(cfg, _read_stream(spark, cfg))
+        return raw.selectExpr(
+            "from_json(payload, 'event_id bigint, ts bigint, user_id bigint,"
+            " event_type string, value double, props string') AS r",
+            "event_ts",
+        ).select("r.event_id", "r.user_id", "r.event_type", "r.value",
+                 "event_ts")
+
+    q = jobs.backfill_overwrite_days(stream(), target).option(
+        "checkpointLocation", ckpt
+    ).start()
+    q.awaitTermination(120)
+
+    out = {r["event_id"]: r for r in spark.read.parquet(target).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # day1 not clobbered across batches
+    assert out[3]["value"] == 3.0
+    day1_str = out[1]["d"]
+    day1_mtime = max(
+        os.path.getmtime(os.path.join(target, f"d={day1_str}", f))
+        for f in os.listdir(os.path.join(target, f"d={day1_str}"))
+        if f.endswith(".parquet")
+    )
+
+    # resumed run: a correction for event 4 (day2) only; day1 untouched
+    _write_events(str(tmp_path / "in" / "f4.jsonl"),
+                  [rec(4, day2, 44.0)])
+    q2 = jobs.backfill_overwrite_days(stream(), target).option(
+        "checkpointLocation", ckpt
+    ).start()
+    q2.awaitTermination(120)
+
+    out = {r["event_id"]: r for r in spark.read.parquet(target).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[4]["value"] == 44.0  # batch wins over existing
+    assert out[1]["value"] == 1.0
+    day1_mtime2 = max(
+        os.path.getmtime(os.path.join(target, f"d={day1_str}", f))
+        for f in os.listdir(os.path.join(target, f"d={day1_str}"))
+        if f.endswith(".parquet")
+    )
+    assert day1_mtime2 == day1_mtime  # untouched day was not rewritten

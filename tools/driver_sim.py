@@ -92,7 +92,7 @@ def main() -> int:
         "scan_python_datasource", "scan_text_lines", "scan_xml",
         "dedup_clusters", "dedup_clusters_star", "graph_connected_components",
         "graph_label_propagation", "orders_rfm_segments", "ann_recall_audit",
-        "text_bigram_kneser_ney",
+        "text_bigram_kneser_ney", "graph_kcore",
     }
     sc = spark.sparkContext
     failures = []
