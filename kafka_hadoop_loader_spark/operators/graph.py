@@ -907,3 +907,97 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cert))
         .orderBy("part_id")
     )
+
+
+# --- Link prediction: neighborhood Jaccard over 2-hop pairs ------------
+
+_LP_TOPN = 20
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+        WITH {_CC_EDGES_SQL.strip()},
+        sym AS MATERIALIZED (
+            SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+        ),
+        deg AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+        ),
+        cand AS (
+            SELECT a.u AS x, b.v AS y,
+                   CAST(COUNT(*) AS BIGINT) AS common
+            FROM sym a JOIN sym b ON a.v = b.u AND a.u < b.v
+            GROUP BY a.u, b.v
+        ),
+        nonedge AS (
+            SELECT c.x, c.y, c.common
+            FROM cand c LEFT JOIN e0 e ON c.x = e.u AND c.y = e.v
+            WHERE e.u IS NULL
+        )
+        SELECT n.x AS part_a, n.y AS part_b, n.common AS common_neighbors,
+               CAST(n.common AS DOUBLE)
+                   / CAST(da.d + db.d - n.common AS DOUBLE) AS jaccard
+        FROM nonedge n
+        JOIN deg da ON n.x = da.u
+        JOIN deg db ON n.y = db.u
+        ORDER BY jaccard DESC, part_a, part_b
+        LIMIT {_LP_TOPN}
+    """,
+    doc=f"""Link prediction by neighborhood Jaccard — the classic
+    missing-edge scorer ("people who buy these also buy...") over the
+    co-purchase part graph: for every NON-adjacent 2-hop pair, the
+    Jaccard of their neighbor sets |N(a) n N(b)| / |N(a) u N(b)|;
+    top {_LP_TOPN} by score (total order: score desc, then both ids —
+    the LIMIT-rides-a-total-order rule).  The same query over a
+    dedup pair graph proposes "probably duplicates we have not
+    verified yet" — candidate generation for active review.
+
+    Plan: 2-hop pairs via one self-join of the symmetric edge list on
+    the shared neighbor (never all-pairs — candidates only exist where
+    a path exists), common counts as the group size, an anti-join
+    against the edge set, then two degree joins and a TakeOrdered
+    top-{_LP_TOPN} (no full sort).  All counts integer; the score is
+    one IEEE division.
+
+    Scale: 2-hop enumeration is Sum(deg^2)-bounded — the hub caveat
+    every triangle/link-prediction job shares; at 100 TB you cap or
+    sample hub neighborhoods first (graph_triangles documents the
+    same discipline).  Shuffles: neighbor join + group on the pair,
+    both on node/pair keys.""",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = _copurchase_edges(spark, sf_dir)
+    sym = e0.unionAll(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a, b = sym.alias("a"), sym.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.u")) & (F.col("a.u") < F.col("b.v")),
+        )
+        .groupBy(F.col("a.u").alias("x"), F.col("b.v").alias("y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    nonedge = cand.join(
+        e0, (cand.x == e0.u) & (cand.y == e0.v), "left_anti"
+    )
+    da = deg.select(F.col("u").alias("x"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("y"), F.col("d").alias("db"))
+    return (
+        nonedge.join(da, "x")
+        .join(db, "y")
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.col("common").alias("common_neighbors"),
+            (
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
+        .limit(_LP_TOPN)
+    )

@@ -1313,3 +1313,104 @@ def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey", "mktsegment", "bal_band")
     )
+
+
+# --- Dataset card: per-source corpus summary ---------------------------
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, lang, n_chars,
+                   string_split(text, ' ') AS w, md5(text) AS dig,
+                   {_PHASH_SQL.format(x="'split:' || CAST(doc_id AS VARCHAR)")}
+                       % 100 AS bucket
+            FROM documents
+        ),
+        per AS (
+            SELECT source, lang, dig, bucket,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   n_chars
+            FROM t
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+                   AS chars_per_token,
+               CAST(COUNT(*) - COUNT(DISTINCT dig) AS BIGINT)
+                   AS n_exact_dups,
+               CAST(COUNT(*) - COUNT(DISTINCT dig) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+               CAST(SUM(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train,
+               CAST(SUM(CASE WHEN bucket >= 80 AND bucket < 90
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+               CAST(SUM(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_test
+        FROM per
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="""Dataset card generation — the per-source summary table every
+    curated corpus release ships (and every ingest run should emit as
+    its audit artifact): document/language counts, token and character
+    totals, mean token width, exact-duplicate count and rate (md5
+    digest grain — the shuffle carries only digests, the dedup_exact
+    discipline), and the train/val/test membership counts under the
+    registered salted-hash split (sample_hash_split's exact
+    convention, so the card's split column can never disagree with the
+    split operator).
+
+    Scale: ONE map-side-combining aggregate at source grain — token
+    counts and digests are computed in the scan projection, nothing is
+    re-read, and the output is |sources| rows.  This is the query you
+    schedule after every backfill (streaming.backfill_overwrite_days)
+    to diff the card against yesterday's.""",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        _phash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    )
+    per = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("dig"),
+        bucket.alias("bucket"),
+    )
+    n = F.count(F.lit(1))
+    ndig = F.countDistinct("dig")
+    return (
+        per.groupBy("source")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("chars_per_token"),
+            (n - ndig).cast("bigint").alias("n_exact_dups"),
+            ((n - ndig).cast("double") / n.cast("double")).alias("dup_rate"),
+            F.sum(F.when(F.col("bucket") < 80, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(
+                F.when((F.col("bucket") >= 80) & (F.col("bucket") < 90), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_val"),
+            F.sum(F.when(F.col("bucket") >= 90, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+        )
+        .orderBy("source")
+    )

@@ -243,3 +243,183 @@ def spatial_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell3")
     )
+
+
+# --- DBSCAN with grid blocking -----------------------------------------
+
+_DB_EPS2 = 900   # eps = 30 on the 1000x1000 integer plane
+_DB_CELL = 30    # grid cell = eps: neighbors live in the 3x3 block
+_DB_MINPTS = 5   # |N_eps(p)| >= 5 including p itself
+_DB_ROUNDS = 6   # star-contraction rounds for core-core components
+
+
+@register(
+    "spatial_dbscan_grid",
+    oracle=f"""
+        WITH RECURSIVE pts AS (
+            SELECT c_custkey AS k,
+                   (c_custkey * 7919) % 1000 AS x,
+                   (c_custkey * 104729) % 1000 AS y
+            FROM customer
+        ),
+        pairs AS (
+            SELECT a.k AS ka, b.k AS kb
+            FROM pts a JOIN pts b
+              ON a.k <> b.k
+             AND (a.x - b.x) * (a.x - b.x)
+               + (a.y - b.y) * (a.y - b.y) <= {_DB_EPS2}
+        ),
+        ncnt AS (
+            SELECT ka AS k, CAST(COUNT(*) AS BIGINT) AS nn
+            FROM pairs GROUP BY ka
+        ),
+        core AS (
+            SELECT k FROM ncnt WHERE nn + 1 >= {_DB_MINPTS}
+        ),
+        edges AS (
+            SELECT p.ka AS src, p.kb AS dst FROM pairs p
+            JOIN core c1 ON p.ka = c1.k JOIN core c2 ON p.kb = c2.k
+        ),
+        reach(id, label) AS (
+            SELECT k, k FROM core
+            UNION
+            SELECT e.dst AS id, r.label
+            FROM reach r JOIN edges e ON r.id = e.src
+            WHERE r.label < e.dst
+        ),
+        cc AS (
+            SELECT id AS k, MIN(label) AS cluster_id FROM reach GROUP BY id
+        ),
+        border AS (
+            SELECT p.ka AS k, MIN(cc.cluster_id) AS cluster_id
+            FROM pairs p
+            JOIN cc ON p.kb = cc.k
+            WHERE p.ka NOT IN (SELECT k FROM core)
+            GROUP BY p.ka
+        )
+        SELECT pts.k AS c_custkey, pts.x, pts.y,
+               CASE WHEN cc.k IS NOT NULL THEN 'core'
+                    WHEN border.k IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               COALESCE(cc.cluster_id, border.cluster_id) AS cluster_id,
+               TRUE AS converged
+        FROM pts
+        LEFT JOIN cc ON pts.k = cc.k
+        LEFT JOIN border ON pts.k = border.k
+        ORDER BY c_custkey
+    """,
+    doc=f"""DBSCAN density clustering with GRID BLOCKING — the spatial
+    clustering workhorse (store siting, hotspot detection, GPS-trace
+    stop extraction) in its distributed form: points on a deterministic
+    integer plane (the spatial_geohash synthesis convention, so every
+    distance-squared is exact BIGINT arithmetic — no float epsilon
+    anywhere), eps^2 = {_DB_EPS2}, minPts = {_DB_MINPTS}.  Core points
+    have >= minPts eps-neighbors (self included); core-core edges feed
+    the SAME certified star contraction as graph_connected_components
+    (converged column, oracle-pinned TRUE); border points adopt the
+    MIN cluster among their core neighbors; the rest is noise.
+
+    Neighbor generation NEVER goes all-pairs: each point is replicated
+    to its 3x3 neighboring grid cells (cell = eps) and joined on the
+    cell key — the spatial_join_grid discipline — so the join is
+    linear in points x local density.  The oracle uses the exhaustive
+    O(n^2) distance join + a recursive-CTE fixpoint (feasible at
+    sf0.01; that infeasibility at scale is the point), making both the
+    blocking completeness AND the round count verifiable.
+
+    Scale: shuffle on cell keys, per-cell candidate lists bounded by
+    density x eps^2; at 100 TB pick cell = eps and salt mega-cells
+    (urban cores) exactly as skew-join salting — the plan shape is
+    unchanged.""",
+)
+def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.operators.graph import (
+        star_contract_certified,
+    )
+
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("k"),
+        ((F.col("c_custkey") * 7919) % 1000).alias("x"),
+        ((F.col("c_custkey") * 104729) % 1000).alias("y"),
+    )
+    withcell = pts.select(
+        "k", "x", "y",
+        F.expr(f"x DIV {_DB_CELL}").alias("cx"),
+        F.expr(f"y DIV {_DB_CELL}").alias("cy"),
+    )
+    d = spark.range(-1, 2).select(F.col("id").cast("int").alias("dx"))
+    d2 = spark.range(-1, 2).select(F.col("id").cast("int").alias("dy"))
+    reps = (
+        withcell.crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(d2))
+        .select(
+            F.col("k").alias("kb"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            (F.col("cx") + F.col("dx")).alias("rcx"),
+            (F.col("cy") + F.col("dy")).alias("rcy"),
+        )
+    )
+    dist2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    pairs = (
+        withcell.join(
+            reps,
+            (F.col("cx") == F.col("rcx"))
+            & (F.col("cy") == F.col("rcy"))
+            & (F.col("k") != F.col("kb")),
+        )
+        .where(dist2 <= _DB_EPS2)
+        .select(F.col("k").alias("ka"), "kb")
+    )
+    ncnt = pairs.groupBy("ka").agg(F.count(F.lit(1)).alias("nn"))
+    core = ncnt.where(F.col("nn") + 1 >= _DB_MINPTS).select(
+        F.col("ka").alias("k")
+    )
+    ca = core.select(F.col("k").alias("ka")).withColumn("_ca", F.lit(1))
+    cb = core.select(F.col("k").alias("kb")).withColumn("_cb", F.lit(1))
+    core_edges = (
+        pairs.join(ca, "ka")
+        .join(cb, "kb")
+        .where(F.col("ka") < F.col("kb"))
+        .select(F.col("ka").alias("u"), F.col("kb").alias("v"))
+        .distinct()
+    )
+    labels, cert = star_contract_certified(core_edges, _DB_ROUNDS)
+    cc = core.join(labels, core.k == labels.node, "left").select(
+        "k", F.coalesce(F.col("comp"), F.col("k")).alias("cluster_id")
+    )
+    border = (
+        pairs.join(
+            cc.select(F.col("k").alias("kb"), F.col("cluster_id").alias("bc")),
+            "kb",
+        )
+        .join(ca.select(F.col("ka"), F.col("_ca")), "ka", "left_anti")
+        .groupBy("ka")
+        .agg(F.min("bc").alias("b_cluster"))
+        .select(F.col("ka").alias("k"), "b_cluster")
+    )
+    return (
+        pts.join(
+            cc.select(F.col("k"), F.col("cluster_id").alias("core_cluster")),
+            "k",
+            "left",
+        )
+        .join(border, "k", "left")
+        .select(
+            F.col("k").alias("c_custkey"),
+            "x",
+            "y",
+            F.when(F.col("core_cluster").isNotNull(), "core")
+            .when(F.col("b_cluster").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce(F.col("core_cluster"), F.col("b_cluster")).alias(
+                "cluster_id"
+            ),
+        )
+        .crossJoin(F.broadcast(cert))
+        .orderBy("c_custkey")
+    )

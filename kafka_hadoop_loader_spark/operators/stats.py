@@ -1425,6 +1425,301 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pt.crossJoin(F.broadcast(sorted_ms)).select(
         F.lit(_BOOT_R).cast("int").alias("n_replicates"),
         "point_mean",
-        F.element_at("ms", 2).alias("ci_low"),
-        F.element_at("ms", _BOOT_R - 1).alias("ci_high"),
+        # try_ variants: an EMPTY input yields an empty replicate array,
+        # which must surface as NULL bounds, not an ANSI index error
+        # (DuckDB's list index is already NULL out of range)
+        F.try_element_at("ms", F.lit(2)).alias("ci_low"),
+        F.try_element_at("ms", F.lit(_BOOT_R - 1)).alias("ci_high"),
+    )
+
+
+# --- Kaplan-Meier survival: time-to-reorder with censoring -------------
+
+
+@register(
+    "orders_survival_km",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+            FROM orders
+        ),
+        r AS (
+            SELECT o_custkey, d,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY d, o_orderkey) AS rn
+            FROM o
+        ),
+        firsts AS (
+            SELECT o_custkey,
+                   MIN(CASE WHEN rn = 1 THEN d END) AS d1,
+                   MIN(CASE WHEN rn = 2 THEN d END) AS d2
+            FROM r WHERE rn <= 2 GROUP BY o_custkey
+        ),
+        mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+        obs AS (
+            SELECT CASE WHEN d2 IS NOT NULL
+                        THEN CAST(date_diff('day', d1, d2) AS BIGINT)
+                        ELSE CAST(date_diff('day', d1, dmax) AS BIGINT)
+                   END AS t,
+                   CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM firsts CROSS JOIN mx
+        ),
+        grid AS (
+            SELECT t, CAST(SUM(ev) AS BIGINT) AS d_events,
+                   CAST(COUNT(*) AS BIGINT) AS c_all
+            FROM obs GROUP BY t
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+        atrisk AS (
+            SELECT t, d_events,
+                   CAST(n - COALESCE(SUM(c_all) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+            FROM grid CROSS JOIN tot
+        ),
+        ev AS (
+            SELECT t, d_events, n_at_risk,
+                   CAST(n_at_risk - d_events AS DOUBLE)
+                       / CAST(n_at_risk AS DOUBLE) AS f
+            FROM atrisk WHERE d_events > 0
+        ),
+        facs AS (
+            SELECT list(struct_pack(t := t, f := f) ORDER BY t) AS fs
+            FROM ev
+        )
+        SELECT e.t AS t_days, e.n_at_risk, e.d_events,
+               list_reduce(
+                   list_prepend(1.0, [x.f for x in fs if x.t <= e.t]),
+                   (a, b) -> a * b) AS survival
+        FROM ev e CROSS JOIN facs
+        ORDER BY t_days
+    """,
+    doc="""Kaplan-Meier survival curve for time-to-second-order — the
+    censoring-correct churn/retention analysis naive averages get
+    wrong: customers who never reordered are not "missing", they are
+    RIGHT-CENSORED at the end of observation (the dataset's max order
+    date), and dropping or averaging them biases the curve toward
+    fast re-orderers.  Per distinct day-gap t with >= 1 reorder event:
+    the at-risk count n(t), event count d(t), and the product-limit
+    estimate S(t) = prod_{t' <= t} (1 - d/n).
+
+    Determinism: day gaps and the at-risk ladder (total minus an
+    exclusive running sum over the duration grid — a bounded window at
+    day grain) are pure integers; each hazard factor is one IEEE
+    division, and the survival product is a SEQUENTIAL fold over the
+    t-sorted factor array (collect_list + array_sort, mirrored by
+    DuckDB's ordered list + list_reduce) — identical multiply order,
+    bit-identical result; no exp(sum(ln)) trick, whose transcendentals
+    are not portable.
+
+    Scale: one shuffle at customer grain (first/second order), one
+    hash aggregate at duration grain (bounded by the calendar, not the
+    data), and a 1-row broadcast of the factor array.  The classic
+    survival shape (churn, time-to-conversion, hardware failure) at
+    100 TB runs exactly this plan; only the customer shuffle scales.""",
+)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.plans.ranking import bounded_window_key
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    r = o.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+    firsts = r.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+    )
+    mx = o.agg(F.max("d").alias("dmax"))
+    obs = firsts.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+        )
+        .otherwise(F.datediff(F.col("dmax"), F.col("d1")))
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    grid = obs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d_events"),
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wcum = (
+        Window.partitionBy(bounded_window_key("t"))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    atrisk = grid.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d_events",
+        (
+            F.col("n") - F.coalesce(F.sum("c_all").over(wcum), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    ev = atrisk.where(F.col("d_events") > 0).select(
+        "t",
+        "d_events",
+        "n_at_risk",
+        (
+            (F.col("n_at_risk") - F.col("d_events")).cast("double")
+            / F.col("n_at_risk").cast("double")
+        ).alias("f"),
+    )
+    facs = ev.agg(
+        F.array_sort(F.collect_list(F.struct("t", "f"))).alias("fs")
+    )
+    return (
+        ev.select(
+            F.col("t").alias("t_days"), "n_at_risk", "d_events", "f"
+        )
+        .crossJoin(F.broadcast(facs))
+        .select(
+            "t_days",
+            "n_at_risk",
+            "d_events",
+            F.aggregate(
+                F.filter("fs", lambda x: x["t"] <= F.col("t_days")),
+                F.lit(1.0),
+                lambda a, x: a * x["f"],
+            ).alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+# --- Difference-in-differences uplift ----------------------------------
+
+_DID_AVG = (
+    "CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS DOUBLE)"
+    " / (CAST(COUNT(value) AS DOUBLE) * 100.0)"
+)
+
+
+@register(
+    "events_uplift_did",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us, value
+            FROM events
+        ),
+        bounds AS (
+            SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) // 2 AS mid
+            FROM ev
+        ),
+        cells AS (
+            SELECT CAST(('0x' || substr(md5('did:'
+                       || CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 2 AS treated,
+                   CASE WHEN e.ts_us < mid THEN 0 ELSE 1 END AS post,
+                   e.value
+            FROM ev e CROSS JOIN bounds
+            WHERE e.event_type = 'purchase'
+        ),
+        agg AS (
+            SELECT treated, post, CAST(COUNT(*) AS BIGINT) AS n,
+                   {_DID_AVG} AS m
+            FROM cells GROUP BY treated, post
+        )
+        SELECT
+            MAX(CASE WHEN treated = 1 AND post = 0 THEN n END)
+                AS n_treated_pre,
+            MAX(CASE WHEN treated = 1 AND post = 1 THEN n END)
+                AS n_treated_post,
+            MAX(CASE WHEN treated = 0 AND post = 0 THEN n END)
+                AS n_control_pre,
+            MAX(CASE WHEN treated = 0 AND post = 1 THEN n END)
+                AS n_control_post,
+            MAX(CASE WHEN treated = 1 AND post = 0 THEN m END)
+                AS mean_treated_pre,
+            MAX(CASE WHEN treated = 1 AND post = 1 THEN m END)
+                AS mean_treated_post,
+            MAX(CASE WHEN treated = 0 AND post = 0 THEN m END)
+                AS mean_control_pre,
+            MAX(CASE WHEN treated = 0 AND post = 1 THEN m END)
+                AS mean_control_post,
+            (MAX(CASE WHEN treated = 1 AND post = 1 THEN m END)
+             - MAX(CASE WHEN treated = 1 AND post = 0 THEN m END))
+            - (MAX(CASE WHEN treated = 0 AND post = 1 THEN m END)
+               - MAX(CASE WHEN treated = 0 AND post = 0 THEN m END))
+                AS did_estimate
+        FROM agg
+    """,
+    doc="""Difference-in-differences uplift estimate — the measurement a
+    growth/ML team runs over a staged feature rollout: treatment
+    assignment is the salted-hash user holdout (the sample_hash_split
+    convention — 50/50 by md5 of user id, exactly how production
+    holdouts are assigned; on these fixtures every behavioral
+    definition degenerates because all users sign up early), outcome
+    is purchase value PRE vs POST the observed mid-timestamp split
+    (same 1-row broadcast convention as drift_category_chi2).  DiD =
+    (treated post - treated pre) - (control post - control pre): the
+    control trend subtracts the secular drift a naive before/after
+    comparison would swallow.
+
+    Determinism: cell means are exact scaled-BIGINT sums over the
+    2dp-decimal value column with one division (the exact_sum
+    convention); the estimator is a fixed-shape 3-subtraction
+    expression over the four cell means.
+
+    Scale: assignment is a stateless per-row hash (no treated-set
+    join at all), then one map-side-combining aggregate into FOUR
+    cells and a 4-row pivot.  The outcome scan dominates at any size;
+    nothing else grows.""",
+)
+def events_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "value"
+    )
+    bounds = ev.agg(
+        (F.min("ts_us") + F.expr("(max(ts_us) - min(ts_us)) DIV 2")).alias(
+            "mid"
+        )
+    )
+    evb = ev.crossJoin(F.broadcast(bounds))
+    assign = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("did:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    cells = evb.where(F.col("event_type") == "purchase").select(
+        assign.alias("treated"),
+        F.when(F.col("ts_us") < F.col("mid"), 0).otherwise(1).alias("post"),
+        "value",
+    )
+    agg = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / (F.count("value").cast("double") * F.lit(100.0))
+        ).alias("m"),
+    )
+
+    def cell(col, t, p):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    return agg.agg(
+        cell("n", 1, 0).alias("n_treated_pre"),
+        cell("n", 1, 1).alias("n_treated_post"),
+        cell("n", 0, 0).alias("n_control_pre"),
+        cell("n", 0, 1).alias("n_control_post"),
+        cell("m", 1, 0).alias("mean_treated_pre"),
+        cell("m", 1, 1).alias("mean_treated_post"),
+        cell("m", 0, 0).alias("mean_control_pre"),
+        cell("m", 0, 1).alias("mean_control_post"),
+        (
+            (cell("m", 1, 1) - cell("m", 1, 0))
+            - (cell("m", 0, 1) - cell("m", 0, 0))
+        ).alias("did_estimate"),
     )

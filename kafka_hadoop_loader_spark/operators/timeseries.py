@@ -1564,3 +1564,478 @@ def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- Gap fill with linear interpolation --------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "resample_interpolate",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hidx, value
+            FROM events
+        ),
+        hourly AS (
+            SELECT event_type, hidx,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                       / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS m
+            FROM ev GROUP BY event_type, hidx
+        ),
+        bounds AS (SELECT MIN(hidx) AS mn, MAX(hidx) AS mx FROM ev),
+        spine AS (
+            SELECT t.event_type, u.g AS hidx
+            FROM (SELECT DISTINCT event_type FROM ev) t
+            CROSS JOIN bounds
+            CROSS JOIN unnest(generate_series(bounds.mn, bounds.mx)) AS u(g)
+        ),
+        grid AS (
+            SELECT s.event_type, s.hidx, h.n_events, h.m,
+                   COUNT(h.m) OVER (PARTITION BY s.event_type
+                                    ORDER BY s.hidx
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS grp
+            FROM spine s LEFT JOIN hourly h
+              ON s.event_type = h.event_type AND s.hidx = h.hidx
+        ),
+        anchors AS (
+            SELECT event_type, grp, hidx AS apos, m AS aval
+            FROM grid WHERE m IS NOT NULL
+        )
+        SELECT g.event_type,
+               make_timestamp(g.hidx * {_HOUR_US}) AS hour,
+               COALESCE(g.n_events, CAST(0 AS BIGINT)) AS n_events,
+               g.m AS mean_value,
+               CASE
+                   WHEN g.m IS NOT NULL THEN g.m
+                   WHEN p.aval IS NOT NULL AND nx.aval IS NOT NULL THEN
+                       p.aval + (nx.aval - p.aval)
+                           * (CAST(g.hidx - p.apos AS DOUBLE)
+                              / CAST(nx.apos - p.apos AS DOUBLE))
+                   WHEN p.aval IS NOT NULL THEN p.aval
+                   ELSE NULL
+               END AS filled_value,
+               CASE
+                   WHEN g.m IS NOT NULL THEN 'observed'
+                   WHEN p.aval IS NOT NULL AND nx.aval IS NOT NULL
+                       THEN 'interpolated'
+                   WHEN p.aval IS NOT NULL THEN 'extrapolated'
+                   ELSE 'missing'
+               END AS fill_kind
+        FROM grid g
+        LEFT JOIN anchors p
+          ON g.event_type = p.event_type AND g.grp = p.grp
+        LEFT JOIN anchors nx
+          ON g.event_type = nx.event_type AND g.grp + 1 = nx.grp
+        ORDER BY g.event_type, hour
+    """,
+    doc="""Time-series gap fill with LINEAR INTERPOLATION — the
+    resample_ffill upgrade for continuous metrics (forward fill is
+    right for state, wrong for rates: an empty hour between load 10
+    and load 20 is better estimated at the line between them).  Per
+    event type, the hourly mean value over a complete integer-hour
+    spine (min..max observed hour); missing hours get
+    prev + (next - prev) * elapsed/gap; trailing hours flat-extrapolate
+    the last anchor; leading hours (no prior anchor) stay NULL, each
+    labeled by fill_kind.
+
+    The prev/next anchors are found WITHOUT vendor IGNORE NULLS
+    syntax: a running count of non-null observations assigns every
+    spine row the index of its most recent anchor (grp), so prev =
+    anchor[grp] and next = anchor[grp+1] are plain equi-joins — the
+    same trick both engines express identically (and the portable form
+    of Pandas' interpolate(method='linear')).
+
+    Determinism: hour indexes are integer microsecond divisions;
+    anchor means are exact scaled-BIGINT sums with one division; the
+    interpolation is a fixed-shape IEEE expression of two anchors and
+    two integer distances.
+
+    Scale: spine size = hours x types (calendar-bounded, not
+    data-bounded); one hash aggregate + windows and joins all
+    partitioned by event_type — no global window, no driver loop.
+    At 100 TB the fact aggregate dominates; the fill is O(spine).""",
+)
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("ts_us") / _HOUR_US).cast("long").alias("hidx"),
+        "value",
+    )
+    hourly = ev.groupBy("event_type", "hidx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(100.0))
+        ).alias("m"),
+    )
+    bounds = ev.agg(F.min("hidx").alias("mn"), F.max("hidx").alias("mx"))
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("hidx"),
+        )
+    )
+    wgrp = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grid = (
+        spine.join(hourly, ["event_type", "hidx"], "left")
+        .withColumn("grp", F.count("m").over(wgrp))
+    )
+    anchors = grid.where(F.col("m").isNotNull()).select(
+        F.col("event_type").alias("a_type"),
+        "grp",
+        F.col("hidx").alias("apos"),
+        F.col("m").alias("aval"),
+    )
+    p = anchors.select(
+        F.col("a_type").alias("p_type"),
+        F.col("grp").alias("p_grp"),
+        F.col("apos").alias("p_pos"),
+        F.col("aval").alias("p_val"),
+    )
+    nx = anchors.select(
+        F.col("a_type").alias("n_type"),
+        F.col("grp").alias("n_grp"),
+        F.col("apos").alias("n_pos"),
+        F.col("aval").alias("n_val"),
+    )
+    g = grid.join(
+        p,
+        (grid.event_type == p.p_type) & (grid.grp == p.p_grp),
+        "left",
+    ).join(
+        nx,
+        (grid.event_type == nx.n_type) & (grid.grp + 1 == nx.n_grp),
+        "left",
+    )
+    interp = F.col("p_val") + (F.col("n_val") - F.col("p_val")) * (
+        (F.col("hidx") - F.col("p_pos")).cast("double")
+        / (F.col("n_pos") - F.col("p_pos")).cast("double")
+    )
+    return g.select(
+        "event_type",
+        F.timestamp_micros(F.col("hidx") * _HOUR_US)
+        .cast("timestamp_ntz")
+        .alias("hour"),
+        F.coalesce(F.col("n_events"), F.lit(0).cast("bigint")).alias(
+            "n_events"
+        ),
+        F.col("m").alias("mean_value"),
+        F.when(F.col("m").isNotNull(), F.col("m"))
+        .when(
+            F.col("p_val").isNotNull() & F.col("n_val").isNotNull(), interp
+        )
+        .when(F.col("p_val").isNotNull(), F.col("p_val"))
+        .alias("filled_value"),
+        F.when(F.col("m").isNotNull(), "observed")
+        .when(
+            F.col("p_val").isNotNull() & F.col("n_val").isNotNull(),
+            "interpolated",
+        )
+        .when(F.col("p_val").isNotNull(), "extrapolated")
+        .otherwise("missing")
+        .alias("fill_kind"),
+    ).orderBy("event_type", "hour")
+
+
+# --- CUSUM changepoint detection ---------------------------------------
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hidx
+            FROM events
+        ),
+        hourly AS (
+            SELECT event_type, hidx, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ev GROUP BY event_type, hidx
+        ),
+        bounds AS (SELECT MIN(hidx) AS mn, MAX(hidx) AS mx FROM ev),
+        spine AS (
+            SELECT t.event_type, u.g AS hidx
+            FROM (SELECT DISTINCT event_type FROM ev) t
+            CROSS JOIN bounds
+            CROSS JOIN unnest(generate_series(bounds.mn, bounds.mx)) AS u(g)
+        ),
+        grid AS (
+            SELECT s.event_type, s.hidx, COALESCE(h.c, 0) AS c
+            FROM spine s LEFT JOIN hourly h
+              ON s.event_type = h.event_type AND s.hidx = h.hidx
+        ),
+        cum AS (
+            SELECT event_type, hidx, c,
+                   SUM(c) OVER w AS pre,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+                   SUM(c) OVER (PARTITION BY event_type) AS tot,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n
+            FROM grid
+            WINDOW w AS (PARTITION BY event_type ORDER BY hidx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        scored AS (
+            SELECT event_type, hidx, i, n, pre, tot,
+                   abs(n * pre - i * tot) AS s_abs
+            FROM cum WHERE i < n
+        ),
+        best AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY s_abs DESC, hidx) AS rk
+                FROM scored
+            ) WHERE rk = 1
+        )
+        SELECT event_type,
+               make_timestamp(hidx * {_HOUR_US}) AS changepoint_hour,
+               CAST(s_abs AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                   AS cusum_stat,
+               CAST(pre AS DOUBLE) / CAST(i AS DOUBLE) AS mean_before,
+               CAST(tot - pre AS DOUBLE) / CAST(n - i AS DOUBLE)
+                   AS mean_after
+        FROM best
+        ORDER BY event_type
+    """,
+    doc="""CUSUM changepoint detection on the hourly event-rate series —
+    the monitoring primitive that localizes WHEN a level shift happened
+    (drift_category_chi2 says THAT the mix changed; this finds the
+    hour the rate broke): per event type, the cumulative deviation
+    from the series mean S_i = sum(x_1..x_i) - i*mean peaks at the
+    most likely changepoint (Page's CUSUM / binary-segmentation first
+    split).
+
+    Determinism: the statistic is kept in INTEGER form |n*prefix -
+    i*total| (multiplying S_i through by n avoids the rational mean) —
+    argmax over exact BIGINTs with an hidx tie-break; the reported
+    normalized statistic |S|/(n*tot) (= |prefix/tot - i/n|, in [0,1])
+    and the before/after means are single IEEE divisions at the end.
+    Missing hours count as ZERO via the complete spine (a rate drop to
+    nothing IS a changepoint — resample_interpolate's spine trick).
+
+    Scale: one hash aggregate at (type, hour) grain, windows
+    partitioned by type over a calendar-bounded spine, a per-type
+    top-1.  Works unchanged on any keyed count series; at 100 TB the
+    fact aggregate dominates.""",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("ts_us") / _HOUR_US).cast("long").alias("hidx"),
+    )
+    hourly = ev.groupBy("event_type", "hidx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bounds = ev.agg(F.min("hidx").alias("mn"), F.max("hidx").alias("mx"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("hidx"),
+        )
+    )
+    grid = spine.join(hourly, ["event_type", "hidx"], "left").select(
+        "event_type", "hidx", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = grid.select(
+        "event_type",
+        "hidx",
+        F.sum("c").over(wrun).alias("pre"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hidx"))
+        .cast("bigint")
+        .alias("i"),
+        F.sum("c").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    scored = cum.where(F.col("i") < F.col("n")).withColumn(
+        "s_abs", F.abs(F.col("n") * F.col("pre") - F.col("i") * F.col("tot"))
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.col("s_abs").desc(), "hidx"
+    )
+    best = scored.withColumn("rk", F.row_number().over(wbest)).where(
+        F.col("rk") == 1
+    )
+    return best.select(
+        "event_type",
+        F.timestamp_micros(F.col("hidx") * _HOUR_US)
+        .cast("timestamp_ntz")
+        .alias("changepoint_hour"),
+        (
+            F.col("s_abs").cast("double")
+            / (F.col("n").cast("double") * F.col("tot").cast("double"))
+        ).alias("cusum_stat"),
+        (F.col("pre").cast("double") / F.col("i").cast("double")).alias(
+            "mean_before"
+        ),
+        (
+            (F.col("tot") - F.col("pre")).cast("double")
+            / (F.col("n") - F.col("i")).cast("double")
+        ).alias("mean_after"),
+    ).orderBy("event_type")
+
+
+# --- Holt linear-trend smoothing / forecast ----------------------------
+
+_HOLT_A = 0.5   # level smoothing
+_HOLT_B = 0.3   # trend smoothing
+_HOLT_H = 24    # forecast horizon, hours
+
+
+@register(
+    "events_forecast_holt",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hidx
+            FROM events
+        ),
+        hourly AS (
+            SELECT event_type, hidx, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ev GROUP BY event_type, hidx
+        ),
+        bounds AS (SELECT MIN(hidx) AS mn, MAX(hidx) AS mx FROM ev),
+        spine AS (
+            SELECT t.event_type, u.g AS hidx
+            FROM (SELECT DISTINCT event_type FROM ev) t
+            CROSS JOIN bounds
+            CROSS JOIN unnest(generate_series(bounds.mn, bounds.mx)) AS u(g)
+        ),
+        grid AS (
+            SELECT s.event_type, s.hidx,
+                   CAST(COALESCE(h.c, 0) AS DOUBLE) AS x
+            FROM spine s LEFT JOIN hourly h
+              ON s.event_type = h.event_type AND s.hidx = h.hidx
+        ),
+        series AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   list([x, 0.0, 0.0] ORDER BY hidx) AS triples
+            FROM grid GROUP BY event_type
+        ),
+        folded AS (
+            SELECT event_type, n_hours,
+                   list_reduce(triples, (acc, e) ->
+                       [{_HOLT_A} * e[1] + {1 - _HOLT_A} * (acc[1] + acc[2]),
+                        {_HOLT_B} * (({_HOLT_A} * e[1]
+                            + {1 - _HOLT_A} * (acc[1] + acc[2])) - acc[1])
+                            + {1 - _HOLT_B} * acc[2],
+                        acc[3] + (e[1] - (acc[1] + acc[2]))
+                               * (e[1] - (acc[1] + acc[2]))]
+                   ) AS st
+            FROM series
+        )
+        SELECT event_type, n_hours,
+               st[1] AS level, st[2] AS trend,
+               st[1] + {float(_HOLT_H)} * st[2] AS forecast_{_HOLT_H}h,
+               CASE WHEN n_hours > 1
+                    THEN sqrt(st[3] / CAST(n_hours - 1 AS DOUBLE))
+                    ELSE NULL END AS rmse_1step
+        FROM folded
+        ORDER BY event_type
+    """,
+    doc=f"""Holt linear-trend exponential smoothing over the hourly
+    event-rate series — the capacity-planning forecast a pipeline team
+    keeps per topic/partition: level and trend state (alpha={_HOLT_A},
+    beta={_HOLT_B}), a {_HOLT_H}-hour-ahead projection level +
+    {_HOLT_H}*trend, and the in-sample one-step RMSE as the model's
+    own error bar.  Initial state (l, b) = (x_0, 0); missing hours
+    count as zero rate via the complete spine.
+
+    Determinism: the recurrence is inherently sequential, so it runs
+    as a SEQUENTIAL FOLD over the hour-ordered series (the
+    orders_survival_km convention): Spark's F.aggregate and DuckDB's
+    list_reduce evaluate the identical IEEE expression chain over a
+    [level, trend, sse] accumulator in the identical order —
+    bit-identical state, no exp/log.
+
+    Scale: one hash aggregate at (type, hour) grain; the fold is
+    per-type over a CALENDAR-BOUNDED array (hours, not events) inside
+    one row — the same bounded-collect discipline as the session and
+    survival operators.  10^5 series x 10^4 points is a wide but flat
+    map stage; the recurrence never shuffles.""",
+)
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("ts_us") / _HOUR_US).cast("long").alias("hidx"),
+    )
+    hourly = ev.groupBy("event_type", "hidx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bounds = ev.agg(F.min("hidx").alias("mn"), F.max("hidx").alias("mx"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("hidx"),
+        )
+    )
+    grid = spine.join(hourly, ["event_type", "hidx"], "left").select(
+        "event_type",
+        "hidx",
+        F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("x"),
+    )
+    series = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("hidx", "x"))),
+            lambda s: s.getField("x"),
+        ).alias("xs"),
+    )
+
+    a, b1 = _HOLT_A, 1 - _HOLT_A
+    g, g1 = _HOLT_B, 1 - _HOLT_B
+
+    def merge(acc, x):
+        l0 = F.element_at(acc, 1)
+        b0 = F.element_at(acc, 2)
+        sse = F.element_at(acc, 3)
+        lp = F.lit(a) * x + F.lit(b1) * (l0 + b0)
+        bp = F.lit(g) * (lp - l0) + F.lit(g1) * b0
+        ssep = sse + (x - (l0 + b0)) * (x - (l0 + b0))
+        return F.array(lp, bp, ssep)
+
+    st = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.array(
+            F.try_element_at("xs", F.lit(1)), F.lit(0.0), F.lit(0.0)
+        ),
+        merge,
+    )
+    folded = series.select("event_type", "n_hours", st.alias("st"))
+    return folded.select(
+        "event_type",
+        "n_hours",
+        F.element_at("st", 1).alias("level"),
+        F.element_at("st", 2).alias("trend"),
+        (
+            F.element_at("st", 1) + F.lit(float(_HOLT_H)) * F.element_at("st", 2)
+        ).alias(f"forecast_{_HOLT_H}h"),
+        F.when(
+            F.col("n_hours") > 1,
+            F.sqrt(
+                F.element_at("st", 3) / (F.col("n_hours") - 1).cast("double")
+            ),
+        ).alias("rmse_1step"),
+    ).orderBy("event_type")

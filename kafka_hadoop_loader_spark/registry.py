@@ -73,6 +73,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # presentation order — names, fns, and oracles are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new round-6 operators (never driver-tested) --
+    "events_changepoint_cusum",
+    "events_forecast_holt",
+    "spatial_dbscan_grid",
+    "orders_survival_km",
+    "events_uplift_did",
+    "graph_link_prediction",
+    "pipeline_dataset_card",
+    "resample_interpolate",
     "ann_ivf_probe_frontier",
     "dedup_cross_split_leakage",
     "stats_bootstrap_ci",

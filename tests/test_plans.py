@@ -495,6 +495,8 @@ def test_query_construction_runs_no_spark_jobs(spark):
         "ann_recall_audit",
         "text_bigram_kneser_ney",
         "graph_kcore",
+        "spatial_dbscan_grid",
+        "graph_link_prediction",
     }
     load_tables(spark, SF_DIR)  # warm the schema cache
     sc = spark.sparkContext

@@ -108,3 +108,112 @@ def test_cross_split_leakage_classes(spark, reg):
             assert r["leaked_eval_docs"] is None
         else:
             assert 0 <= r["leaked_eval_docs"] <= r["n_pairs"]
+
+
+def test_survival_km_monotone_and_bounded(spark, reg):
+    rows = reg["orders_survival_km"].fn(spark, SF).collect()
+    assert rows
+    prev_s, prev_n = 1.0, None
+    for r in rows:  # ordered by t_days
+        assert 0.0 <= r["survival"] <= 1.0
+        assert r["survival"] <= prev_s + 1e-12  # S(t) non-increasing
+        assert r["d_events"] >= 1
+        assert r["n_at_risk"] >= r["d_events"]
+        if prev_n is not None:
+            assert r["n_at_risk"] <= prev_n  # at-risk only shrinks
+        prev_s, prev_n = r["survival"], r["n_at_risk"]
+
+
+def test_uplift_did_identity(spark, reg):
+    [r] = reg["events_uplift_did"].fn(spark, SF).collect()
+    assert r["n_treated_pre"] and r["n_control_post"]
+    did = (r["mean_treated_post"] - r["mean_treated_pre"]) - (
+        r["mean_control_post"] - r["mean_control_pre"]
+    )
+    assert abs(did - r["did_estimate"]) < 1e-12
+
+
+def test_link_prediction_scores(spark, reg):
+    rows = reg["graph_link_prediction"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["jaccard"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 < s <= 1.0 for s in scores)
+    assert all(r["part_a"] < r["part_b"] for r in rows)
+    # predicted pairs must NOT be existing edges
+    from kafka_hadoop_loader_spark.operators.graph import _copurchase_edges
+
+    edges = {(e["u"], e["v"]) for e in _copurchase_edges(spark, SF).collect()}
+    assert all((r["part_a"], r["part_b"]) not in edges for r in rows)
+
+
+def test_dataset_card_consistency(spark, reg):
+    rows = reg["pipeline_dataset_card"].fn(spark, SF).collect()
+    total = sum(r["n_docs"] for r in rows)
+    from kafka_hadoop_loader_spark.catalog import table
+
+    assert total == table(spark, SF, "documents").count()
+    for r in rows:
+        assert r["n_train"] + r["n_val"] + r["n_test"] == r["n_docs"]
+        assert 0 <= r["dup_rate"] < 1
+        assert r["total_chars"] >= r["total_tokens"]  # >= 1 char/token
+
+
+def test_resample_interpolate_fills_gaps(spark, reg):
+    from pyspark.sql import functions as F
+
+    df = reg["resample_interpolate"].fn(spark, SF)
+    kinds = {
+        r["fill_kind"]: r["n"]
+        for r in df.groupBy("fill_kind").agg(F.count("*").alias("n")).collect()
+    }
+    assert kinds.get("observed", 0) > 0
+    # spine is complete: every type has the same hour count
+    per_type = df.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    assert len({r["n"] for r in per_type}) == 1
+    # interpolated values sit between their anchors' global bounds
+    bounds = df.where(F.col("fill_kind") == "observed").agg(
+        F.min("filled_value"), F.max("filled_value")
+    ).first()
+    interp = df.where(F.col("fill_kind") == "interpolated")
+    if interp.count():
+        got = interp.agg(F.min("filled_value"), F.max("filled_value")).first()
+        assert got[0] >= bounds[0] - 1e-9 and got[1] <= bounds[1] + 1e-9
+    # no nulls in filled_value except 'missing' rows
+    assert df.where(
+        (F.col("fill_kind") != "missing") & F.col("filled_value").isNull()
+    ).count() == 0
+
+
+def test_changepoint_cusum_locates_shift(spark, reg):
+    rows = reg["events_changepoint_cusum"].fn(spark, SF).collect()
+    assert rows  # one row per event type
+    for r in rows:
+        assert 0.0 <= r["cusum_stat"] <= 1.0
+        assert r["mean_before"] >= 0 and r["mean_after"] >= 0
+
+
+def test_forecast_holt_state_sane(spark, reg):
+    rows = reg["events_forecast_holt"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_hours"] >= 1
+        assert r["level"] is not None
+        assert abs(r["forecast_24h"] - (r["level"] + 24 * r["trend"])) < 1e-9
+        if r["n_hours"] > 1:
+            assert r["rmse_1step"] >= 0
+
+
+def test_dbscan_roles_consistent(spark, reg):
+    rows = reg["spatial_dbscan_grid"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["converged"] is True
+        if r["role"] == "noise":
+            assert r["cluster_id"] is None
+        else:
+            assert r["cluster_id"] is not None
+    # every border point's cluster is some core point's cluster
+    core_clusters = {r["cluster_id"] for r in rows if r["role"] == "core"}
+    border_clusters = {r["cluster_id"] for r in rows if r["role"] == "border"}
+    assert border_clusters <= core_clusters

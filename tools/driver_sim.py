@@ -92,7 +92,8 @@ def main() -> int:
         "scan_python_datasource", "scan_text_lines", "scan_xml",
         "dedup_clusters", "dedup_clusters_star", "graph_connected_components",
         "graph_label_propagation", "orders_rfm_segments", "ann_recall_audit",
-        "text_bigram_kneser_ney", "graph_kcore",
+        "text_bigram_kneser_ney", "graph_kcore", "spatial_dbscan_grid",
+        "graph_link_prediction",
     }
     sc = spark.sparkContext
     failures = []
