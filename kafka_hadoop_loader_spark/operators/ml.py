@@ -865,3 +865,77 @@ def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --- Hashing-trick feature vectorizer ----------------------------------
+
+_FH_DIM = 64  # hashed feature dimension
+
+
+@register(
+    "feature_hashing_vectorizer",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('fh:' || w), 1, 15)) AS BIGINT)
+                       % {_FH_DIM} AS bucket,
+                   CASE WHEN CAST(('0x' || substr(md5('fhs:' || w), 1, 15))
+                             AS BIGINT) % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM tok WHERE w <> ''
+        )
+        SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+               CAST(SUM(sgn) AS BIGINT) AS weight
+        FROM hashed
+        GROUP BY doc_id, bucket
+        HAVING SUM(sgn) <> 0
+        ORDER BY doc_id, bucket
+    """,
+    doc=f"""Feature hashing (the "hashing trick", Weinberger et al.) —
+    the vocabulary-free vectorizer for ML on unbounded token spaces:
+    each token maps to one of {_FH_DIM} buckets by portable hash, with
+    a second independent hash supplying a +/-1 sign so collisions
+    cancel in expectation instead of biasing upward; the output is the
+    sparse document-feature matrix in COO form (doc_id, bucket,
+    weight), zero-weight cells dropped.  No vocabulary build, no
+    dictionary broadcast, no OOV — the property that makes this THE
+    vectorizer for streaming/multi-tenant feature pipelines (and
+    Spark MLlib's own HashingTF, here with the signed debiasing MLlib
+    omits).
+
+    Determinism: both hashes are the salted md5-prefix convention;
+    weights are integer sums.
+
+    Scale: explode -> one map-side-combining aggregate on (doc,
+    bucket); the shuffle carries at most nnz <= min(tokens,
+    {_FH_DIM}) rows per document.  The dimension is a constant: at
+    100 TB nothing grows but the row count.""",
+)
+def feature_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+
+    def phash60(prefix):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), F.col("w"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+
+    hashed = tok.select(
+        "doc_id",
+        (phash60("fh:") % _FH_DIM).cast("int").alias("bucket"),
+        F.when(phash60("fhs:") % 2 == 0, 1).otherwise(-1).alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+        .where(F.col("weight") != 0)
+        .orderBy("doc_id", "bucket")
+    )

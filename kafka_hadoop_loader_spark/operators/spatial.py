@@ -423,3 +423,196 @@ def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cert))
         .orderBy("c_custkey")
     )
+
+
+# --- Farthest-first k-center seeding -----------------------------------
+
+_KC_K = 8  # number of seeds
+
+
+def _kc_round_sql(prev_pts: str, prev_c: str, i: int) -> str:
+    """Pick center i = the point farthest from its nearest chosen
+    center (ties to the smallest key), then fold the new distance in."""
+    return f"""
+        c{i} AS (
+            SELECT k AS ck, x AS cx, y AS cy FROM {prev_pts}
+            ORDER BY mind DESC, k LIMIT 1
+        ),
+        p{i} AS (
+            SELECT p.k, p.x, p.y,
+                   LEAST(p.mind,
+                         (p.x - c.cx) * (p.x - c.cx)
+                         + (p.y - c.cy) * (p.y - c.cy)) AS mind
+            FROM {prev_pts} p CROSS JOIN c{i} c
+        )
+"""
+
+
+_KC_ROUNDS_SQL = ",".join(
+    _kc_round_sql(f"p{i - 1}", f"c{i - 1}", i).strip()
+    for i in range(2, _KC_K + 1)
+)
+
+
+@register(
+    "kmeans_seed_farthest",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey AS k,
+                   (c_custkey * 7919) % 1000 AS x,
+                   (c_custkey * 104729) % 1000 AS y,
+                   CAST(('0x' || substr(md5('kpp:'
+                        || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                       AS h
+            FROM customer
+        ),
+        c1 AS (
+            SELECT k AS ck, x AS cx, y AS cy FROM pts
+            ORDER BY h, k LIMIT 1
+        ),
+        p1 AS (
+            SELECT p.k, p.x, p.y,
+                   (p.x - c.cx) * (p.x - c.cx)
+                   + (p.y - c.cy) * (p.y - c.cy) AS mind
+            FROM pts p CROSS JOIN c1 c
+        ),
+        {_KC_ROUNDS_SQL},
+        centers AS (
+            {" UNION ALL ".join(
+                f"SELECT {i} AS seed_order, ck, cx, cy FROM c{i}"
+                for i in range(1, _KC_K + 1)
+            )}
+        ),
+        assign AS (
+            SELECT p.k, c.seed_order,
+                   row_number() OVER (
+                       PARTITION BY p.k
+                       ORDER BY (p.x - c.cx) * (p.x - c.cx)
+                                + (p.y - c.cy) * (p.y - c.cy),
+                                c.seed_order) AS rk,
+                   (p.x - c.cx) * (p.x - c.cx)
+                   + (p.y - c.cy) * (p.y - c.cy) AS d2
+            FROM pts p CROSS JOIN centers c
+        )
+        SELECT c.seed_order, c.ck AS c_custkey, c.cx AS x, c.cy AS y,
+               CAST(COUNT(a.k) AS BIGINT) AS n_assigned,
+               CAST(MAX(a.d2) AS BIGINT) AS radius_sq
+        FROM centers c LEFT JOIN (SELECT * FROM assign WHERE rk = 1) a
+          ON c.seed_order = a.seed_order
+        GROUP BY c.seed_order, c.ck, c.cx, c.cy
+        ORDER BY c.seed_order
+    """,
+    doc=f"""Farthest-first traversal (Gonzalez) {_KC_K}-center seeding —
+    the deterministic scale path for k-means++ initialization and
+    coreset construction: seed 1 is the minimum-salted-hash point
+    ("random" but reproducible, the sample_hash_split convention);
+    each subsequent seed is the point FARTHEST from its nearest chosen
+    center (exact integer distance-squared on the spatial plane, ties
+    to the smallest key).  The greedy farthest-first prefix is a
+    provable 2-approximation to the k-center optimum — the geometric
+    guarantee kmeans_embeddings' random init lacks.  Output: each
+    seed with its cluster's population and radius under the final
+    nearest-seed assignment.
+
+    Plan: {_KC_K - 1} unrolled rounds, each = one 1-row TakeOrdered
+    (argmax of the running min-distance) broadcast back as a
+    cross-join column fold — zero driver-side iteration; the lazy
+    per-round lineage cut is the star_contract discipline.  The
+    oracle replays the identical rounds as chained CTEs.
+
+    Scale: each round is one scan + 1-row broadcast (k scans total —
+    at 10^9 points you batch several seeds per pass with the k-means||
+    oversampling trick; the greedy exact form here is the auditable
+    baseline).  Assignment is points x {_KC_K} broadcast centers.""",
+)
+def kmeans_seed_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("k"),
+        ((F.col("c_custkey") * 7919) % 1000).alias("x"),
+        ((F.col("c_custkey") * 104729) % 1000).alias("y"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kpp:"), F.col("c_custkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).localCheckpoint(eager=False)
+
+    def center_of(df, order_cols):
+        return (
+            df.orderBy(*order_cols)
+            .limit(1)
+            .select(
+                F.col("k").alias("ck"),
+                F.col("x").alias("cx"),
+                F.col("y").alias("cy"),
+            )
+        )
+
+    def d2(xa, ya, xb, yb):
+        return (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+
+    c1 = center_of(pts, [F.col("h"), F.col("k")])
+    centers = [c1]
+    p = (
+        pts.crossJoin(F.broadcast(c1))
+        .select(
+            "k", "x", "y",
+            d2(F.col("x"), F.col("y"), F.col("cx"), F.col("cy")).alias("mind"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(2, _KC_K + 1):
+        ci = center_of(p, [F.col("mind").desc(), F.col("k")])
+        centers.append(ci)
+        p = (
+            p.crossJoin(F.broadcast(ci))
+            .select(
+                "k", "x", "y",
+                F.least(
+                    F.col("mind"),
+                    d2(F.col("x"), F.col("y"), F.col("cx"), F.col("cy")),
+                ).alias("mind"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    cent = None
+    for i, ci in enumerate(centers, start=1):
+        row = ci.select(F.lit(i).alias("seed_order"), "ck", "cx", "cy")
+        cent = row if cent is None else cent.unionAll(row)
+    wa = Window.partitionBy("k").orderBy("d2", "seed_order")
+    assign = (
+        pts.crossJoin(F.broadcast(cent))
+        .select(
+            "k",
+            "seed_order",
+            d2(F.col("x"), F.col("y"), F.col("cx"), F.col("cy")).alias("d2"),
+        )
+        .withColumn("rk", F.row_number().over(wa))
+        .where(F.col("rk") == 1)
+    )
+    return (
+        cent.join(assign, "seed_order", "left")
+        .groupBy("seed_order", "ck", "cx", "cy")
+        .agg(
+            F.count("k").cast("bigint").alias("n_assigned"),
+            F.max("d2").cast("bigint").alias("radius_sq"),
+        )
+        .select(
+            "seed_order",
+            F.col("ck").alias("c_custkey"),
+            F.col("cx").alias("x"),
+            F.col("cy").alias("y"),
+            "n_assigned",
+            "radius_sq",
+        )
+        .orderBy("seed_order")
+    )

@@ -2039,3 +2039,118 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("rmse_1step"),
     ).orderBy("event_type")
+
+
+@register(
+    "scd_temporal_join",
+    oracle="""
+        WITH src AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+                   value
+            FROM events
+        ),
+        states AS (
+            SELECT user_id, event_type, ts_us,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                   ) AS prev_type
+            FROM src WHERE event_type <> 'purchase'
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts_us FROM states
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        ),
+        dim AS (
+            SELECT user_id, event_type AS state,
+                   ts_us AS valid_from,
+                   lead(ts_us) OVER (
+                       PARTITION BY user_id ORDER BY ts_us
+                   ) AS valid_to
+            FROM changes
+        ),
+        facts AS (
+            SELECT user_id, ts_us, value FROM src
+            WHERE event_type = 'purchase'
+        )
+        SELECT COALESCE(d.state, '(none)') AS state_at_purchase,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(ROUND(f.value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_value
+        FROM facts f
+        LEFT JOIN dim d
+          ON f.user_id = d.user_id
+         AND d.valid_from <= f.ts_us
+         AND (d.valid_to IS NULL OR f.ts_us < d.valid_to)
+        GROUP BY COALESCE(d.state, '(none)')
+        ORDER BY state_at_purchase
+    """,
+    doc="""Point-in-time (SCD2 temporal) join — the read-side dual of
+    scd2_history and THE query warehouses run against versioned
+    dimensions: each purchase fact joins the dimension VERSION that
+    was valid at the fact's timestamp ([valid_from, valid_to)
+    containment on the user key), answering "what state was the user
+    in when they bought" — here the state is the user's latest
+    non-purchase activity run, so the result is purchase attribution
+    by preceding behavior; purchases before any state version land in
+    '(none)'.
+
+    Plan: the dimension build is one user-partitioned window pass
+    (the scd2_history plan); the temporal join is an EQUI join on
+    user_id with the interval predicate as a residual filter — per-key
+    version chains are short, so the matched-rows blowup is bounded
+    by versions-per-user, never a range-join explosion.  Value sums
+    are exact scaled BIGINTs.
+
+    Scale: both sides shuffle once on user_id; at 100 TB you bucket
+    the dimension by key (join_bucketed_colocated) and the fact scan
+    dominates.  A Delta/Iceberg time-travel read replaces the window
+    build; the join shape is identical.""",
+)
+def scd_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id", "value"
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    states = (
+        e.where(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            "event_type",
+            "ts_us",
+            F.lag("event_type").over(w_seq).alias("prev_type"),
+        )
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w_iv = Window.partitionBy("user_id").orderBy("ts_us")
+    dim = states.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from"),
+        F.lead("ts_us").over(w_iv).alias("valid_to"),
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    j = facts.join(
+        dim,
+        (facts.user_id == dim.d_user)
+        & (dim.valid_from <= facts.ts_us)
+        & (dim.valid_to.isNull() | (facts.ts_us < dim.valid_to)),
+        "left",
+    )
+    return (
+        j.groupBy(F.coalesce(F.col("state"), F.lit("(none)")).alias("state_at_purchase"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        .orderBy("state_at_purchase")
+    )

@@ -241,3 +241,91 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=f"""
+        WITH words AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            )
+            WHERE word <> ''
+            GROUP BY word
+        ),
+        w0 AS (
+            SELECT word, cnt,
+                   regexp_replace(word, '(.)', '|\\1|', 'g') AS seq
+            FROM words
+        ),
+        {_ENC_ROUNDS_SQL}
+        vocab AS (
+            SELECT word,
+                   CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT)
+                       AS n_sym,
+                   CAST(length(word) AS BIGINT) AS n_chars_w
+            FROM w{_ROUNDS}
+        ),
+        dw AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(COUNT(DISTINCT dw.word) AS BIGINT) AS n_word_types,
+               CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS fertility,
+               CAST(SUM(n_chars_w) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE)
+                   AS chars_per_token
+        FROM dw JOIN vocab USING (word)
+        WHERE word <> ''
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="""Tokenizer fertility audit BY LANGUAGE — the equity metric a
+    multilingual pretraining effort tracks per tokenizer release:
+    fertility = BPE tokens emitted per whitespace word (1.0 = every
+    word is one token; high fertility means a language pays more
+    sequence length — and more compute — per word of content), plus
+    chars-per-token compression and word-type counts.  Uses the SAME
+    learned vocabulary as bpe_train_merges / bpe_encode_corpus
+    (_learn_merged_vocab — the oracle replays the identical training
+    rounds), so the audit measures exactly the tokenizer the other
+    two queries ship.
+
+    Scale: corpus-words x vocab join (vocab-sized build side, the
+    production vocab-lookup shape) and one aggregate at language
+    grain.  Exact integers; both ratios are single final divisions.""",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _learn_merged_vocab(spark, sf_dir)
+    syms = F.split(F.expr("trim(BOTH '|' FROM seq)"), r"\|\|")
+    vocab = w.select(
+        "word",
+        F.size(syms).cast("bigint").alias("n_sym"),
+        F.length("word").cast("bigint").alias("n_chars_w"),
+    )
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    dw = d.select("lang", F.explode(F.split("text", " ")).alias("word")).where(
+        F.col("word") != ""
+    )
+    return (
+        dw.join(vocab, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.countDistinct("word").cast("bigint").alias("n_word_types"),
+            F.sum("n_sym").cast("bigint").alias("n_tokens"),
+            (
+                F.sum("n_sym").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("fertility"),
+            (
+                F.sum("n_chars_w").cast("double")
+                / F.sum("n_sym").cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

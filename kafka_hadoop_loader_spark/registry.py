@@ -73,6 +73,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # presentation order — names, fns, and oracles are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new round-6 operators (never driver-tested) --
+    "tokenizer_fertility",
+    "kmeans_seed_farthest",
+    "scd_temporal_join",
+    "feature_hashing_vectorizer",
     "events_changepoint_cusum",
     "events_forecast_holt",
     "spatial_dbscan_grid",

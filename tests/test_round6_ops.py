@@ -217,3 +217,58 @@ def test_dbscan_roles_consistent(spark, reg):
     core_clusters = {r["cluster_id"] for r in rows if r["role"] == "core"}
     border_clusters = {r["cluster_id"] for r in rows if r["role"] == "border"}
     assert border_clusters <= core_clusters
+
+
+def test_tokenizer_fertility_vs_encode(spark, reg):
+    from pyspark.sql import functions as F
+
+    fert = reg["tokenizer_fertility"].fn(spark, SF)
+    enc = reg["bpe_encode_corpus"].fn(spark, SF)
+    # corpus totals must agree between the two views of the same vocab
+    t1 = fert.agg(F.sum("n_tokens")).first()[0]
+    t2 = enc.agg(F.sum("n_tokens")).first()[0]
+    assert t1 == t2
+    for r in fert.collect():
+        assert r["fertility"] >= 1.0  # a word is at least one token
+
+
+def test_kmeans_seed_farthest_properties(spark, reg):
+    rows = reg["kmeans_seed_farthest"].fn(spark, SF).collect()
+    assert len(rows) == 8
+    assert [r["seed_order"] for r in rows] == list(range(1, 9))
+    assert len({r["c_custkey"] for r in rows}) == 8  # distinct seeds
+    total = sum(r["n_assigned"] for r in rows)
+    from kafka_hadoop_loader_spark.catalog import table
+
+    assert total == table(spark, SF, "customer").count()
+
+
+def test_scd_temporal_join_totals(spark, reg):
+    from pyspark.sql import functions as F
+
+    rows = reg["scd_temporal_join"].fn(spark, SF).collect()
+    n = sum(r["n_purchases"] for r in rows)
+    ev = table_events = None
+    from kafka_hadoop_loader_spark.catalog import table
+
+    purchases = (
+        table(spark, SF, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert n == purchases  # left join loses nothing
+    assert all(r["state_at_purchase"] != "purchase" for r in rows)
+
+
+def test_feature_hashing_bounds(spark, reg):
+    from pyspark.sql import functions as F
+
+    df = reg["feature_hashing_vectorizer"].fn(spark, SF)
+    agg = df.agg(
+        F.min("bucket"), F.max("bucket"), F.count("*"),
+        F.countDistinct("doc_id"),
+    ).first()
+    assert 0 <= agg[0] and agg[1] < 64
+    assert agg[2] > 0 and agg[3] > 0
+    # no duplicate (doc, bucket) cells
+    assert df.groupBy("doc_id", "bucket").count().where("count > 1").count() == 0

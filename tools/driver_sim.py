@@ -93,7 +93,7 @@ def main() -> int:
         "dedup_clusters", "dedup_clusters_star", "graph_connected_components",
         "graph_label_propagation", "orders_rfm_segments", "ann_recall_audit",
         "text_bigram_kneser_ney", "graph_kcore", "spatial_dbscan_grid",
-        "graph_link_prediction",
+        "graph_link_prediction", "kmeans_seed_farthest",
     }
     sc = spark.sparkContext
     failures = []
