@@ -939,3 +939,407 @@ def feature_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("weight") != 0)
         .orderBy("doc_id", "bucket")
     )
+
+
+# --- in-plan iterative GLM: rational-sigmoid logistic regression -------
+
+# Quantization grid for Gauss-Newton sufficient statistics: per-row
+# contributions are arbitrary doubles (NOT 2dp-decimal-valued), so the
+# functions/exact.py ROUND convention does not apply — FLOOR does:
+# floor(x) on an identical IEEE double is bit-identical in every engine
+# (ROUND is not, see exact.py's boundary note).  |contrib| <= 6.25, so
+# at grid 1e9 each row adds < 2^33 — int64 headroom to ~1.5e9 rows per
+# group; at larger scale drop the grid to 1e6 (the fit moves by <1e-6).
+_LR_GRID = "1000000000.0"
+
+
+def _lr_sql_iter(prev: str, rows: str, stats: str, out: str) -> str:
+    """One Gauss-Newton step as DuckDB CTEs, textually parallel to the
+    Spark expressions in _lr_step (same literals, same association)."""
+    q = lambda e: f"CAST(FLOOR(({e}) * {_LR_GRID}) AS BIGINT)"  # noqa: E731
+    det = (
+        "(CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)"
+        " - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE))"
+    )
+    return f"""
+        {rows} AS (
+            SELECT b.segment, b.x, b.y, p.b0, p.b1,
+                   0.5 + 0.5 * (p.b0 + p.b1 * b.x)
+                       / (1.0 + abs(p.b0 + p.b1 * b.x)) AS sig,
+                   0.5 / ((1.0 + abs(p.b0 + p.b1 * b.x))
+                          * (1.0 + abs(p.b0 + p.b1 * b.x))) AS sp
+            FROM lr_base b JOIN {prev} p USING (segment)
+        ),
+        {stats} AS (
+            SELECT segment, MIN(b0) AS b0, MIN(b1) AS b1,
+                   SUM({q("(y - sig) * sp")}) AS g0,
+                   SUM({q("(y - sig) * sp * x")}) AS g1,
+                   SUM({q("sp * sp")}) AS h00,
+                   SUM({q("sp * sp * x")}) AS h01,
+                   SUM({q("sp * sp * x * x")}) AS h11
+            FROM {rows} GROUP BY segment
+        ),
+        {out} AS (
+            SELECT segment,
+                   b0 + (CAST(h11 AS DOUBLE) * CAST(g0 AS DOUBLE)
+                         - CAST(h01 AS DOUBLE) * CAST(g1 AS DOUBLE))
+                        / {det} AS b0,
+                   b1 + (CAST(h00 AS DOUBLE) * CAST(g1 AS DOUBLE)
+                         - CAST(h01 AS DOUBLE) * CAST(g0 AS DOUBLE))
+                        / {det} AS b1
+            FROM {stats}
+        )"""
+
+
+_LR_ORACLE = f"""
+    WITH lr_base AS (
+        SELECT c.c_mktsegment AS segment,
+               o.o_totalprice / 100000.0 AS x,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    lr_b0 AS (SELECT DISTINCT segment, 0.0 AS b0, 0.0 AS b1 FROM lr_base),
+    {_lr_sql_iter("lr_b0", "lr_r1", "lr_s1", "lr_b1")},
+    {_lr_sql_iter("lr_b1", "lr_r2", "lr_s2", "lr_b2")},
+    {_lr_sql_iter("lr_b2", "lr_r3", "lr_s3", "lr_b3")},
+    fin AS (
+        SELECT b.segment, b.y, p.b0, p.b1,
+               (p.b0 + p.b1 * b.x) AS z,
+               0.5 + 0.5 * (p.b0 + p.b1 * b.x)
+                   / (1.0 + abs(p.b0 + p.b1 * b.x)) AS sig
+        FROM lr_base b JOIN lr_b3 p USING (segment)
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_urgent,
+           MIN(b0) AS beta0, MIN(b1) AS beta1,
+           CAST(SUM(CASE WHEN (z >= 0.0) = (y > 0.5) THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy,
+           CAST(SUM(CAST(FLOOR(((y - sig) * (y - sig)) * {_LR_GRID})
+                         AS BIGINT)) AS DOUBLE) / {_LR_GRID} AS sse
+    FROM fin GROUP BY segment
+    ORDER BY segment
+"""
+
+
+def _lr_quant(c):
+    """FLOOR-quantized BIGINT view of a per-row double contribution."""
+    return F.floor(c * F.expr(_LR_GRID)).cast("long")
+
+
+def _lr_sig_sp(z):
+    a = F.lit(1.0) + F.abs(z)
+    sig = F.lit(0.5) + F.lit(0.5) * z / a
+    sp = F.lit(0.5) / (a * a)
+    return sig, sp
+
+
+def _lr_step(base: DataFrame, betas: DataFrame) -> DataFrame:
+    j = base.join(F.broadcast(betas), "segment")
+    z = F.col("b0") + F.col("b1") * F.col("x")
+    sig, sp = _lr_sig_sp(z)
+    r = F.col("y") - sig
+    x = F.col("x")
+    s = j.groupBy("segment").agg(
+        F.min("b0").alias("b0"),
+        F.min("b1").alias("b1"),
+        F.sum(_lr_quant(r * sp)).alias("g0"),
+        F.sum(_lr_quant(r * sp * x)).alias("g1"),
+        F.sum(_lr_quant(sp * sp)).alias("h00"),
+        F.sum(_lr_quant(sp * sp * x)).alias("h01"),
+        F.sum(_lr_quant(sp * sp * x * x)).alias("h11"),
+    )
+    d = lambda n: F.col(n).cast("double")  # noqa: E731
+    det = d("h00") * d("h11") - d("h01") * d("h01")
+    return s.select(
+        "segment",
+        (F.col("b0") + (d("h11") * d("g0") - d("h01") * d("g1")) / det).alias(
+            "b0"
+        ),
+        (F.col("b1") + (d("h00") * d("g1") - d("h01") * d("g0")) / det).alias(
+            "b1"
+        ),
+    )
+
+
+@register(
+    "ml_logreg_rational",
+    oracle=_LR_ORACLE,
+    doc="""Per-segment logistic-style classifier (is this order urgent?
+    y = priority in {1-URGENT, 2-HIGH} from x = totalprice/1e5) fit by
+    THREE Gauss-Newton steps unrolled into one lazy plan — the in-plan
+    iterative-GLM pattern: each step is a 5-row broadcast of the current
+    coefficients back over the fact scan, a map-side-combining aggregate
+    of quantized sufficient statistics (gradient + 2x2 Gauss-Newton
+    Hessian), and a closed-form 2x2 solve — no driver-side loop, no
+    action, no collect (the same zero-action discipline as
+    regr_normal_equations and kmeans_embeddings).
+
+    The link is the RATIONAL Elliott sigmoid s(z) = 0.5 + 0.5*z/(1+|z|)
+    (Elliott 1993), chosen because exp() is not bit-portable across
+    engines (see textstats.py's ln() notes) while +,-,*,/,abs are IEEE-
+    correctly-rounded everywhere — so every per-row double here is
+    bit-identical in Spark and DuckDB, FLOOR-quantization to the 1e9
+    grid is exact, the BIGINT sums are order-independent, and the
+    fitted coefficients match the oracle bit-for-bit.  Decision
+    boundary s(z) >= 0.5 is exactly z >= 0 — the accuracy column needs
+    no sigmoid at inference.
+
+    Scale: 3 iterations x (broadcast join + hash aggregate) over a
+    column-pruned scan; state is 5 groups x 7 BIGINTs.  Iteration count
+    is FIXED and unrolled (Gauss-Newton on a 1-feature logistic is
+    near-converged in 3); at 100 TB each step is one scan — the
+    classic tradeoff vs caching the projected base once.""",
+)
+def ml_logreg_rational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice") / F.lit(100000.0)).alias("x"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+        )
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    betas = base.select("segment").distinct().select(
+        "segment", F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    for _ in range(3):
+        betas = _lr_step(base, betas)
+    j = base.join(F.broadcast(betas), "segment")
+    z = F.col("b0") + F.col("b1") * F.col("x")
+    sig, _ = _lr_sig_sp(z)
+    r = F.col("y") - sig
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("y") > 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_urgent"),
+            F.min("b0").alias("beta0"),
+            F.min("b1").alias("beta1"),
+            F.sum(
+                F.when((z >= F.lit(0.0)) == (F.col("y") > F.lit(0.5)), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+            F.sum(_lr_quant(r * r)).alias("sse_q"),
+        )
+        .select(
+            "segment",
+            "n_orders",
+            "n_urgent",
+            "beta0",
+            "beta1",
+            (
+                F.col("n_correct").cast("double")
+                / F.col("n_orders").cast("double")
+            ).alias("accuracy"),
+            (F.col("sse_q").cast("double") / F.expr(_LR_GRID)).alias("sse"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --- split-conformal prediction intervals ------------------------------
+
+_CONF_PHASH = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "conformal_interval_coverage",
+    oracle=f"""
+        WITH base AS (
+            SELECT c.c_mktsegment AS segment, o.o_orderkey,
+                   o.o_totalprice AS y,
+                   {_CONF_PHASH.format(x="'conf:' || CAST(o.o_orderkey AS VARCHAR)")}
+                       % 4 AS bucket
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        model AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_train,
+                   CAST(SUM(CAST(ROUND(y * 100) AS BIGINT)) AS DOUBLE)
+                       / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS yhat
+            FROM base WHERE bucket < 2 GROUP BY segment
+        ),
+        cal AS (
+            SELECT b.segment, abs(b.y - m.yhat) AS r, b.o_orderkey
+            FROM base b JOIN model m USING (segment)
+            WHERE b.bucket = 2
+        ),
+        cal_rank AS (
+            SELECT segment, r,
+                   row_number() OVER (PARTITION BY segment
+                                      ORDER BY r, o_orderkey) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT)
+                       AS n_cal
+            FROM cal
+        ),
+        q AS (
+            SELECT segment, n_cal, r AS q_radius
+            FROM cal_rank
+            WHERE rn = (9 * (n_cal + 1) + 9) // 10
+        ),
+        test AS (
+            SELECT b.segment, m.n_train, m.yhat, q.n_cal, q.q_radius,
+                   CASE WHEN abs(b.y - m.yhat) <= q.q_radius
+                        THEN 1 ELSE 0 END AS covered
+            FROM base b JOIN model m USING (segment) JOIN q USING (segment)
+            WHERE b.bucket = 3
+        )
+        SELECT segment,
+               MIN(n_train) AS n_train, MIN(n_cal) AS n_cal,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               MIN(yhat) AS yhat, MIN(q_radius) AS q_radius,
+               CAST(SUM(covered) AS BIGINT) AS n_covered,
+               CAST(SUM(covered) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS coverage,
+               CAST(SUM(covered) AS BIGINT) * 10
+                   >= CAST(COUNT(*) AS BIGINT) * 9 AS meets_target
+        FROM test GROUP BY segment
+        ORDER BY segment
+    """,
+    doc="""Split-conformal prediction intervals with finite-sample
+    coverage audit (Vovk et al.; the distribution-free uncertainty
+    wrapper production ML ships around ANY point model): rows are
+    hash-split 50/25/25 into train/calibration/test by the portable
+    salted md5 (sample_hash_split's convention, its own 'conf:' salt);
+    the model is the per-segment train mean of totalprice; the
+    conformal radius q is the ceil(0.9*(n_cal+1))-th smallest absolute
+    calibration residual — computed as an integer-arithmetic rank
+    (9*(n+1)+9)//10, no float quantile — and the test half reports
+    empirical coverage of [yhat-q, yhat+q] with an exact cross-
+    multiplied >=90% verdict.
+
+    Cross-engine exactness: yhat is the scaled-BIGINT exact mean
+    (functions/exact.py), residuals are single IEEE subtractions,
+    the order statistic picks an ACTUAL residual value (rank ties
+    broken by orderkey never change the selected r among equal
+    values), and the coverage verdict never divides.
+
+    Scale: model + radius state is O(|segments|); the only per-row
+    shuffles are the two hash aggregates and one keyed rank over the
+    25% calibration slice.  That per-segment rank partition grows
+    linearly with data — at 100 TB either cap calibration by a second
+    hash (fixed-size slice preserves the conformal guarantee) or swap
+    in plans/ranking.two_phase_rank per segment; the interval math is
+    unchanged.""",
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.functions.exact import scaled_long
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("conf:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.col("o_totalprice").alias("y"),
+        bucket.alias("bucket"),
+    )
+    model = (
+        base.where(F.col("bucket") < 2)
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            (
+                F.sum(scaled_long(F.col("y"), 100)).cast("double")
+                / (F.count("*").cast("double") * F.lit(100.0))
+            ).alias("yhat"),
+        )
+    )
+    cal = (
+        base.where(F.col("bucket") == 2)
+        .join(F.broadcast(model), "segment")
+        .select(
+            "segment",
+            F.abs(F.col("y") - F.col("yhat")).alias("r"),
+            "o_orderkey",
+        )
+    )
+    wseg = Window.partitionBy("segment")
+    cal_rank = cal.select(
+        "segment",
+        "r",
+        F.row_number()
+        .over(wseg.orderBy("r", "o_orderkey"))
+        .alias("rn"),
+        F.count("*").over(wseg).cast("bigint").alias("n_cal"),
+    )
+    q = cal_rank.where(
+        F.col("rn")
+        == F.expr("(9 * (n_cal + 1) + 9) DIV 10")
+    ).select("segment", "n_cal", F.col("r").alias("q_radius"))
+    test = (
+        base.where(F.col("bucket") == 3)
+        .join(F.broadcast(model), "segment")
+        .join(F.broadcast(q), "segment")
+        .select(
+            "segment",
+            "n_train",
+            "yhat",
+            "n_cal",
+            "q_radius",
+            F.when(
+                F.abs(F.col("y") - F.col("yhat")) <= F.col("q_radius"), 1
+            )
+            .otherwise(0)
+            .alias("covered"),
+        )
+    )
+    return (
+        test.groupBy("segment")
+        .agg(
+            F.min("n_train").alias("n_train"),
+            F.min("n_cal").alias("n_cal"),
+            F.count("*").cast("bigint").alias("n_test"),
+            F.min("yhat").alias("yhat"),
+            F.min("q_radius").alias("q_radius"),
+            F.sum("covered").cast("bigint").alias("n_covered"),
+        )
+        .select(
+            "segment",
+            "n_train",
+            "n_cal",
+            "n_test",
+            "yhat",
+            "q_radius",
+            "n_covered",
+            (
+                F.col("n_covered").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("coverage"),
+            (F.col("n_covered") * 10 >= F.col("n_test") * 9).alias(
+                "meets_target"
+            ),
+        )
+        .orderBy("segment")
+    )

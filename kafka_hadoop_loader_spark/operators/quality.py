@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_loader_spark.catalog import table
@@ -500,4 +500,164 @@ def drift_category_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(F.col("dnum")) * 50 > F.col("ncur_total") * F.col("nref_total")
         ).alias("share_drifted"),
+    ).orderBy("event_type")
+
+
+# --- two-sample Kolmogorov-Smirnov drift test --------------------------
+
+
+@register(
+    "drift_numeric_ks",
+    oracle="""
+        WITH ev AS (
+            SELECT event_type, epoch_us(ts) AS ts_us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vq
+            FROM events
+        ),
+        bounds AS (
+            SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) // 2 AS mid
+            FROM ev
+        ),
+        g AS (
+            SELECT event_type, vq,
+                   CAST(SUM(CASE WHEN ts_us < mid THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ref,
+                   CAST(SUM(CASE WHEN ts_us < mid THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_cur
+            FROM ev CROSS JOIN bounds
+            GROUP BY event_type, vq
+        ),
+        tot AS (
+            SELECT event_type,
+                   CAST(SUM(n_ref) AS BIGINT) AS nref_total,
+                   CAST(SUM(n_cur) AS BIGINT) AS ncur_total
+            FROM g GROUP BY event_type
+        ),
+        cum AS (
+            SELECT g.event_type, g.vq, t.nref_total, t.ncur_total,
+                   SUM(g.n_ref) OVER w AS cum_ref,
+                   SUM(g.n_cur) OVER w AS cum_cur
+            FROM g JOIN tot t ON g.event_type = t.event_type
+            WINDOW w AS (PARTITION BY g.event_type ORDER BY g.vq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        scored AS (
+            SELECT event_type, vq, nref_total, ncur_total,
+                   abs(CAST(cum_ref AS DOUBLE) / CAST(nref_total AS DOUBLE)
+                       - CAST(cum_cur AS DOUBLE) / CAST(ncur_total AS DOUBLE))
+                       AS ecdf_gap
+            FROM cum
+        ),
+        best AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY ecdf_gap DESC, vq) AS rk
+                FROM scored
+            ) WHERE rk = 1
+        )
+        SELECT event_type, nref_total AS n_ref, ncur_total AS n_cur,
+               ecdf_gap AS ks_stat,
+               CAST(vq AS DOUBLE) / 100.0 AS ks_at_value,
+               ecdf_gap > 1.36 * sqrt(
+                   (CAST(nref_total AS DOUBLE) + CAST(ncur_total AS DOUBLE))
+                   / (CAST(nref_total AS DOUBLE) * CAST(ncur_total AS DOUBLE))
+               ) AS drifted
+        FROM best
+        ORDER BY event_type
+    """,
+    doc="""Two-sample Kolmogorov-Smirnov drift test on the continuous
+    ``value`` column, per event type, between the two halves of the
+    stream (same mid-timestamp split as drift_category_chi2 — chi2
+    watches the CATEGORY mix, this watches the NUMERIC distribution):
+    D = max_x |ECDF_ref(x) - ECDF_cur(x)|, reported with the value at
+    which the gap peaks and the alpha=0.05 two-sample verdict
+    D > 1.36*sqrt((n1+n2)/(n1*n2)).
+
+    Cross-engine exactness: the ECDFs are evaluated on the exact cent
+    grid (value is 2dp decimal-valued — the functions/exact.py scaled-
+    BIGINT convention), cumulative counts are BIGINT window sums, and
+    the gap is ONE division per side on exact integers (identical IEEE
+    order both engines; the critical-value sqrt is IEEE-correctly-
+    rounded, so the boolean is bit-stable).  Argmax ties break on the
+    grid value.  The count cross-product is never formed in integers —
+    per-half counts at 100 TB would overflow the int64 cross-multiply,
+    the exact trap drift_category_chi2's denominator note documents.
+
+    Scale: one hash aggregate at (type, cent) grain — state is bounded
+    by the VALUE GRID (~49k cells/type at this value range), not the
+    row count — then keyed windows over that bounded grid and a 5-row
+    top-1.  The fact scan dominates; everything after is O(|grid|).""",
+)
+def drift_numeric_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.functions.exact import scaled_long
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts_us",
+        scaled_long(F.col("value"), 100).alias("vq"),
+    )
+    bounds = ev.agg(
+        (F.min("ts_us") + F.expr("(max(ts_us) - min(ts_us)) DIV 2")).alias(
+            "mid"
+        )
+    )
+    g = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", "vq")
+        .agg(
+            F.sum(F.when(F.col("ts_us") < F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("ts_us") < F.col("mid"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_cur"),
+        )
+    )
+    tot = g.groupBy("event_type").agg(
+        F.sum("n_ref").cast("bigint").alias("nref_total"),
+        F.sum("n_cur").cast("bigint").alias("ncur_total"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "vq",
+        "nref_total",
+        "ncur_total",
+        F.sum("n_ref").over(w).alias("cum_ref"),
+        F.sum("n_cur").over(w).alias("cum_cur"),
+    )
+    scored = cum.select(
+        "event_type",
+        "vq",
+        "nref_total",
+        "ncur_total",
+        F.abs(
+            F.col("cum_ref").cast("double") / F.col("nref_total").cast("double")
+            - F.col("cum_cur").cast("double")
+            / F.col("ncur_total").cast("double")
+        ).alias("ecdf_gap"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("ecdf_gap").desc(), "vq"
+    )
+    best = scored.withColumn("rk", F.row_number().over(wr)).where(
+        F.col("rk") == 1
+    )
+    nref_d = F.col("nref_total").cast("double")
+    ncur_d = F.col("ncur_total").cast("double")
+    return best.select(
+        "event_type",
+        F.col("nref_total").alias("n_ref"),
+        F.col("ncur_total").alias("n_cur"),
+        F.col("ecdf_gap").alias("ks_stat"),
+        (F.col("vq").cast("double") / F.lit(100.0)).alias("ks_at_value"),
+        (
+            F.col("ecdf_gap")
+            > F.lit(1.36) * F.sqrt((nref_d + ncur_d) / (nref_d * ncur_d))
+        ).alias("drifted"),
     ).orderBy("event_type")

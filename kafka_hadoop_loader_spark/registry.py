@@ -73,6 +73,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # presentation order — names, fns, and oracles are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new round-6 operators (never driver-tested) --
+    "drift_numeric_ks",
+    "ml_logreg_rational",
+    "conformal_interval_coverage",
     "tokenizer_fertility",
     "kmeans_seed_farthest",
     "scd_temporal_join",

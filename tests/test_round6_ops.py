@@ -272,3 +272,49 @@ def test_feature_hashing_bounds(spark, reg):
     assert agg[2] > 0 and agg[3] > 0
     # no duplicate (doc, bucket) cells
     assert df.groupBy("doc_id", "bucket").count().where("count > 1").count() == 0
+
+
+def test_drift_numeric_ks_bounds(spark, reg):
+    from pyspark.sql import functions as F
+    from kafka_hadoop_loader_spark.catalog import table
+
+    rows = reg["drift_numeric_ks"].fn(spark, SF).collect()
+    n_types = table(spark, SF, "events").select("event_type").distinct().count()
+    assert len(rows) == n_types
+    total = table(spark, SF, "events").count()
+    assert sum(r["n_ref"] + r["n_cur"] for r in rows) == total
+    for r in rows:
+        assert 0.0 <= r["ks_stat"] <= 1.0
+        assert r["drifted"] in (True, False)
+
+
+def test_ml_logreg_rational_sane(spark, reg):
+    rows = reg["ml_logreg_rational"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert 0 <= r["n_urgent"] <= r["n_orders"]
+        assert r["sse"] >= 0.0
+        # beta moved off the zero seed: three Newton steps did something
+        assert (r["beta0"], r["beta1"]) != (0.0, 0.0)
+        # majority-class baseline: the fit can't be worse than always
+        # predicting the majority by more than rounding slack
+        base = max(r["n_urgent"], r["n_orders"] - r["n_urgent"]) / r["n_orders"]
+        assert r["accuracy"] >= base - 0.1
+
+
+def test_conformal_partition_and_coverage(spark, reg):
+    from pyspark.sql import functions as F
+    from kafka_hadoop_loader_spark.catalog import table
+
+    rows = reg["conformal_interval_coverage"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    n_orders = table(spark, SF, "orders").count()
+    assert sum(r["n_train"] + r["n_cal"] + r["n_test"] for r in rows) == n_orders
+    for r in rows:
+        assert r["q_radius"] >= 0.0
+        assert 0 <= r["n_covered"] <= r["n_test"]
+        # split-conformal guarantee holds in expectation at 90%; allow
+        # finite-sample slack on the held-out test slice
+        assert r["coverage"] >= 0.8
+        assert r["meets_target"] == (r["n_covered"] * 10 >= r["n_test"] * 9)

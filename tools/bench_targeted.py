@@ -1,0 +1,66 @@
+"""Targeted min-of-3 baseline timing for named queries, using the exact
+bench.py protocol (same session confs, same warmups, noop sink) so the
+recorded number is comparable with BASELINE.md rows.
+
+    python tools/bench_targeted.py name [name...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    if not names:
+        raise SystemExit("usage: bench_targeted.py name [name...]")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from kafka_hadoop_loader_spark import registry
+    from kafka_hadoop_loader_spark.session import get_spark
+
+    reg = registry.load_all()
+    unknown = [n for n in names if n not in reg]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+    spark = get_spark("bench-targeted", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # bench.py's warmups: JVM + parquet footers, Python worker pool
+    reg["events_hourly"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    def _ident(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        for b in batches:
+            yield b
+
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(
+        _ident, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for _pass in range(3):
+        for name in names:
+            t0 = time.time()
+            reg[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
+    print(json.dumps(times))
+
+
+if __name__ == "__main__":
+    main()
