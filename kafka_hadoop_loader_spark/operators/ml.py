@@ -991,8 +991,7 @@ def _lr_sql_iter(prev: str, rows: str, stats: str, out: str) -> str:
         )"""
 
 
-_LR_ORACLE = f"""
-    WITH lr_base AS (
+_LR_CTES = f"""lr_base AS (
         SELECT c.c_mktsegment AS segment,
                o.o_totalprice / 100000.0 AS x,
                CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -1002,7 +1001,11 @@ _LR_ORACLE = f"""
     lr_b0 AS (SELECT DISTINCT segment, 0.0 AS b0, 0.0 AS b1 FROM lr_base),
     {_lr_sql_iter("lr_b0", "lr_r1", "lr_s1", "lr_b1")},
     {_lr_sql_iter("lr_b1", "lr_r2", "lr_s2", "lr_b2")},
-    {_lr_sql_iter("lr_b2", "lr_r3", "lr_s3", "lr_b3")},
+    {_lr_sql_iter("lr_b2", "lr_r3", "lr_s3", "lr_b3")}"""
+
+
+_LR_ORACLE = f"""
+    WITH {_LR_CTES},
     fin AS (
         SELECT b.segment, b.y, p.b0, p.b1,
                (p.b0 + p.b1 * b.x) AS z,
@@ -1064,6 +1067,32 @@ def _lr_step(base: DataFrame, betas: DataFrame) -> DataFrame:
     )
 
 
+def _lr_fit(spark: SparkSession, sf_dir: str):
+    """(base, fitted betas) for the rational-logistic family — shared by
+    the fit/metrics query and the calibration audit."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice") / F.lit(100000.0)).alias("x"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+        )
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    betas = base.select("segment").distinct().select(
+        "segment", F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    for _ in range(3):
+        betas = _lr_step(base, betas)
+    return base, betas
+
+
 @register(
     "ml_logreg_rational",
     oracle=_LR_ORACLE,
@@ -1094,26 +1123,7 @@ def _lr_step(base: DataFrame, betas: DataFrame) -> DataFrame:
     classic tradeoff vs caching the projected base once.""",
 )
 def ml_logreg_rational(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_totalprice", "o_orderpriority"
-    )
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    base = o.join(
-        F.broadcast(c), o.o_custkey == c.c_custkey
-    ).select(
-        F.col("c_mktsegment").alias("segment"),
-        (F.col("o_totalprice") / F.lit(100000.0)).alias("x"),
-        F.when(
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
-        )
-        .otherwise(0.0)
-        .alias("y"),
-    )
-    betas = base.select("segment").distinct().select(
-        "segment", F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
-    )
-    for _ in range(3):
-        betas = _lr_step(base, betas)
+    base, betas = _lr_fit(spark, sf_dir)
     j = base.join(F.broadcast(betas), "segment")
     z = F.col("b0") + F.col("b1") * F.col("x")
     sig, _ = _lr_sig_sp(z)
@@ -1342,4 +1352,232 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("segment")
+    )
+
+
+# --- exact AUC-ROC via grid rank-sum -----------------------------------
+
+
+@register(
+    "ml_auc_roc",
+    oracle="""
+        WITH base AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS score_q,
+                   CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        g AS (
+            SELECT segment, score_q,
+                   CAST(SUM(y) AS BIGINT) AS n_pos,
+                   CAST(SUM(1 - y) AS BIGINT) AS n_neg
+            FROM base GROUP BY segment, score_q
+        ),
+        cum AS (
+            SELECT segment, score_q, n_pos, n_neg,
+                   COALESCE(SUM(n_neg) OVER (
+                       PARTITION BY segment ORDER BY score_q
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS neg_below
+            FROM g
+        ),
+        u AS (
+            SELECT segment,
+                   CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT)
+                       AS u2,
+                   CAST(SUM(n_pos) AS BIGINT) AS pos_total,
+                   CAST(SUM(n_neg) AS BIGINT) AS neg_total
+            FROM cum GROUP BY segment
+        )
+        SELECT segment, pos_total, neg_total,
+               CAST(u2 AS DOUBLE)
+                   / (2.0 * (CAST(pos_total AS DOUBLE)
+                             * CAST(neg_total AS DOUBLE))) AS auc,
+               u2 > pos_total * neg_total AS better_than_chance
+        FROM u
+        ORDER BY segment
+    """,
+    doc="""Exact AUC-ROC (Mann-Whitney U rank-sum form, tie-correct) of
+    totalprice as a ranking score for order urgency, per market
+    segment — the evaluation metric every classifier ships with,
+    computed WITHOUT materializing the ROC curve or a global sort:
+    group scores on the exact cent grid, one cumulative window over the
+    bounded grid, and 2U = sum(n_pos_v * (2*neg_below_v + n_neg_v))
+    counts discordant-free pairs with ties at half weight — the
+    integer identity behind trapezoidal ROC integration.
+
+    Cross-engine exactness: U stays doubled-BIGINT to the end (ties
+    contribute odd units), AUC is ONE division of exact integers; the
+    better-than-chance verdict (AUC > 0.5) never divides at all.
+    int64 frontier: 2U <= 2*n_pos*n_neg — overflow needs ~3e9 of EACH
+    class per segment; shard the grid and sum partial U's before that.
+
+    Scale: per-(segment, cent) state like drift_numeric_ks — the
+    window runs over the bounded VALUE GRID, never rows; the fact scan
+    dominates.  Same plan shape serves any (score, label) pair whose
+    score is decimal-valued — swap the projection.""",
+)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.functions.exact import scaled_long
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        scaled_long(F.col("o_totalprice"), 100).alias("score_q"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = base.groupBy("segment", "score_q").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("score_q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.select(
+        "segment",
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("neg_below"),
+    )
+    u = cum.groupBy("segment").agg(
+        F.sum(
+            F.col("n_pos")
+            * (F.lit(2) * F.col("neg_below") + F.col("n_neg"))
+        )
+        .cast("bigint")
+        .alias("u2"),
+        F.sum("n_pos").cast("bigint").alias("pos_total"),
+        F.sum("n_neg").cast("bigint").alias("neg_total"),
+    )
+    return u.select(
+        "segment",
+        "pos_total",
+        "neg_total",
+        (
+            F.col("u2").cast("double")
+            / (
+                F.lit(2.0)
+                * (
+                    F.col("pos_total").cast("double")
+                    * F.col("neg_total").cast("double")
+                )
+            )
+        ).alias("auc"),
+        (F.col("u2") > F.col("pos_total") * F.col("neg_total")).alias(
+            "better_than_chance"
+        ),
+    ).orderBy("segment")
+
+
+# --- calibration audit over the rational-logistic scores ---------------
+
+
+@register(
+    "ml_calibration_ece",
+    oracle=f"""
+        WITH {_LR_CTES},
+        scored AS (
+            SELECT b.y,
+                   0.5 + 0.5 * (p.b0 + p.b1 * b.x)
+                       / (1.0 + abs(p.b0 + p.b1 * b.x)) AS sig
+            FROM lr_base b JOIN lr_b3 p USING (segment)
+        ),
+        binned AS (
+            SELECT CAST(FLOOR(sig * 10.0) AS BIGINT) AS bin, y, sig
+            FROM scored
+        ),
+        per_bin AS (
+            SELECT bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN y > 0.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos,
+                   CAST(SUM(CAST(FLOOR(sig * {_LR_GRID}) AS BIGINT))
+                        AS BIGINT) AS conf_q
+            FROM binned GROUP BY bin
+        ),
+        tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM per_bin)
+        SELECT bin, n_rows, n_pos,
+               CAST(conf_q AS DOUBLE)
+                   / (CAST(n_rows AS DOUBLE) * {_LR_GRID}) AS conf_avg,
+               CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE) AS accuracy,
+               abs(CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                   - CAST(conf_q AS DOUBLE)
+                     / (CAST(n_rows AS DOUBLE) * {_LR_GRID})) AS gap,
+               (CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE))
+                   * abs(CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                         - CAST(conf_q AS DOUBLE)
+                           / (CAST(n_rows AS DOUBLE) * {_LR_GRID}))
+                   AS ece_contrib
+        FROM per_bin CROSS JOIN tot
+        ORDER BY bin
+    """,
+    doc="""Reliability diagram + expected-calibration-error decomposition
+    of the rational-logistic scores (the standard post-fit audit: a
+    model can rank well — see ml_auc_roc — yet still be miscalibrated):
+    predictions from the SAME 3-step in-plan fit as ml_logreg_rational
+    (shared _lr_fit plan, shared oracle CTE chain — the two queries
+    cannot drift apart), bucketed into 10 fixed-width confidence bins;
+    per bin: empirical accuracy vs mean confidence, their gap, and the
+    bin's weighted ECE contribution (sum of the column = the scalar
+    ECE).
+
+    Cross-engine exactness: the Elliott sigmoid is rational (no exp),
+    so bin = floor(10*sig) is exact; mean confidence sums FLOOR-grid
+    BIGINTs (same _LR_GRID discipline as the fit); accuracy/gap are
+    single divisions on exact integers.
+
+    Scale: after the fit's aggregates, ONE hash aggregate at bin grain
+    (10 groups) + a 1-row broadcast total.  The audit adds a single
+    pass over the scored scan regardless of data size.""",
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, betas = _lr_fit(spark, sf_dir)
+    j = base.join(F.broadcast(betas), "segment")
+    z = F.col("b0") + F.col("b1") * F.col("x")
+    sig, _ = _lr_sig_sp(z)
+    binned = j.select(
+        F.floor(sig * F.lit(10.0)).cast("bigint").alias("bin"),
+        "y",
+        sig.alias("sig"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("y") > 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.floor(F.col("sig") * F.expr(_LR_GRID)).cast("long"))
+        .cast("bigint")
+        .alias("conf_q"),
+    )
+    tot = per_bin.agg(F.sum("n_rows").cast("bigint").alias("n_total"))
+    conf_avg = F.col("conf_q").cast("double") / (
+        F.col("n_rows").cast("double") * F.expr(_LR_GRID)
+    )
+    accuracy = F.col("n_pos").cast("double") / F.col("n_rows").cast("double")
+    gap = F.abs(accuracy - conf_avg)
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_rows",
+            "n_pos",
+            conf_avg.alias("conf_avg"),
+            accuracy.alias("accuracy"),
+            gap.alias("gap"),
+            (
+                (F.col("n_rows").cast("double") / F.col("n_total").cast("double"))
+                * gap
+            ).alias("ece_contrib"),
+        )
+        .orderBy("bin")
     )

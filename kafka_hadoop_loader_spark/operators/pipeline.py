@@ -1315,6 +1315,78 @@ def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- l-diversity audit -------------------------------------------------
+
+_LDIV_L = 3
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+        WITH cell AS (
+            SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+                   CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS sens,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT nationkey, mktsegment,
+               CAST(SUM(n) AS BIGINT) AS group_n,
+               CAST(COUNT(*) AS BIGINT) AS distinct_sensitive,
+               CAST(MAX(n) AS BIGINT) AS top_sensitive_n,
+               COUNT(*) >= {_LDIV_L} AS l_diverse,
+               MAX(n) * 2 > SUM(n) AS homogeneity_risk
+        FROM cell GROUP BY nationkey, mktsegment
+        ORDER BY nationkey, mktsegment
+    """,
+    doc=f"""l-diversity audit (distinct-l, l = {_LDIV_L}) over the
+    quasi-identifier pair (nation, market segment) with the
+    account-balance band as the SENSITIVE attribute — the privacy gate
+    k-anonymity alone cannot provide (Machanavajjhala et al.): a class
+    can hold >= k members yet leak the sensitive value outright when
+    all members share it.  Emits per-class size, distinct sensitive
+    values, the modal sensitive count, the distinct-l verdict, and a
+    homogeneity-risk flag (modal value covers the strict majority —
+    the cross-multiplied 2*max > n form, no division).
+
+    Complements k_anonymity_suppress: same census machinery, one grain
+    coarser on the QI side so the sensitive attribute stays OUT of the
+    key; a release pipeline applies both gates.
+
+    Scale: two stacked map-side-combining hash aggregates —
+    (QI, sensitive) grain then QI grain — state O(|classes|), never
+    O(|rows|); all-integer arithmetic end to end.""",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    cell = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("sens"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        cell.groupBy("nationkey", "mktsegment")
+        .agg(
+            F.sum("n").cast("bigint").alias("group_n"),
+            F.count("*").cast("bigint").alias("distinct_sensitive"),
+            F.max("n").cast("bigint").alias("top_sensitive_n"),
+        )
+        .select(
+            "nationkey",
+            "mktsegment",
+            "group_n",
+            "distinct_sensitive",
+            "top_sensitive_n",
+            (F.col("distinct_sensitive") >= _LDIV_L).alias("l_diverse"),
+            (F.col("top_sensitive_n") * 2 > F.col("group_n")).alias(
+                "homogeneity_risk"
+            ),
+        )
+        .orderBy("nationkey", "mktsegment")
+    )
+
+
 # --- Dataset card: per-source corpus summary ---------------------------
 
 

@@ -2154,3 +2154,154 @@ def scd_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state_at_purchase")
     )
+
+
+# --- autocorrelation profile (correlogram) -----------------------------
+
+
+@register(
+    "ts_acf",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hidx
+            FROM events
+        ),
+        hourly AS (
+            SELECT event_type, hidx, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ev GROUP BY event_type, hidx
+        ),
+        bounds AS (SELECT MIN(hidx) AS mn, MAX(hidx) AS mx FROM ev),
+        spine AS (
+            SELECT t.event_type, u.g AS hidx
+            FROM (SELECT DISTINCT event_type FROM ev) t
+            CROSS JOIN bounds
+            CROSS JOIN unnest(generate_series(bounds.mn, bounds.mx)) AS u(g)
+        ),
+        grid AS (
+            SELECT s.event_type, s.hidx, COALESCE(h.c, 0) AS c
+            FROM spine s LEFT JOIN hourly h
+              ON s.event_type = h.event_type AND s.hidx = h.hidx
+        ),
+        lags AS (SELECT u.k FROM unnest(generate_series(1, 24)) AS u(k)),
+        pairs AS (
+            SELECT a.event_type, l.k,
+                   a.c AS x, b.c AS y
+            FROM grid a
+            CROSS JOIN lags l
+            JOIN grid b
+              ON b.event_type = a.event_type AND b.hidx = a.hidx + l.k
+        ),
+        s AS (
+            SELECT event_type, k,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM pairs GROUP BY event_type, k
+        )
+        SELECT event_type, k AS lag_hours, n_pairs,
+               CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_pairs * syy - sy * sy AS DOUBLE)) AS acf,
+               (CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+               * (CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+               * CAST(n_pairs AS DOUBLE) > 4.0 AS significant
+        FROM s
+        ORDER BY event_type, lag_hours
+    """,
+    doc="""Autocorrelation profile (correlogram) of the hourly event-rate
+    series, lags 1..24h per event type — the diagnostic that reveals
+    periodicity (daily cycles spike at lag 24), burstiness, and how
+    much history a forecaster needs (events_forecast_holt consumes
+    exactly this series; events_seasonality_profile shows the shape,
+    this quantifies the memory).  r_k is the sample Pearson correlation
+    over the aligned pairs (x_t, x_t+k) on the COMPLETE spine (missing
+    hours count as zero — silence is signal in a rate series), with the
+    white-noise significance band |r|*sqrt(n) > 2 as an exact verdict.
+
+    Cross-engine exactness: all five sufficient statistics are BIGINT
+    sums of integer counts; r is formed from exact integers with one
+    sqrt (IEEE-correctly-rounded) and one division.  int64 frontier:
+    n*sxx needs ~sqrt(9e18/hours) events/hour — ~1e6/hr over a decade;
+    beyond that pre-aggregate to coarser buckets or shard the spine.
+
+    Scale: state is (types x hours) + (types x 24) — calendar-bounded.
+    The lag join fans the bounded grid x24, never the fact table; the
+    fact aggregate dominates at 100 TB.""",
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("ts_us") / _HOUR_US).cast("long").alias("hidx"),
+    )
+    hourly = ev.groupBy("event_type", "hidx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bounds = ev.agg(F.min("hidx").alias("mn"), F.max("hidx").alias("mx"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("hidx"),
+        )
+    )
+    grid = spine.join(hourly, ["event_type", "hidx"], "left").select(
+        "event_type", "hidx", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    lags = spark.range(1, 25).select(F.col("id").alias("k"))
+    a = grid.alias("a").crossJoin(F.broadcast(lags))
+    b = grid.select(
+        F.col("event_type").alias("b_type"),
+        F.col("hidx").alias("b_hidx"),
+        F.col("c").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("b_type") == F.col("a.event_type"))
+        & (F.col("b_hidx") == F.col("a.hidx") + F.col("k")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        "k",
+        F.col("a.c").alias("x"),
+        "y",
+    )
+    s = pairs.groupBy("event_type", "k").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    acf = (
+        (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        / F.sqrt(
+            (
+                F.col("n_pairs") * F.col("sxx")
+                - F.col("sx") * F.col("sx")
+            ).cast("double")
+            * (
+                F.col("n_pairs") * F.col("syy")
+                - F.col("sy") * F.col("sy")
+            ).cast("double")
+        )
+    )
+    return s.select(
+        "event_type",
+        F.col("k").alias("lag_hours"),
+        "n_pairs",
+        acf.alias("acf"),
+        (acf * acf * F.col("n_pairs").cast("double") > F.lit(4.0)).alias(
+            "significant"
+        ),
+    ).orderBy("event_type", "lag_hours")

@@ -73,6 +73,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # presentation order — names, fns, and oracles are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new round-6 operators (never driver-tested) --
+    "ml_auc_roc",
+    "ml_calibration_ece",
+    "ts_acf",
+    "l_diversity_audit",
     "drift_numeric_ks",
     "ml_logreg_rational",
     "conformal_interval_coverage",

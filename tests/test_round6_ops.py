@@ -318,3 +318,54 @@ def test_conformal_partition_and_coverage(spark, reg):
         # finite-sample slack on the held-out test slice
         assert r["coverage"] >= 0.8
         assert r["meets_target"] == (r["n_covered"] * 10 >= r["n_test"] * 9)
+
+
+def test_ml_auc_roc_bounds_and_totals(spark, reg):
+    from kafka_hadoop_loader_spark.catalog import table
+
+    rows = reg["ml_auc_roc"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    n_orders = table(spark, SF, "orders").count()
+    assert sum(r["pos_total"] + r["neg_total"] for r in rows) == n_orders
+    for r in rows:
+        assert 0.0 <= r["auc"] <= 1.0
+        assert r["better_than_chance"] == (r["auc"] > 0.5)
+
+
+def test_ml_calibration_ece_partitions(spark, reg):
+    from kafka_hadoop_loader_spark.catalog import table
+
+    rows = reg["ml_calibration_ece"].fn(spark, SF).collect()
+    n_orders = table(spark, SF, "orders").count()
+    assert sum(r["n_rows"] for r in rows) == n_orders
+    ece = sum(r["ece_contrib"] for r in rows)
+    assert 0.0 <= ece <= 1.0
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["conf_avg"] <= 1.0
+        assert abs(r["gap"] - abs(r["accuracy"] - r["conf_avg"])) < 1e-12
+
+
+def test_ts_acf_shape(spark, reg):
+    rows = reg["ts_acf"].fn(spark, SF).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+        assert -1.0 <= r["acf"] <= 1.0
+        assert r["n_pairs"] > 0
+    for t, rs in by_type.items():
+        assert [r["lag_hours"] for r in rs] == list(range(1, 25))
+        # longer lags see fewer pairs on a finite spine
+        assert rs[0]["n_pairs"] >= rs[-1]["n_pairs"]
+
+
+def test_l_diversity_consistency(spark, reg):
+    from kafka_hadoop_loader_spark.catalog import table
+
+    rows = reg["l_diversity_audit"].fn(spark, SF).collect()
+    n_cust = table(spark, SF, "customer").count()
+    assert sum(r["group_n"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["distinct_sensitive"] <= r["group_n"]
+        assert r["top_sensitive_n"] <= r["group_n"]
+        assert r["l_diverse"] == (r["distinct_sensitive"] >= 3)
