@@ -1581,3 +1581,165 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- isotonic (PAV) calibration over the reliability bins ---------------
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle=f"""
+        WITH {_LR_CTES},
+        scored AS (
+            SELECT b.y,
+                   0.5 + 0.5 * (p.b0 + p.b1 * b.x)
+                       / (1.0 + abs(p.b0 + p.b1 * b.x)) AS sig
+            FROM lr_base b JOIN lr_b3 p USING (segment)
+        ),
+        per_bin AS (
+            SELECT CAST(FLOOR(sig * 10.0) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN y > 0.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos
+            FROM scored GROUP BY 1
+        ),
+        ivl AS (
+            SELECT j.bin AS j, k.bin AS k,
+                   CAST(SUM(m.n_pos) AS BIGINT) AS ivl_pos,
+                   CAST(SUM(m.n_rows) AS BIGINT) AS ivl_rows
+            FROM per_bin j, per_bin k, per_bin m
+            WHERE j.bin <= k.bin AND m.bin BETWEEN j.bin AND k.bin
+            GROUP BY j.bin, k.bin
+        ),
+        env AS (
+            SELECT i.bin AS bin, v.j,
+                   MIN(CAST(v.ivl_pos AS DOUBLE)
+                       / CAST(v.ivl_rows AS DOUBLE)) AS lo
+            FROM per_bin i JOIN ivl v
+              ON v.j <= i.bin AND i.bin <= v.k
+            GROUP BY i.bin, v.j
+        ),
+        iso AS (SELECT bin, MAX(lo) AS iso_fit FROM env GROUP BY bin),
+        prev AS (
+            SELECT a.bin, MAX(b.iso_fit) AS prev_max
+            FROM iso a LEFT JOIN iso b ON b.bin < a.bin
+            GROUP BY a.bin
+        )
+        SELECT p.bin, p.n_rows, p.n_pos,
+               CAST(p.n_pos AS DOUBLE) / CAST(p.n_rows AS DOUBLE)
+                   AS accuracy,
+               s.iso_fit,
+               COALESCE(s.iso_fit >= v.prev_max, TRUE) AS monotone_ok
+        FROM per_bin p
+        JOIN iso s ON p.bin = s.bin
+        JOIN prev v ON p.bin = v.bin
+        ORDER BY p.bin
+    """,
+    doc="""Isotonic (pool-adjacent-violators) calibration fitted over the
+    reliability bins of the shared rational-logistic scores — the
+    non-parametric half of the standard calibration toolkit (Platt
+    scaling's sibling; Zadrozny & Elkan 2002): given per-bin empirical
+    accuracies that may zig-zag, find the best monotone-non-decreasing
+    fit in weighted least squares.
+
+    PAV is usually presented as a sequential pooling loop — useless on
+    a cluster.  This plan uses the CLOSED-FORM minimax identity
+    instead: iso(i) = max_{{j<=i}} min_{{k>=i}} mean(y[j..k]), which is
+    embarrassingly parallel over the BOUNDED bin grid (<=11 bins, so
+    <=11^3 interval terms — constant work after the scored scan, no
+    loop, no driver action).  Interval means are single divisions of
+    exact BIGINT sums; MIN/MAX over identically-computed doubles is
+    addition-order-free, so the whole fit is bit-portable across
+    engines — float SUMs never cross rows.  The monotone_ok column is
+    an in-plan certificate (iso_fit >= every lower bin's fit).
+
+    Scale: one hash aggregate to bin grain (the same shape as
+    ml_calibration_ece), then constant-size broadcast joins; the fact
+    scan and the fit's own aggregates dominate at any data size.  With
+    B bins the minimax costs O(B^3) — the bin grid is the knob, and
+    calibration practice caps it at 10-20 regardless of corpus.""",
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, betas = _lr_fit(spark, sf_dir)
+    j = base.join(F.broadcast(betas), "segment")
+    z = F.col("b0") + F.col("b1") * F.col("x")
+    sig, _ = _lr_sig_sp(z)
+    per_bin = (
+        j.select(
+            F.floor(sig * F.lit(10.0)).cast("bigint").alias("bin"), "y"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("y") > 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+        )
+        # the logistic fit above feeds five minimax branches below; a
+        # LAZY lineage cut (no action) executes the fit once instead of
+        # once per branch — same pattern as graph.star_contract
+        .localCheckpoint(eager=False)
+    )
+    pj = per_bin.select(F.col("bin").alias("j"))
+    pk = per_bin.select(F.col("bin").alias("k"))
+    pm = per_bin.select(
+        F.col("bin").alias("m"),
+        F.col("n_pos").alias("m_pos"),
+        F.col("n_rows").alias("m_rows"),
+    )
+    ivl = (
+        pj.join(F.broadcast(pk), F.col("j") <= F.col("k"))
+        .join(
+            F.broadcast(pm),
+            (F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(
+            F.sum("m_pos").cast("bigint").alias("ivl_pos"),
+            F.sum("m_rows").cast("bigint").alias("ivl_rows"),
+        )
+    )
+    env = (
+        per_bin.select(F.col("bin").alias("i"))
+        .join(
+            F.broadcast(ivl),
+            (F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k")),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.min(
+                F.col("ivl_pos").cast("double")
+                / F.col("ivl_rows").cast("double")
+            ).alias("lo")
+        )
+    )
+    iso = env.groupBy("i").agg(F.max("lo").alias("iso_fit"))
+    prev = (
+        iso.select(F.col("i").alias("pi"))
+        .join(
+            F.broadcast(
+                iso.select(F.col("i").alias("b2"), F.col("iso_fit").alias("f2"))
+            ),
+            F.col("b2") < F.col("pi"),
+            "left",
+        )
+        .groupBy("pi")
+        .agg(F.max("f2").alias("prev_max"))
+    )
+    return (
+        per_bin.join(F.broadcast(iso), per_bin.bin == iso.i)
+        .join(F.broadcast(prev), per_bin.bin == prev.pi)
+        .select(
+            "bin",
+            "n_rows",
+            "n_pos",
+            (
+                F.col("n_pos").cast("double") / F.col("n_rows").cast("double")
+            ).alias("accuracy"),
+            "iso_fit",
+            F.coalesce(
+                F.col("iso_fit") >= F.col("prev_max"), F.lit(True)
+            ).alias("monotone_ok"),
+        )
+        .orderBy("bin")
+    )

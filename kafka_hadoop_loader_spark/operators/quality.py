@@ -661,3 +661,155 @@ def drift_numeric_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(1.36) * F.sqrt((nref_d + ncur_d) / (nref_d * ncur_d))
         ).alias("drifted"),
     ).orderBy("event_type")
+
+
+# --- Benford first-digit audit ------------------------------------------
+# Expected Benford shares log10(1 + 1/d) are embedded as LITERALS, not
+# computed via log10() at runtime: decimal literals parse to the same
+# nearest double in every engine (correctly-rounded strtod), whereas
+# libm log10 implementations are allowed to differ in the last ulp —
+# the one-line constant table buys bit-identical expectations.
+_BENFORD_P = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(
+        f"WHEN {d} THEN CAST({p} AS DOUBLE)"
+        for d, p in _BENFORD_P.items()
+    )
+    + " END"
+)
+
+
+@register(
+    "quality_benford_audit",
+    oracle=f"""
+        WITH cents AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        census AS (
+            SELECT priority,
+                   CAST(SUBSTRING(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+                       AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM cents GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT p.priority, CAST(u.d AS INTEGER) AS digit
+            FROM (SELECT DISTINCT priority FROM cents) p,
+                 unnest(generate_series(1, 9)) AS u(d)
+        ),
+        dense AS (
+            SELECT s.priority, s.digit,
+                   COALESCE(c.n_obs, 0) AS n_obs
+            FROM spine s LEFT JOIN census c
+              ON s.priority = c.priority AND s.digit = c.digit
+        ),
+        tot AS (
+            SELECT priority, CAST(SUM(n_obs) AS BIGINT) AS n_total
+            FROM dense GROUP BY priority
+        )
+        SELECT d.priority, d.digit, d.n_obs, t.n_total,
+               CAST(d.n_obs AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+                   AS obs_share,
+               {_BENFORD_CASE} AS expected_p,
+               (CAST(d.n_obs AS DOUBLE)
+                    - CAST(t.n_total AS DOUBLE) * ({_BENFORD_CASE}))
+               * (CAST(d.n_obs AS DOUBLE)
+                    - CAST(t.n_total AS DOUBLE) * ({_BENFORD_CASE}))
+               / (CAST(t.n_total AS DOUBLE) * ({_BENFORD_CASE}))
+                   AS chi2_term,
+               abs(CAST(d.n_obs AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+                   - ({_BENFORD_CASE})) > 0.015 AS deviates
+        FROM dense d JOIN tot t ON d.priority = t.priority
+        ORDER BY d.priority, d.digit
+    """,
+    doc="""Benford's-law first-significant-digit audit of order prices,
+    per order priority — the classic forensic-accounting / synthetic-
+    data screen: naturally-occurring multi-scale amounts follow
+    P(d) = log10(1 + 1/d), and a fabricated or truncated feed shows up
+    as mass piled on one leading digit.  Per (priority, digit): observed
+    count, observed share, expected Benford share, the per-digit
+    chi-square contribution, and a >1.5pp absolute-deviation flag.
+
+    Cross-engine exactness: the first digit comes off the exact cent
+    grid through a decimal string (no float log); expected shares are
+    literal doubles (libm log10 may differ in the last ulp between
+    engines — see _BENFORD_P); every float expression is a fixed-order
+    combination of exact BIGINTs and those literals, and NO float is
+    ever summed across rows (the chi-square is reported per digit, not
+    totalled).
+
+    Scale: one map-side-combining hash aggregate to (priority, digit)
+    grain — at most 9x|priorities| groups of state regardless of row
+    count — plus a 9-row-per-priority dense spine so missing digits
+    surface as n_obs=0 evidence rather than silently vanishing.""",
+)
+def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.functions.exact import scaled_long
+
+    cents = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        scaled_long(F.col("o_totalprice"), 100).alias("cents"),
+    )
+    census = (
+        cents.select(
+            "priority",
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit"),
+        )
+        .groupBy("priority", "digit")
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+    )
+    spine = (
+        cents.select("priority")
+        .distinct()
+        .select(
+            "priority",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit"),
+        )
+    )
+    dense = (
+        spine.join(F.broadcast(census), ["priority", "digit"], "left")
+        .select(
+            "priority",
+            "digit",
+            F.coalesce("n_obs", F.lit(0).cast("bigint")).alias("n_obs"),
+        )
+    )
+    tot = dense.groupBy("priority").agg(
+        F.sum("n_obs").cast("bigint").alias("n_total")
+    )
+    expected = F.expr(_BENFORD_CASE)
+    obs_d = F.col("n_obs").cast("double")
+    n_d = F.col("n_total").cast("double")
+    diff = obs_d - n_d * expected
+    return (
+        dense.join(F.broadcast(tot), "priority")
+        .select(
+            "priority",
+            "digit",
+            "n_obs",
+            "n_total",
+            (obs_d / n_d).alias("obs_share"),
+            expected.alias("expected_p"),
+            (diff * diff / (n_d * expected)).alias("chi2_term"),
+            (F.abs(obs_d / n_d - expected) > F.lit(0.015)).alias(
+                "deviates"
+            ),
+        )
+        .orderBy("priority", "digit")
+    )

@@ -73,6 +73,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # presentation order — names, fns, and oracles are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new round-6 operators (never driver-tested) --
+    "quality_benford_audit",
+    "ml_isotonic_calibration",
+    "causal_cem_att",
     "ml_auc_roc",
     "ml_calibration_ece",
     "ts_acf",

@@ -498,6 +498,7 @@ def test_query_construction_runs_no_spark_jobs(spark):
         "spatial_dbscan_grid",
         "graph_link_prediction",
         "kmeans_seed_farthest",
+        "ml_isotonic_calibration",
     }
     load_tables(spark, SF_DIR)  # warm the schema cache
     sc = spark.sparkContext

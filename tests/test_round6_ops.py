@@ -369,3 +369,63 @@ def test_l_diversity_consistency(spark, reg):
         assert 1 <= r["distinct_sensitive"] <= r["group_n"]
         assert r["top_sensitive_n"] <= r["group_n"]
         assert r["l_diverse"] == (r["distinct_sensitive"] >= 3)
+
+
+def test_benford_census_complete(spark, reg):
+    from kafka_hadoop_loader_spark.catalog import table
+
+    rows = reg["quality_benford_audit"].fn(spark, SF).collect()
+    assert len(rows) == 45  # 5 priorities x dense 1..9 digit spine
+    n_orders = table(spark, SF, "orders").count()
+    assert sum(r["n_obs"] for r in rows) == n_orders
+    by_prio = {}
+    for r in rows:
+        by_prio.setdefault(r["priority"], []).append(r)
+        assert r["chi2_term"] >= 0.0
+        assert r["deviates"] == (
+            abs(r["obs_share"] - r["expected_p"]) > 0.015
+        )
+    for prio, rs in by_prio.items():
+        assert [r["digit"] for r in rs] == list(range(1, 10))
+        assert all(r["n_total"] == sum(x["n_obs"] for x in rs) for r in rs)
+        assert abs(sum(r["expected_p"] for r in rs) - 1.0) < 1e-12
+        assert abs(sum(r["obs_share"] for r in rs) - 1.0) < 1e-9
+
+
+def test_isotonic_fit_properties(spark, reg):
+    from kafka_hadoop_loader_spark.catalog import table
+
+    rows = sorted(
+        reg["ml_isotonic_calibration"].fn(spark, SF).collect(),
+        key=lambda r: r["bin"],
+    )
+    n_orders = table(spark, SF, "orders").count()
+    assert sum(r["n_rows"] for r in rows) == n_orders
+    fits = [r["iso_fit"] for r in rows]
+    assert fits == sorted(fits)  # PAV output is monotone by construction
+    assert all(r["monotone_ok"] for r in rows)
+    assert all(0.0 <= f <= 1.0 for f in fits)
+    # PAV preserves the weighted mean: sum(w * fit) == sum(w * y)
+    fitted_mass = sum(r["n_rows"] * r["iso_fit"] for r in rows)
+    true_mass = sum(r["n_pos"] for r in rows)
+    assert abs(fitted_mass - true_mass) < 1e-6 * max(true_mass, 1)
+
+
+def test_cem_att_census(spark, reg):
+    from kafka_hadoop_loader_spark.catalog import table
+
+    rows = reg["causal_cem_att"].fn(spark, SF).collect()
+    n_orders = table(spark, SF, "orders").count()
+    assert sum(r["n_treated"] + r["n_control"] for r in rows) == n_orders
+    for r in rows:
+        assert r["matched"] == (r["n_treated"] > 0 and r["n_control"] > 0)
+        if r["rate_treated"] is not None:
+            assert 0.0 <= r["rate_treated"] <= 1.0
+        if r["rate_control"] is not None:
+            assert 0.0 <= r["rate_control"] <= 1.0
+        if r["matched"]:
+            assert r["att_cell"] is not None
+            if r["treated_return_more"]:
+                assert r["att_cell"] >= -1e-12
+        else:
+            assert r["att_cell"] is None

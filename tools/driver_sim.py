@@ -94,6 +94,7 @@ def main() -> int:
         "graph_label_propagation", "orders_rfm_segments", "ann_recall_audit",
         "text_bigram_kneser_ney", "graph_kcore", "spatial_dbscan_grid",
         "graph_link_prediction", "kmeans_seed_farthest",
+        "ml_isotonic_calibration",
     }
     sc = spark.sparkContext
     failures = []
