@@ -1528,3 +1528,154 @@ _REG["ann_ivf_probe_frontier"] = _dc.replace(
         bf=_REG["knn_cosine_bruteforce"].oracle
     ),
 )
+
+
+@register(
+    "ann_pq_recall_audit",
+    # Late-bound below: {pq} is replaced by knn_pq_adc's registered
+    # oracle, so the audit re-runs the audited index verbatim — the
+    # same compose-the-oracles lockstep as ann_recall_audit.
+    oracle=f"""
+        WITH approx_pq AS ({{pq}}),
+        lv2 AS (
+            SELECT vec_id, i AS dim,
+                   CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_PQ_SCALE})
+                        AS BIGINT) + {_PQ_OFFSET} AS v
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS u(i)
+        ),
+        truth_d AS (
+            SELECT ql.vec_id AS query_id, cl.vec_id AS neighbor_id,
+                   CAST(SUM((ql.v - cl.v) * (ql.v - cl.v)) AS BIGINT)
+                       AS dist2
+            FROM lv2 ql JOIN lv2 cl
+              ON cl.dim = ql.dim AND cl.vec_id <> ql.vec_id
+            WHERE ql.vec_id < {_PQ_NQ}
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dist2, neighbor_id)
+                           AS rnk
+                FROM truth_d
+            ) WHERE rnk <= {_PQ_TOPK}
+        ),
+        hits AS (
+            SELECT t.query_id,
+                   CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+            FROM truth t LEFT JOIN approx_pq a
+              ON a.query_id = t.query_id
+             AND a.neighbor_id = t.neighbor_id
+            GROUP BY t.query_id
+        )
+        SELECT query_id, CAST({_PQ_TOPK} AS BIGINT) AS k, n_hits,
+               CAST(n_hits AS DOUBLE) / CAST({_PQ_TOPK} AS DOUBLE)
+                   AS recall_at_k,
+               n_hits * 2 >= {_PQ_TOPK} AS meets_floor
+        FROM hits
+        ORDER BY query_id
+    """,
+    doc=f"""Recall@{_PQ_TOPK} acceptance audit for the PQ/ADC index —
+    closes the audit gap in the ANN tier table: ann_recall_audit
+    covers LSH and IVF (cosine family) but knn_pq_adc answers integer
+    L2 queries, so its ground truth is the exhaustive L2 top-{_PQ_TOPK}
+    on the SAME scaled grid ({_PQ_SCALE}x + {_PQ_OFFSET} offset),
+    recomputed here per query and left-joined against the index's
+    answers.  Per query: hit count, recall, and an exact
+    cross-multiplied >=50% floor verdict (the measured envelope on
+    these near-random fixtures is ~0.7; below 0.5 the codebook no
+    longer fits the data).
+
+    The oracle nests knn_pq_adc's full registered oracle as a CTE
+    (late-bound at import), so audit and audited cannot drift; the
+    ground-truth arm shares the managed-persist long view with the
+    index build (build once, audit free).
+
+    Scale: ground truth is the documented broadcast-bounded-query-
+    batch shape ({_PQ_NQ} queries x corpus, the same class as
+    knn_cosine_bruteforce); the audit join itself is Q x {_PQ_TOPK}
+    rows per side.  At 10^9 vectors swap the exact arm for a larger
+    shortlist re-rank exactly as the ann_recall_audit doctrine
+    documents.""",
+)
+def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_hadoop_loader_spark.registry import REGISTRY
+
+    pq = (
+        REGISTRY["knn_pq_adc"]
+        .fn(spark, sf_dir)
+        .select(
+            F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+        )
+    )
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    longv = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "val")
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("dim"),
+        F.floor(F.col("d0") / _PQ_SUB).cast("bigint").alias("m"),
+        (
+            F.round(F.col("val").cast("double") * _PQ_SCALE).cast("long")
+            + _PQ_OFFSET
+        ).alias("v"),
+    )
+    longv = managed_persist(f"knn_pq_adc:longv:{sf_dir}", longv)
+    q = longv.where(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dim").alias("qdim"),
+        F.col("v").alias("qv"),
+    )
+    truth_d = (
+        longv.join(
+            F.broadcast(q),
+            (F.col("dim") == F.col("qdim"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("v")) * (F.col("qv") - F.col("v"))
+            )
+            .cast("bigint")
+            .alias("dist2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    truth = (
+        truth_d.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        truth.join(
+            pq,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("an").cast("bigint").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.lit(_PQ_TOPK).cast("bigint").alias("k"),
+        "n_hits",
+        (
+            F.col("n_hits").cast("double")
+            / F.lit(_PQ_TOPK).cast("double")
+        ).alias("recall_at_k"),
+        (F.col("n_hits") * 2 >= F.lit(_PQ_TOPK)).alias("meets_floor"),
+    ).orderBy("query_id")
+
+
+_REG["ann_pq_recall_audit"] = _dc.replace(
+    _REG["ann_pq_recall_audit"],
+    oracle=_REG["ann_pq_recall_audit"].oracle.format(
+        pq=_REG["knn_pq_adc"].oracle
+    ),
+)

@@ -130,6 +130,13 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_type_diversity",
     "events_new_vs_returning",
     "orders_reorder_cycle",
+    # -- round-7 queue: the 50-slot window above is FULL (28 round-6
+    # ops + 3 certificate re-verifications + 19 carried names), so
+    # operators added late in round 6 are APPENDED here — positions
+    # 51+ stay out of this round's driver window instead of evicting
+    # a never-tested name, and rotate to the front in round 7.
+    "ann_pq_recall_audit",
+    "multimodal_phash_dedup",
 )
 
 # Round-7 rotation queue: EMPTY as of round-6 start — every registered

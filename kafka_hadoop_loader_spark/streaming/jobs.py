@@ -387,3 +387,108 @@ def backfill_overwrite_days(records: DataFrame, target_dir: str):
     return records.writeStream.foreachBatch(apply_batch).trigger(
         availableNow=True
     )
+
+
+def session_eviction_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session aggregation where sessions are CLOSED BY
+    EVENT-TIME TIMERS — the transformWithStateInPandas capability the
+    running-stats job doesn't exercise: nothing is emitted while a
+    session is open; when the watermark passes last_event + gap the
+    registered timer fires, ``handleExpiredTimer`` emits exactly one
+    closed-session row, and state is cleared.  This is the
+    timer-driven replacement for GroupStateTimeout session logic (and
+    the streaming dual of window_session_batch): output is APPEND-mode
+    final results, safe to sink straight to parquet — no retraction,
+    no dedup downstream.
+
+    Mechanics pinned here: one named ValueState row per user
+    (start/end/count/sum + the currently-armed expiry so it can be
+    DELETED and re-armed as the session extends — registerTimer is
+    additive, an extended session must cancel its stale timer or it
+    fires early); ``timeMode="EventTime"`` makes
+    ``timerValues.getCurrentWatermarkInMs()`` the clock, so eviction is
+    deterministic replay-stable (processing-time timers are not).
+    State size is O(active sessions); the watermark bounds how long a
+    session can stay active, exactly like the v1 session operators.
+
+    Environment note: same protobuf gate as user_running_stats_tws —
+    plan construction and schema are testable in this container, the
+    stream start is not (see test_session_eviction_tws)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    class _SessionEvict(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess",
+                "start_ms BIGINT, end_ms BIGINT, n BIGINT, sm DOUBLE, "
+                "timer_ms BIGINT",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            start = end = None
+            n = 0
+            sm = 0.0
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                ts_ms = (pdf["event_ts"].astype("int64") // 1_000_000)
+                bmin = int(ts_ms.min())
+                bmax = int(ts_ms.max())
+                start = bmin if start is None else min(start, bmin)
+                end = bmax if end is None else max(end, bmax)
+                n += len(pdf)
+                sm += float(pdf["value"].sum())
+            if n == 0:
+                return iter(())
+            if self._sess.exists():
+                s0, e0, n0, sm0, t0 = self._sess.get()
+                start = min(start, s0)
+                end = max(end, e0)
+                n += n0
+                sm += sm0
+                # a session that extends must disarm its stale timer,
+                # or the old expiry closes it mid-flight
+                self._handle.deleteTimer(t0)
+            expiry = end + gap_ms
+            self._sess.update((start, end, n, sm, expiry))
+            self._handle.registerTimer(expiry)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._sess.exists():
+                return
+            start, end, n, sm, _ = self._sess.get()
+            self._sess.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_ms": [start],
+                    "session_end_ms": [end],
+                    "n_events": [n],
+                    "sum_value": [sm],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("event_ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_SessionEvict(),
+            outputStructType=(
+                "user_id bigint, session_start_ms bigint, "
+                "session_end_ms bigint, n_events bigint, sum_value double"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

@@ -429,3 +429,45 @@ def test_cem_att_census(spark, reg):
                 assert r["att_cell"] >= -1e-12
         else:
             assert r["att_cell"] is None
+
+
+def test_ann_pq_recall_audit_bounds(spark, reg):
+    rows = reg["ann_pq_recall_audit"].fn(spark, SF).collect()
+    assert len(rows) == 10  # one row per audited query
+    for r in rows:
+        assert r["k"] == 5
+        assert 0 <= r["n_hits"] <= r["k"]
+        assert r["recall_at_k"] == r["n_hits"] / r["k"]
+        assert r["meets_floor"] == (r["n_hits"] * 2 >= r["k"])
+    # the PQ codebook must actually fit near-random fixtures: the
+    # measured envelope is ~0.7 mean recall; guard the audit's teeth
+    # (an index returning garbage would read ~k/N here, not >0.4)
+    mean_recall = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert mean_recall > 0.4
+
+
+def test_phash_dedup_census(spark, reg):
+    rows = reg["multimodal_phash_dedup"].fn(spark, SF).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(rows) >= 40  # one row per non-empty doc at sf0.001
+    # banding is a complete cover for Hamming<=3: re-derive the pair
+    # set brute-force from the emitted hashes and compare censuses
+    ids = sorted(by_id)
+    partners: dict[int, list[tuple[int, int]]] = {i: [] for i in ids}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(by_id[a]["phash"] ^ by_id[b]["phash"]).count("1")
+            if h <= 3:
+                partners[a].append((h, b))
+                partners[b].append((h, a))
+    for d in ids:
+        r = by_id[d]
+        assert r["n_near_dups"] == len(partners[d])
+        assert 0 <= r["phash"] < (1 << 32)
+        if partners[d]:
+            bh, bp = min(partners[d])
+            assert (r["nearest_hamming"], r["nearest_id"]) == (bh, bp)
+            assert r["is_kept"] == (min(p for _, p in partners[d]) > d)
+        else:
+            assert r["nearest_id"] is None
+            assert r["is_kept"]

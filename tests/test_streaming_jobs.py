@@ -527,3 +527,69 @@ def test_backfill_overwrite_days(spark, tmp_path):
         if f.endswith(".parquet")
     )
     assert day1_mtime2 == day1_mtime  # untouched day was not rewritten
+
+
+def test_session_eviction_tws(spark, tmp_path):
+    """Timer-driven session eviction (transformWithStateInPandas,
+    timeMode=EventTime): plan construction, output schema, and the
+    append-mode/watermark wiring are validated unconditionally; the
+    actual run needs the protobuf state server (absent here) — same
+    gate as test_transform_with_state_running_stats."""
+    recs = [
+        {"event_id": i, "ts": BASE_US + i * 60_000_000, "user_id": i % 2,
+         "event_type": "click", "value": float(i), "props": "{}"}
+        for i in range(6)
+    ]
+    _write_events(str(tmp_path / "in" / "a.jsonl"), recs)
+
+    from kafka_hadoop_loader_spark.streaming.loader import (
+        LoaderConfig,
+        _read_stream,
+        transform,
+    )
+
+    cfg = LoaderConfig(input_path=str(tmp_path / "in"))
+    raw = transform(cfg, _read_stream(spark, cfg))
+    rec = raw.selectExpr(
+        "from_json(payload, 'event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string') AS r",
+        "event_ts",
+    ).select("r.event_id", "r.user_id", "r.value", "event_ts")
+
+    from kafka_hadoop_loader_spark.streaming import jobs
+
+    df = jobs.session_eviction_tws(rec, gap_minutes=30)
+    assert [f.name for f in df.schema.fields] == [
+        "user_id", "session_start_ms", "session_end_ms",
+        "n_events", "sum_value",
+    ]
+    assert df.isStreaming
+    # append-mode eviction requires an event-time watermark upstream;
+    # assert the plan actually carries one
+    assert "watermark" in df._jdf.queryExecution().analyzed().toString().lower()
+
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "google.protobuf unavailable: transformWithState's "
+            "state-server protocol cannot start in this container"
+        )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("tws_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM tws_sessions").collect()
+    # sessions only close when the watermark passes end+gap; with a
+    # single availableNow batch the final watermark may still hold the
+    # last session open, so assert on the closed subset's invariants
+    for r in rows:
+        assert r.session_start_ms <= r.session_end_ms
+        assert r.n_events >= 1
