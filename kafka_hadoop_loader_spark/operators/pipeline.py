@@ -1387,6 +1387,167 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- t-closeness audit --------------------------------------------------
+
+_TCLOSE_INV_T = 5  # t = 1/5 = 0.2, as the exact rational 1/_TCLOSE_INV_T
+
+
+@register(
+    "t_closeness_audit",
+    oracle=f"""
+        WITH cell AS (
+            SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+                   CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        bands AS (
+            SELECT band, CAST(SUM(n) AS BIGINT) AS g_n FROM cell GROUP BY 1
+        ),
+        classes AS (
+            SELECT nationkey, mktsegment, CAST(SUM(n) AS BIGINT) AS group_n
+            FROM cell GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(g_n) AS BIGINT) AS big_n,
+                       CAST(COUNT(*) AS BIGINT) AS m FROM bands),
+        dense AS (
+            SELECT c.nationkey, c.mktsegment, c.group_n, b.band, b.g_n,
+                   COALESCE(cl.n, 0) AS n
+            FROM classes c CROSS JOIN bands b
+            LEFT JOIN cell cl ON cl.nationkey = c.nationkey
+                 AND cl.mktsegment = c.mktsegment AND cl.band = b.band
+        ),
+        cum AS (
+            SELECT nationkey, mktsegment, group_n, band,
+                   CAST(SUM(n) OVER w AS BIGINT) AS cum_c,
+                   CAST(SUM(g_n) OVER w AS BIGINT) AS cum_g
+            FROM dense
+            WINDOW w AS (PARTITION BY nationkey, mktsegment ORDER BY band)
+        ),
+        emd AS (
+            SELECT nationkey, mktsegment, group_n,
+                   CAST(SUM(ABS(cum_c * t.big_n - cum_g * group_n))
+                        AS BIGINT) AS emd_num,
+                   MAX(t.big_n) AS big_n, MAX(t.m) AS m
+            FROM cum, tot t GROUP BY 1, 2, 3
+        )
+        SELECT nationkey, mktsegment, group_n, emd_num,
+               CAST(emd_num AS DOUBLE)
+                   / (CAST(group_n AS DOUBLE) * CAST(big_n AS DOUBLE)
+                      * CAST(m - 1 AS DOUBLE)) AS emd,
+               emd_num * {_TCLOSE_INV_T} <= group_n * big_n * (m - 1)
+                   AS t_close_ok
+        FROM emd ORDER BY nationkey, mktsegment
+    """,
+    doc=f"""t-closeness audit (t = 1/{_TCLOSE_INV_T}) — the third privacy
+    gate after k_anonymity_suppress and l_diversity_audit (Li, Li &
+    Venkatasubramanian 2007): a class can be k-anonymous AND l-diverse
+    yet still leak when its sensitive-value DISTRIBUTION diverges from
+    the table's (e.g. a class holding only the two highest balance
+    bands).  Per QI class (nation, market segment), computes the Earth
+    Mover's Distance between the class's account-balance-band
+    distribution and the global one under the ordered-attribute ground
+    distance, via the closed form EMD = sum_i |P_cum(i) - Q_cum(i)| /
+    (m-1).
+
+    Determinism: each cumulative-difference term is the exact BIGINT
+    cross-multiplication cum_class*N - cum_global*n_class (order-free
+    integer sums), the emd double is ONE division of that exact
+    numerator by a left-associated product of three exact casts, and
+    the verdict is the fully-integer cross-multiplied form
+    emd_num * {_TCLOSE_INV_T} <= n_class * N * (m-1) — no float ever
+    feeds a comparison.
+
+    Scale: three stacked map-side-combining aggregates at (QI, band),
+    (band), and (QI) grains — O(|classes| x |bands|) state, never
+    O(|rows|); the dense spine is a broadcast cross join of the two
+    tiny dims and the cumulative window partitions by class (m rows
+    per partition).  int64-exact while n_class * N < 2^63 (N ~ 3e9
+    rows); past that, route the same plan through DECIMAL(38) — the
+    shape is unchanged.""",
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.catalog import managed_persist
+
+    c = table(spark, sf_dir, "customer")
+    # cell feeds three consumers (bands, classes, the dense left join);
+    # one lazy lineage cut keeps the O(|rows|) customer scan single.
+    cell = managed_persist(
+        f"t_closeness_audit:cell:{sf_dir}",
+        c.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("band"),
+        ).agg(F.count("*").cast("bigint").alias("n")),
+    )
+    bands = cell.groupBy("band").agg(F.sum("n").cast("bigint").alias("g_n"))
+    classes = cell.groupBy("nationkey", "mktsegment").agg(
+        F.sum("n").cast("bigint").alias("group_n")
+    )
+    tot = bands.agg(
+        F.sum("g_n").cast("bigint").alias("big_n"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    dense = (
+        classes.crossJoin(F.broadcast(bands))
+        .join(cell, ["nationkey", "mktsegment", "band"], "left")
+        .select(
+            "nationkey",
+            "mktsegment",
+            "group_n",
+            "band",
+            "g_n",
+            F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
+        )
+    )
+    w = (
+        Window.partitionBy("nationkey", "mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.select(
+        "nationkey",
+        "mktsegment",
+        "group_n",
+        F.sum("n").over(w).cast("bigint").alias("cum_c"),
+        F.sum("g_n").over(w).cast("bigint").alias("cum_g"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("nationkey", "mktsegment", "group_n")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_c") * F.col("big_n")
+                    - F.col("cum_g") * F.col("group_n")
+                )
+            )
+            .cast("bigint")
+            .alias("emd_num"),
+            F.max("big_n").alias("big_n"),
+            F.max("m").alias("m"),
+        )
+    )
+    return emd.select(
+        "nationkey",
+        "mktsegment",
+        "group_n",
+        "emd_num",
+        (
+            F.col("emd_num").cast("double")
+            / (
+                F.col("group_n").cast("double")
+                * F.col("big_n").cast("double")
+                * (F.col("m") - 1).cast("double")
+            )
+        ).alias("emd"),
+        (
+            F.col("emd_num") * _TCLOSE_INV_T
+            <= F.col("group_n") * F.col("big_n") * (F.col("m") - 1)
+        ).alias("t_close_ok"),
+    ).orderBy("nationkey", "mktsegment")
+
+
 # --- Dataset card: per-source corpus summary ---------------------------
 
 

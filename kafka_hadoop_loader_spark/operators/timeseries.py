@@ -2305,3 +2305,309 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant"
         ),
     ).orderBy("event_type", "lag_hours")
+
+
+# --- Classical seasonal decomposition -----------------------------------
+
+
+@register(
+    "ts_decompose_classical",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT epoch_us(ts) // {_US_PER_HOUR} AS hr,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1
+        ),
+        spine AS (
+            SELECT g.hr
+            FROM (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM hourly) b,
+                 unnest(generate_series(b.lo, b.hi)) AS g(hr)
+        ),
+        dense AS (
+            SELECT s.hr, COALESCE(h.cents, 0) AS y
+            FROM spine s LEFT JOIN hourly h ON h.hr = s.hr
+        ),
+        ma AS (
+            SELECT hr, y,
+                   SUM(y) OVER wa + SUM(y) OVER wb AS tnum,
+                   COUNT(*) OVER wa + COUNT(*) OVER wb AS tcnt
+            FROM dense
+            WINDOW wa AS (ORDER BY hr
+                          ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+                   wb AS (ORDER BY hr
+                          ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+        ),
+        det AS (
+            SELECT hr, hr % 24 AS hod, y,
+                   CASE WHEN tcnt = 48 THEN 48 * y - tnum END AS dnum
+            FROM ma
+        ),
+        seas AS (
+            SELECT hod, CAST(SUM(dnum) AS BIGINT) AS snum,
+                   CAST(COUNT(dnum) AS BIGINT) AS scnt
+            FROM det GROUP BY 1
+        )
+        SELECT d.hr, d.hod, d.y AS value_cents,
+               d.dnum IS NOT NULL AS trend_defined,
+               CAST(48 * d.y - d.dnum AS DOUBLE) / 48.0 AS trend_cents,
+               CAST(s.snum AS DOUBLE) / CAST(48 * s.scnt AS DOUBLE)
+                   AS seasonal_cents,
+               CAST(d.dnum AS DOUBLE) / 48.0
+                   - CAST(s.snum AS DOUBLE) / CAST(48 * s.scnt AS DOUBLE)
+                   AS remainder_cents
+        FROM det d JOIN seas s ON s.hod = d.hod
+        ORDER BY d.hr
+    """,
+    doc="""Classical additive seasonal decomposition of the hourly
+    revenue series (the moving-average method STL refines): trend =
+    centered 2x24 moving average (the textbook even-period form — mean
+    of the two off-center 24-term means), seasonal = hour-of-day mean
+    of the detrended series, remainder = what's left.  One row per
+    hour on the dense spine: observed cents, trend/seasonal/remainder
+    components, and a trend_defined flag for the 12-hour edges where
+    the centered window is incomplete.  Downstream: seasonality-aware
+    anomaly flags read `remainder`, capacity planning reads `trend`,
+    and events_seasonality_profile's raw profile becomes a calibrated
+    seasonal index.
+
+    Determinism: the series is exact integer cents on the epoch-hour
+    grid; the trend is carried as the exact integer numerator
+    48y - sum48 (never a float mean), the seasonal mean is one
+    division of BIGINT sums, and the remainder subtracts two such
+    single-division doubles with the identical expression tree in both
+    engines — IEEE ops on identical inputs, no order-dependent float
+    accumulation anywhere.
+
+    Scale: the only O(|rows|) stage is the map-side-combining hourly
+    aggregate; everything after runs on the bounded hour spine
+    (10 years ~ 87k rows), so the spine windows are declared
+    single-partition via bounded_window_key per the plan-audit
+    convention.  The hod-mean join broadcasts a 24-row dim.""",
+)
+def ts_decompose_classical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.catalog import managed_persist
+
+    e = table(spark, sf_dir, "events")
+    # hourly feeds the bounds aggregate AND the spine join; the cut
+    # keeps the O(|rows|) events scan single (the spine stages after
+    # it are bounded metadata).
+    hourly = managed_persist(
+        f"ts_decompose_classical:hourly:{sf_dir}",
+        e.groupBy(
+            (F.col("ts_us") / _US_PER_HOUR).cast("bigint").alias("hr")
+        ).agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("cents")
+        ),
+    )
+    bounds = hourly.agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("hr")
+    )
+    dense = spine.join(hourly, "hr", "left").select(
+        "hr", F.coalesce("cents", F.lit(0).cast("bigint")).alias("y")
+    )
+    wa = (
+        Window.partitionBy(bounded_window_key("hr"))
+        .orderBy("hr")
+        .rowsBetween(-12, 11)
+    )
+    wb = (
+        Window.partitionBy(bounded_window_key("hr"))
+        .orderBy("hr")
+        .rowsBetween(-11, 12)
+    )
+    ma = dense.select(
+        "hr",
+        "y",
+        (F.sum("y").over(wa) + F.sum("y").over(wb)).alias("tnum"),
+        (F.count("*").over(wa) + F.count("*").over(wb)).alias("tcnt"),
+    )
+    # det feeds the hod-mean aggregate AND the final join.
+    det = managed_persist(
+        f"ts_decompose_classical:det:{sf_dir}",
+        ma.select(
+            "hr",
+            (F.col("hr") % 24).alias("hod"),
+            "y",
+            F.when(
+                F.col("tcnt") == 48, 48 * F.col("y") - F.col("tnum")
+            ).alias("dnum"),
+        ),
+    )
+    seas = det.groupBy("hod").agg(
+        F.sum("dnum").cast("bigint").alias("snum"),
+        F.count("dnum").cast("bigint").alias("scnt"),
+    )
+    seasonal = F.col("snum").cast("double") / (48 * F.col("scnt")).cast(
+        "double"
+    )
+    return (
+        det.join(F.broadcast(seas), "hod")
+        .select(
+            "hr",
+            "hod",
+            F.col("y").alias("value_cents"),
+            F.col("dnum").isNotNull().alias("trend_defined"),
+            ((48 * F.col("y") - F.col("dnum")).cast("double") / 48.0).alias(
+                "trend_cents"
+            ),
+            seasonal.alias("seasonal_cents"),
+            (F.col("dnum").cast("double") / 48.0 - seasonal).alias(
+                "remainder_cents"
+            ),
+        )
+        .orderBy("hr")
+    )
+
+
+# --- Forecast backtest (MASE) --------------------------------------------
+
+_MASE_HORIZON = 7  # holdout: the last week of the span
+
+
+@register(
+    "forecast_backtest_mase",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS day_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (SELECT MIN(day_id) AS lo, MAX(day_id) AS hi FROM daily),
+        types AS (SELECT DISTINCT event_type FROM daily),
+        spine AS (
+            SELECT t.event_type, g.day_id
+            FROM types t, span s,
+                 unnest(generate_series(s.lo, s.hi)) AS g(day_id)
+        ),
+        dense AS (
+            SELECT s.event_type, s.day_id, COALESCE(d.cents, 0) AS y,
+                   (SELECT hi FROM span) AS hi
+            FROM spine s LEFT JOIN daily d
+              ON d.event_type = s.event_type AND d.day_id = s.day_id
+        ),
+        lagged AS (
+            SELECT event_type, day_id, y,
+                   LAG(y, 1) OVER w AS y1,
+                   LAG(y, {_MASE_HORIZON}) OVER w AS y7,
+                   day_id > hi - {_MASE_HORIZON} AS is_test
+            FROM dense
+            WINDOW w AS (PARTITION BY event_type ORDER BY day_id)
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(COUNT(CASE WHEN NOT is_test AND y1 IS NOT NULL
+                                   THEN 1 END) AS BIGINT) AS n_train,
+                   CAST(COUNT(CASE WHEN is_test AND y7 IS NOT NULL
+                                   THEN 1 END) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN is_test AND y7 IS NOT NULL
+                                 THEN ABS(y - y7) END) AS BIGINT)
+                       AS test_abs_err,
+                   CAST(SUM(CASE WHEN NOT is_test AND y1 IS NOT NULL
+                                 THEN ABS(y - y1) END) AS BIGINT)
+                       AS train_naive_abs_err
+            FROM lagged GROUP BY 1
+        )
+        SELECT event_type, n_train, n_test, test_abs_err,
+               train_naive_abs_err,
+               CAST(test_abs_err * n_train AS DOUBLE)
+                   / CAST(NULLIF(train_naive_abs_err * n_test, 0)
+                          AS DOUBLE) AS mase,
+               test_abs_err * n_train < train_naive_abs_err * n_test
+                   AS beats_naive
+        FROM agg ORDER BY event_type
+    """,
+    doc=f"""Forecast backtest with MASE (Hyndman & Koehler's mean
+    absolute scaled error — THE scale-free forecast-accuracy metric):
+    hold out the final {_MASE_HORIZON} days of each event type's daily
+    revenue series, forecast them seasonal-naively (same weekday one
+    season back), and scale the holdout MAE by the TRAINING-period
+    one-step-naive MAE.  MASE < 1 means the seasonal forecaster beats
+    the naive random walk and earns its complexity; > 1 means
+    seasonality is noise for that series (both verdicts occur on the
+    fixture).  This is the acceptance gate that decides whether
+    events_forecast_holt's seasonal machinery should ship per series.
+
+    Determinism: the series is exact integer cents on the dense
+    epoch-day grid, absolute errors and their sums stay BIGINT, the
+    mase double is ONE division of two exact integer cross-products,
+    and the beats_naive verdict never touches a float.
+
+    Scale: one map-side-combining daily aggregate is the only
+    O(|rows|) stage; the dense spine is |types| x |days| (bounded
+    metadata), lags partition by event_type, and the final table is
+    O(|types|).  NULLIF guards the constant-series edge (zero train
+    error -> NULL mase, both engines).""",
+)
+def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.catalog import managed_persist
+
+    e = table(spark, sf_dir, "events")
+    # daily feeds span, types, and the spine join — cut once.
+    daily = managed_persist(
+        f"forecast_backtest_mase:daily:{sf_dir}",
+        e.groupBy(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY).cast("bigint").alias("day_id"),
+        ).agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("cents")
+        ),
+    )
+    span = daily.agg(F.min("day_id").alias("lo"), F.max("day_id").alias("hi"))
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi")).alias("day_id"),
+        "hi",
+    )
+    dense = spine.join(daily, ["event_type", "day_id"], "left").select(
+        "event_type",
+        "day_id",
+        F.coalesce("cents", F.lit(0).cast("bigint")).alias("y"),
+        "hi",
+    )
+    w = Window.partitionBy("event_type").orderBy("day_id")
+    lagged = dense.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", _MASE_HORIZON).over(w).alias("y7"),
+        (F.col("day_id") > F.col("hi") - _MASE_HORIZON).alias("is_test"),
+    )
+    train = (~F.col("is_test")) & F.col("y1").isNotNull()
+    test = F.col("is_test") & F.col("y7").isNotNull()
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.when(train, 1)).cast("bigint").alias("n_train"),
+        F.count(F.when(test, 1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(test, F.abs(F.col("y") - F.col("y7"))))
+        .cast("bigint")
+        .alias("test_abs_err"),
+        F.sum(F.when(train, F.abs(F.col("y") - F.col("y1"))))
+        .cast("bigint")
+        .alias("train_naive_abs_err"),
+    )
+    return agg.select(
+        "event_type",
+        "n_train",
+        "n_test",
+        "test_abs_err",
+        "train_naive_abs_err",
+        (
+            (F.col("test_abs_err") * F.col("n_train")).cast("double")
+            / F.nullif(
+                F.col("train_naive_abs_err") * F.col("n_test"), F.lit(0)
+            ).cast("double")
+        ).alias("mase"),
+        (
+            F.col("test_abs_err") * F.col("n_train")
+            < F.col("train_naive_abs_err") * F.col("n_test")
+        ).alias("beats_naive"),
+    ).orderBy("event_type")

@@ -137,6 +137,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # a never-tested name, and rotate to the front in round 7.
     "ann_pq_recall_audit",
     "multimodal_phash_dedup",
+    "t_closeness_audit",
+    "ts_decompose_classical",
+    "retrieval_mrr_audit",
+    "forecast_backtest_mase",
 )
 
 # Round-7 rotation queue: EMPTY as of round-6 start — every registered

@@ -471,3 +471,66 @@ def test_phash_dedup_census(spark, reg):
         else:
             assert r["nearest_id"] is None
             assert r["is_kept"]
+
+
+def test_t_closeness_triangle(spark, reg):
+    rows = reg["t_closeness_audit"].fn(spark, SF).collect()
+    assert rows
+    import collections
+
+    group_tot = collections.defaultdict(int)
+    for r in rows:
+        assert r["emd_num"] >= 0
+        assert 0.0 <= r["emd"] <= 1.0  # EMD on a normalized ordered grid
+        assert r["t_close_ok"] == (r["emd"] <= 0.2 + 1e-12)
+        group_tot[(r["nationkey"], r["mktsegment"])] += r["group_n"]
+    # every class appears exactly once
+    assert len(group_tot) == len(rows)
+    # a singleton class concentrated at one band should have emd > 0
+    assert any(r["emd"] > 0 for r in rows)
+
+
+def test_ts_decompose_reconstructs(spark, reg):
+    rows = reg["ts_decompose_classical"].fn(spark, SF).collect()
+    hrs = [r["hr"] for r in rows]
+    assert hrs == sorted(hrs)
+    assert hrs == list(range(hrs[0], hrs[-1] + 1))  # dense spine
+    n_edge = sum(1 for r in rows if not r["trend_defined"])
+    assert n_edge == 24  # 12 leading + 12 trailing incomplete windows
+    for r in rows:
+        assert r["hod"] == r["hr"] % 24
+        if r["trend_defined"]:
+            # additive identity: y = trend + seasonal + remainder
+            recon = r["trend_cents"] + r["seasonal_cents"] + r["remainder_cents"]
+            assert abs(recon - r["value_cents"]) < 1e-6
+        else:
+            assert r["trend_cents"] is None
+            assert r["remainder_cents"] is None
+
+
+def test_retrieval_mrr_probe_quality(spark, reg):
+    rows = reg["retrieval_mrr_audit"].fn(spark, SF).collect()
+    assert rows  # sampled queries exist at sf0.001
+    for r in rows:
+        assert r["query_doc_id"] % 50 == 0
+        assert 1 <= r["source_rank"] <= r["n_candidates"]
+        assert r["reciprocal_rank"] == 1.0 / r["source_rank"]
+        assert r["hit_at_5"] == (r["source_rank"] <= 5)
+    # rare-bigram probes must make retrieval mostly work: MRR well
+    # above random (~ 1/n_candidates)
+    mrr = sum(r["reciprocal_rank"] for r in rows) / len(rows)
+    assert mrr > 0.5
+
+
+def test_mase_backtest_consistency(spark, reg):
+    rows = reg["forecast_backtest_mase"].fn(spark, SF).collect()
+    assert len(rows) == 5  # one per event type
+    for r in rows:
+        assert r["n_test"] == 7
+        assert r["test_abs_err"] >= 0 and r["train_naive_abs_err"] >= 0
+        if r["mase"] is not None:
+            want = (r["test_abs_err"] * r["n_train"]) / (
+                r["train_naive_abs_err"] * r["n_test"]
+            )
+            assert abs(r["mase"] - want) < 1e-12
+            assert r["beats_naive"] == (want < 1.0) or r["mase"] == 1.0
