@@ -1515,3 +1515,155 @@ def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_from", "split_to")
     )
+
+
+# --- Cross-source contamination matrix ------------------------------------
+
+_CONTAM_INV_RATE = 10_000  # flag threshold: dup rate > 1/10000
+
+
+@register(
+    "dedup_source_contamination",
+    # {mh} late-bound below to dedup_minhash_lsh's registered oracle —
+    # the matrix is an aggregation OF the shipped near-dup pair table,
+    # so audit and source cannot drift.
+    oracle=f"""
+        WITH pairs AS ({{mh}}),
+        src AS (SELECT doc_id, source FROM documents),
+        ns AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        ),
+        labeled AS (
+            SELECT LEAST(sa.source, sb.source) AS source_a,
+                   GREATEST(sa.source, sb.source) AS source_b
+            FROM pairs p JOIN src sa ON sa.doc_id = p.doc_id_a
+            JOIN src sb ON sb.doc_id = p.doc_id_b
+        ),
+        cnt AS (
+            SELECT source_a, source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+            FROM labeled GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+                   CASE WHEN a.source = b.source
+                        THEN a.n_docs * (a.n_docs - 1) // 2
+                        ELSE a.n_docs * b.n_docs END AS possible_pairs
+            FROM ns a JOIN ns b ON a.source <= b.source
+        )
+        SELECT s.source_a, s.source_b, s.n_docs_a, s.n_docs_b,
+               COALESCE(c.n_dup_pairs, 0) AS n_dup_pairs,
+               s.possible_pairs,
+               CAST(COALESCE(c.n_dup_pairs, 0) AS DOUBLE)
+                   / CAST(s.possible_pairs AS DOUBLE) AS dup_rate,
+               COALESCE(c.n_dup_pairs, 0) * {_CONTAM_INV_RATE}
+                   > s.possible_pairs AS contaminated
+        FROM spine s LEFT JOIN cnt c
+          ON c.source_a = s.source_a AND c.source_b = s.source_b
+        ORDER BY s.source_a, s.source_b
+    """,
+    doc=f"""Cross-source contamination matrix: before mixing corpora
+    (mix_weighted_sources), estimate how much each source PAIR
+    overlaps by aggregating the verified MinHash-LSH near-dup pair
+    table up to the (source, source) grain — the dense |S|(|S|+1)/2
+    matrix of dup counts, possible-pair denominators (n_a*n_b cross,
+    n(n-1)/2 within), the dup rate, and a cross-multiplied
+    rate > 1/{_CONTAM_INV_RATE} contamination verdict.  High
+    cross-source rates mean double-counting under mixing weights and
+    train/eval leakage if the sources split; the within-source
+    diagonal is the residual dup rate exact dedup missed.
+
+    Determinism: pure integer counts over the already-deterministic
+    pair table; one exact division for the reported rate; the verdict
+    never touches a float.  The oracle nests dedup_minhash_lsh's full
+    registered oracle.
+
+    Scale: reuses _minhash_pairs' banded cascade (and its
+    managed-persist shingle key — building the matrix after the pair
+    table is one cheap aggregate); the doc->source join ships only
+    pair rows; the spine self-join is |sources|^2 broadcast metadata.""",
+)
+def dedup_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    pairs = _minhash_pairs(d, sf_dir).select("doc_id_a", "doc_id_b")
+    src = d.select("doc_id", "source")
+    ns = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("source").alias("sa"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("source").alias("sb"),
+            ),
+            "doc_id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    cnt = labeled.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("n_dup_pairs")
+    )
+    a = ns.select(
+        F.col("source").alias("source_a"), F.col("n_docs").alias("n_docs_a")
+    )
+    b = ns.select(
+        F.col("source").alias("source_b"), F.col("n_docs").alias("n_docs_b")
+    )
+    spine = (
+        a.join(F.broadcast(b), F.col("source_a") <= F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_docs_a",
+            "n_docs_b",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                F.expr("n_docs_a * (n_docs_a - 1) DIV 2"),
+            )
+            .otherwise(F.col("n_docs_a") * F.col("n_docs_b"))
+            .alias("possible_pairs"),
+        )
+    )
+    return (
+        spine.join(cnt, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_docs_a",
+            "n_docs_b",
+            F.coalesce("n_dup_pairs", F.lit(0).cast("bigint")).alias(
+                "n_dup_pairs"
+            ),
+            "possible_pairs",
+            (
+                F.coalesce("n_dup_pairs", F.lit(0).cast("bigint")).cast(
+                    "double"
+                )
+                / F.col("possible_pairs").cast("double")
+            ).alias("dup_rate"),
+            (
+                F.coalesce("n_dup_pairs", F.lit(0).cast("bigint"))
+                * _CONTAM_INV_RATE
+                > F.col("possible_pairs")
+            ).alias("contaminated"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_REG["dedup_source_contamination"] = _dc.replace(
+    _REG["dedup_source_contamination"],
+    oracle=_REG["dedup_source_contamination"].oracle.format(
+        mh=_REG["dedup_minhash_lsh"].oracle
+    ),
+)

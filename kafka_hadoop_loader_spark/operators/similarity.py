@@ -1679,3 +1679,97 @@ _REG["ann_pq_recall_audit"] = _dc.replace(
         pq=_REG["knn_pq_adc"].oracle
     ),
 )
+
+
+@register(
+    "ml_knn_label_eval",
+    # {bf} late-bound below to knn_cosine_bruteforce's registered
+    # oracle — the classifier is evaluated on the EXACT neighbor table
+    # the index tier ships.
+    oracle=f"""
+        WITH nn AS ({{bf}}),
+        votes AS (
+            SELECT query_id, neighbor_label,
+                   CAST(COUNT(*) AS BIGINT) AS n_votes,
+                   CAST(MIN(rnk) AS BIGINT) AS best_rnk
+            FROM nn GROUP BY 1, 2
+        ),
+        pred AS (
+            SELECT query_id, neighbor_label AS predicted_label, n_votes
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY n_votes DESC, best_rnk, neighbor_label) AS r
+                FROM votes
+            ) WHERE r = 1
+        )
+        SELECT p.query_id,
+               CAST(e.label AS BIGINT) AS true_label,
+               CAST(p.predicted_label AS BIGINT) AS predicted_label,
+               p.n_votes,
+               CAST({K} AS BIGINT) AS k,
+               p.predicted_label = e.label AS correct
+        FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+        ORDER BY p.query_id
+    """,
+    doc=f"""Leave-one-out k-NN label evaluation — the standard intrinsic
+    quality check for an embedding space (if labels aren't recoverable
+    from neighborhoods, the embeddings aren't carrying them): for each
+    of the {N_QUERIES} audit queries, the exact top-{K} cosine
+    neighbor table votes on the query's label (majority; ties broken
+    by best rank, then label), and the prediction is scored against
+    the query's own stored label.  Per query: truth, prediction, vote
+    count, verdict — the table an embedding-training run charts per
+    checkpoint.
+
+    Determinism: composes knn_cosine_bruteforce's already-hash-matched
+    neighbor table (the oracle nests its registered oracle); the vote
+    is pure integer counting with a three-key deterministic
+    tie-break.
+
+    Scale: everything after the neighbor table is O(queries x labels);
+    the neighbor table itself is the audited tier's cost, and swapping
+    the exact arm for the LSH/IVF form evaluates the production index
+    instead — the compose-the-oracles doctrine of ann_recall_audit.""",
+)
+def ml_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_hadoop_loader_spark.registry import REGISTRY
+
+    nn = REGISTRY["knn_cosine_bruteforce"].fn(spark, sf_dir)
+    votes = nn.groupBy("query_id", "neighbor_label").agg(
+        F.count("*").cast("bigint").alias("n_votes"),
+        F.min("rnk").cast("bigint").alias("best_rnk"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), "best_rnk", "neighbor_label"
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("query_id", F.col("neighbor_label").alias("predicted_label"), "n_votes")
+    )
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(emb, "query_id")
+        .select(
+            "query_id",
+            F.col("true_label").cast("bigint").alias("true_label"),
+            F.col("predicted_label").cast("bigint").alias("predicted_label"),
+            "n_votes",
+            F.lit(K).cast("bigint").alias("k"),
+            (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_REG["ml_knn_label_eval"] = _dc.replace(
+    _REG["ml_knn_label_eval"],
+    oracle=_REG["ml_knn_label_eval"].oracle.format(
+        bf=_REG["knn_cosine_bruteforce"].oracle
+    ),
+)

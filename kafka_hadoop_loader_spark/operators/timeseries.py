@@ -2611,3 +2611,278 @@ def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("train_naive_abs_err") * F.col("n_test")
         ).alias("beats_naive"),
     ).orderBy("event_type")
+
+
+# --- Seasonality-aware anomaly flags --------------------------------------
+
+_TSANOM_K = "3.5"  # MAD multiplier (literal text, identical both engines)
+
+
+@register(
+    "ts_anomaly_seasonal",
+    # {decomp} is late-bound below to ts_decompose_classical's full
+    # registered oracle, so the anomaly gate re-runs the exact
+    # decomposition it consumes — compose-the-oracles lockstep.
+    oracle="""
+        WITH decomp AS ({decomp}),
+        defined AS (
+            SELECT hr, hod, value_cents, remainder_cents,
+                   CAST(row_number() OVER (ORDER BY remainder_cents)
+                        AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM decomp WHERE trend_defined
+        ),
+        med AS (
+            SELECT MAX(CASE WHEN rn = (n + 1) // 2
+                            THEN remainder_cents END) AS med
+            FROM defined
+        ),
+        dev AS (
+            SELECT d.hr, d.hod, d.value_cents, d.remainder_cents, m.med,
+                   ABS(d.remainder_cents - m.med) AS adev,
+                   CAST(row_number() OVER (
+                       ORDER BY ABS(d.remainder_cents - m.med))
+                        AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM defined d, med m
+        ),
+        mad AS (
+            SELECT MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad
+            FROM dev
+        )
+        SELECT d.hr, d.hod, d.value_cents, d.remainder_cents,
+               d.med AS med_remainder, m.mad AS mad_remainder,
+               d.adev AS abs_deviation
+        FROM dev d, mad m
+        WHERE d.adev > __K__ * m.mad
+        ORDER BY d.hr
+    """,
+    doc="""Seasonality-aware anomaly detection — the consumer
+    ts_decompose_classical's doc promises: an hour is anomalous when
+    its decomposition REMAINDER deviates from the remainder median by
+    more than __K__x the median absolute deviation (the robust
+    modified-z-score rule; a plain z-score on the raw series would
+    fire on every daily peak, which is exactly what subtracting trend
+    + seasonal prevents).  Emits the anomalous hours with the
+    remainder, the robust center/scale used, and the deviation — the
+    alert feed a monitoring sink consumes.
+
+    Determinism: median and MAD are type-1 (lower) quantiles by RANK
+    SELECTION on the bounded spine (the quantiles_exact convention —
+    no interpolation arithmetic, so no engine-specific float
+    averaging); the only float ops are one subtraction, one ABS, and
+    the literal-__K__ multiply, identical expression trees both sides.
+    The oracle nests the decomposition's own registered oracle, so
+    audit and source cannot drift.
+
+    Scale: everything below the decomposition's hourly aggregate runs
+    on the bounded hour spine; the two rank windows are declared
+    bounded via bounded_window_key.  The managed-persist keys are
+    shared with ts_decompose_classical, so running both ops builds the
+    decomposition once.""".replace("__K__", _TSANOM_K),
+)
+def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.registry import REGISTRY
+
+    decomp = REGISTRY["ts_decompose_classical"].fn(spark, sf_dir)
+    defined = decomp.where("trend_defined").select(
+        "hr", "hod", "value_cents", "remainder_cents"
+    )
+    wr = Window.partitionBy(bounded_window_key("hr")).orderBy(
+        "remainder_cents"
+    )
+    wn = Window.partitionBy(bounded_window_key("hr"))
+    ranked = defined.select(
+        "hr",
+        "hod",
+        "value_cents",
+        "remainder_cents",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    med = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n + 1) DIV 2"),
+                F.col("remainder_cents"),
+            )
+        ).alias("med")
+    )
+    dev0 = ranked.select("hr", "hod", "value_cents", "remainder_cents").crossJoin(
+        F.broadcast(med)
+    )
+    adev = F.abs(F.col("remainder_cents") - F.col("med"))
+    wd = Window.partitionBy(bounded_window_key("hr")).orderBy(adev)
+    dev = dev0.select(
+        "hr",
+        "hod",
+        "value_cents",
+        "remainder_cents",
+        "med",
+        adev.alias("adev"),
+        F.row_number().over(wd).cast("bigint").alias("rn"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    mad = dev.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n + 1) DIV 2"),
+                F.col("adev"),
+            )
+        ).alias("mad")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .where(F.col("adev") > F.expr(_TSANOM_K) * F.col("mad"))
+        .select(
+            "hr",
+            "hod",
+            "value_cents",
+            "remainder_cents",
+            F.col("med").alias("med_remainder"),
+            F.col("mad").alias("mad_remainder"),
+            F.col("adev").alias("abs_deviation"),
+        )
+        .orderBy("hr")
+    )
+
+
+import dataclasses as _dc  # noqa: E402
+
+from kafka_hadoop_loader_spark.registry import REGISTRY as _TSREG  # noqa: E402
+
+_TSREG["ts_anomaly_seasonal"] = _dc.replace(
+    _TSREG["ts_anomaly_seasonal"],
+    oracle=_TSREG["ts_anomaly_seasonal"]
+    .oracle.replace("__K__", _TSANOM_K)
+    .format(decomp=_TSREG["ts_decompose_classical"].oracle),
+)
+
+
+# --- Theil-Sen robust trend ------------------------------------------------
+
+
+@register(
+    "stats_theil_sen",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   CAST(b.cents - a.cents AS DOUBLE)
+                       / CAST(b.day_id - a.day_id AS DOUBLE) AS slope
+            FROM daily a JOIN daily b
+              ON b.event_type = a.event_type AND a.day_id < b.day_id
+        ),
+        ranked AS (
+            SELECT event_type, slope,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY slope) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n_pairs
+            FROM pairs
+        ),
+        med AS (
+            SELECT event_type, MAX(n_pairs) AS n_pairs,
+                   MAX(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope END)
+                       AS slope
+            FROM ranked GROUP BY 1
+        ),
+        nd AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1
+        )
+        SELECT m.event_type, n.n_days, m.n_pairs,
+               m.slope AS slope_cents_per_day, m.slope > 0 AS rising
+        FROM med m JOIN nd n ON n.event_type = m.event_type
+        ORDER BY m.event_type
+    """,
+    doc="""Theil-Sen robust trend estimator per event type: the median
+    of all pairwise slopes of the daily revenue series — the
+    breakdown-point-0.29 answer to "is this series trending?" that a
+    single outlier day cannot flip, where the OLS slope
+    (regr_by_group) can be dragged arbitrarily.  Emits slope, pair
+    count, and the rising verdict per series.
+
+    Determinism: each slope is ONE division of two exact integer
+    differences (cents, epoch-days); the median is the type-1 rank
+    selection of quantiles_exact's convention — no float averaging or
+    accumulation anywhere.
+
+    Scale: the all-pairs join is per-series over the BOUNDED daily
+    grid — n days yields n(n-1)/2 pair rows per series (10 years =
+    ~6.7M pairs, one task's work), generated by an equi-join on the
+    series key, never a corpus cross join; the O(|rows|) stage is the
+    shared daily aggregate (managed-persist key shared with
+    forecast_backtest_mase).  For minute-grain series at extreme
+    spans, subsample pair offsets — the estimator degrades gracefully
+    and the plan shape holds.""",
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.catalog import managed_persist
+
+    e = table(spark, sf_dir, "events")
+    daily = managed_persist(
+        f"forecast_backtest_mase:daily:{sf_dir}",
+        e.groupBy(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY).cast("bigint").alias("day_id"),
+        ).agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("cents")
+        ),
+    )
+    a = daily.select(
+        "event_type",
+        F.col("day_id").alias("da"),
+        F.col("cents").alias("ca"),
+    )
+    b = daily.select(
+        "event_type",
+        F.col("day_id").alias("db"),
+        F.col("cents").alias("cb"),
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / (F.col("db") - F.col("da")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope")
+    wn = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count("*").over(wn).cast("bigint").alias("n_pairs"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max("n_pairs").alias("n_pairs"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"), F.col("slope"))
+        ).alias("slope"),
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days")
+    )
+    return (
+        med.join(nd, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.col("slope").alias("slope_cents_per_day"),
+            (F.col("slope") > 0).alias("rising"),
+        )
+        .orderBy("event_type")
+    )

@@ -141,6 +141,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ts_decompose_classical",
     "retrieval_mrr_audit",
     "forecast_backtest_mase",
+    "ts_anomaly_seasonal",
+    "stats_theil_sen",
+    "dedup_source_contamination",
+    "ml_knn_label_eval",
 )
 
 # Round-7 rotation queue: EMPTY as of round-6 start — every registered

@@ -534,3 +534,68 @@ def test_mase_backtest_consistency(spark, reg):
             )
             assert abs(r["mase"] - want) < 1e-12
             assert r["beats_naive"] == (want < 1.0) or r["mase"] == 1.0
+
+
+def test_ts_anomaly_threshold_consistency(spark, reg):
+    rows = reg["ts_anomaly_seasonal"].fn(spark, SF).collect()
+    assert rows  # 3.5x MAD fires on the fixture at sf0.001
+    for r in rows:
+        assert r["abs_deviation"] == abs(
+            r["remainder_cents"] - r["med_remainder"]
+        )
+        assert r["abs_deviation"] > 3.5 * r["mad_remainder"]
+    # anomalies must be a strict subset of defined decomposition hours
+    decomp = {
+        d["hr"]
+        for d in reg["ts_decompose_classical"].fn(spark, SF).collect()
+        if d["trend_defined"]
+    }
+    assert {r["hr"] for r in rows} < decomp
+
+
+def test_theil_sen_outlier_resistance(spark, reg):
+    rows = {r["event_type"]: r for r in reg["stats_theil_sen"].fn(spark, SF).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2
+        assert r["rising"] == (r["slope_cents_per_day"] > 0)
+
+
+def test_source_contamination_matrix_dense(spark, reg):
+    rows = reg["dedup_source_contamination"].fn(spark, SF).collect()
+    srcs = sorted({r["source_a"] for r in rows} | {r["source_b"] for r in rows})
+    # dense upper-triangle spine including zero-dup pairs
+    assert len(rows) == len(srcs) * (len(srcs) + 1) // 2
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]
+        if r["source_a"] == r["source_b"]:
+            want = r["n_docs_a"] * (r["n_docs_a"] - 1) // 2
+        else:
+            want = r["n_docs_a"] * r["n_docs_b"]
+        assert r["possible_pairs"] == want
+        assert 0 <= r["n_dup_pairs"] <= r["possible_pairs"]
+        assert r["contaminated"] == (
+            r["n_dup_pairs"] * 10_000 > r["possible_pairs"]
+        )
+    # the pair total must equal the shipped pair table's row count
+    n_pairs = sum(r["n_dup_pairs"] for r in rows)
+    assert n_pairs == reg["dedup_minhash_lsh"].fn(spark, SF).count()
+
+
+def test_knn_label_eval_votes(spark, reg):
+    rows = reg["ml_knn_label_eval"].fn(spark, SF).collect()
+    assert len(rows) == 20  # one row per audit query
+    nn = reg["knn_cosine_bruteforce"].fn(spark, SF).collect()
+    import collections
+
+    by_q = collections.defaultdict(list)
+    for r in nn:
+        by_q[r["query_id"]].append(r)
+    for r in rows:
+        assert r["k"] == 10
+        votes = collections.Counter(
+            x["neighbor_label"] for x in by_q[r["query_id"]]
+        )
+        assert r["n_votes"] == votes[r["predicted_label"]]
+        assert r["n_votes"] == max(votes.values())  # majority wins
+        assert r["correct"] == (r["predicted_label"] == r["true_label"])
