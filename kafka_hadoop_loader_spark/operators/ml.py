@@ -1743,3 +1743,139 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- Ridge regression (closed form) ---------------------------------------
+#
+# Same nine sufficient statistics and Cramer tree as
+# regr_normal_equations, with the L2 penalty added to the FEATURE
+# diagonal of the normal matrix (intercept unpenalized, the standard
+# convention): f11 -> f11 + lambda, f22 -> f22 + lambda.  The
+# substitution is TEXTUAL on the shared expression strings, so both
+# engines still evaluate one identical literal tree.
+_RIDGE_L = "1.0E8"  # lambda, sized to the f11/f22 magnitude at sf0.1
+
+
+def _ridge_expr(e: str) -> str:
+    return e.replace("f11", f"(f11 + {_RIDGE_L})").replace(
+        "f22", f"(f22 + {_RIDGE_L})"
+    )
+
+
+@register(
+    "ml_ridge_regression",
+    oracle=f"""
+        WITH obs AS (
+            SELECT l.l_returnflag AS returnflag,
+                   CAST(l.l_quantity AS BIGINT) AS q,
+                   CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS r,
+                   CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        mom AS (
+            SELECT returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS s1,
+                   CAST(SUM(r) AS BIGINT) AS s2,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(q * q) AS BIGINT) AS s11,
+                   CAST(SUM(q * r) AS BIGINT) AS s12,
+                   CAST(SUM(r * r) AS BIGINT) AS s22,
+                   CAST(SUM(q * y) AS BIGINT) AS s1y,
+                   CAST(SUM(r * y) AS BIGINT) AS s2y
+            FROM obs GROUP BY returnflag
+        ),
+        f AS (
+            SELECT returnflag, n,
+                   CAST(n AS DOUBLE) AS fn, CAST(s1 AS DOUBLE) AS f1,
+                   CAST(s2 AS DOUBLE) AS f2, CAST(sy AS DOUBLE) AS fy,
+                   CAST(s11 AS DOUBLE) AS f11, CAST(s12 AS DOUBLE) AS f12,
+                   CAST(s22 AS DOUBLE) AS f22, CAST(s1y AS DOUBLE) AS f1y,
+                   CAST(s2y AS DOUBLE) AS f2y
+            FROM mom
+        )
+        SELECT returnflag, n,
+               CAST({_RIDGE_L} AS DOUBLE) AS lambda,
+               {_ridge_expr(_OLS_B0)} AS beta0_cents,
+               {_ridge_expr(_OLS_B1)} AS beta1_cents_per_unit,
+               {_ridge_expr(_OLS_B2)} AS beta2,
+               {_OLS_B1} AS beta1_ols,
+               ABS({_ridge_expr(_OLS_B1)}) < ABS({_OLS_B1})
+                   AS beta1_shrunk
+        FROM f
+        ORDER BY returnflag
+    """,
+    doc=f"""Ridge regression in closed form — regr_normal_equations'
+    L2-regularized sibling: the identical one-pass exact sufficient
+    statistics, with lambda = {_RIDGE_L} added to the feature diagonal
+    of the normal matrix before the same Cramer solve (intercept
+    unpenalized, the standard convention).  Emits the ridge
+    coefficients next to the OLS slope and a shrinkage verdict — the
+    side-by-side a modeling pipeline uses to pick the regularized fit
+    when features are collinear (here quantity and retailprice have
+    wildly different scales, so the penalty visibly shrinks the
+    quantity slope).
+
+    Cross-engine exactness: inherited verbatim from
+    regr_normal_equations — the lambda substitution is TEXTUAL on the
+    shared Cramer strings, so both engines still evaluate one literal
+    IEEE tree on identically-cast exact BIGINT moments.
+
+    Scale: identical to the OLS op — one map-side-combining moment
+    aggregate is the only data-sized stage; the solve is O(p^3) per
+    group row.  Sweeping lambda re-runs ONLY the solve on the cached
+    moments, never the scan (the cross-validation loop at 100 TB).""",
+)
+def ml_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    obs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_quantity").cast("long").alias("q"),
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("r"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        )
+    )
+    mom = obs.groupBy("returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum("r").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).alias("s11"),
+        F.sum(F.col("q") * F.col("r")).alias("s12"),
+        F.sum(F.col("r") * F.col("r")).alias("s22"),
+        F.sum(F.col("q") * F.col("y")).alias("s1y"),
+        F.sum(F.col("r") * F.col("y")).alias("s2y"),
+    )
+    f = mom.select(
+        "returnflag",
+        "n",
+        F.col("n").cast("double").alias("fn"),
+        F.col("s1").cast("double").alias("f1"),
+        F.col("s2").cast("double").alias("f2"),
+        F.col("sy").cast("double").alias("fy"),
+        F.col("s11").cast("double").alias("f11"),
+        F.col("s12").cast("double").alias("f12"),
+        F.col("s22").cast("double").alias("f22"),
+        F.col("s1y").cast("double").alias("f1y"),
+        F.col("s2y").cast("double").alias("f2y"),
+    )
+    return (
+        f.select(
+            "returnflag",
+            "n",
+            F.expr(f"CAST({_RIDGE_L} AS DOUBLE)").alias("lambda"),
+            F.expr(_ridge_expr(_OLS_B0)).alias("beta0_cents"),
+            F.expr(_ridge_expr(_OLS_B1)).alias("beta1_cents_per_unit"),
+            F.expr(_ridge_expr(_OLS_B2)).alias("beta2"),
+            F.expr(_OLS_B1).alias("beta1_ols"),
+            F.expr(
+                f"ABS({_ridge_expr(_OLS_B1)}) < ABS({_OLS_B1})"
+            ).alias("beta1_shrunk"),
+        )
+        .orderBy("returnflag")
+    )

@@ -844,3 +844,120 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_keyframe_select",
+    oracle=f"""
+        WITH frames AS (
+            SELECT doc_id,
+                   (i - 1) // {_AUDIO_FRAME} AS frame_id,
+                   CAST(SUM(CAST(unicode(substr(text, i, 1)) - 96 AS BIGINT)
+                            * CAST(unicode(substr(text, i, 1)) - 96
+                                   AS BIGINT)) AS BIGINT) AS energy_scaled
+            FROM documents, unnest(generate_series(1, length(text))) AS u(i)
+            GROUP BY doc_id, frame_id
+        ),
+        flagged AS (
+            SELECT doc_id, frame_id, energy_scaled,
+                   CASE WHEN ABS(energy_scaled - LAG(energy_scaled) OVER w)
+                             > {_SHOT_THRESH}
+                        THEN 1 ELSE 0 END AS is_boundary
+            FROM frames
+            WINDOW w AS (PARTITION BY doc_id ORDER BY frame_id)
+        ),
+        shots AS (
+            SELECT doc_id, frame_id, energy_scaled,
+                   CAST(SUM(is_boundary) OVER (
+                       PARTITION BY doc_id ORDER BY frame_id) AS BIGINT)
+                       AS shot_id
+            FROM flagged
+        ),
+        ranked AS (
+            SELECT doc_id, shot_id, frame_id, energy_scaled,
+                   row_number() OVER (
+                       PARTITION BY doc_id, shot_id
+                       ORDER BY energy_scaled DESC, frame_id) AS r,
+                   CAST(COUNT(*) OVER (PARTITION BY doc_id, shot_id)
+                        AS BIGINT) AS n_frames
+            FROM shots
+        )
+        SELECT doc_id, shot_id, n_frames,
+               frame_id AS keyframe_id,
+               energy_scaled AS keyframe_energy
+        FROM ranked WHERE r = 1
+        ORDER BY doc_id, shot_id
+    """,
+    doc=f"""Keyframe selection — the step after shot detection in a
+    video-for-training pipeline (one representative frame per shot
+    feeds the vision encoder instead of every frame): frames are
+    segmented into shots at the same |Δ energy| > {_SHOT_THRESH}
+    boundaries multimodal_shot_boundaries reports (shot_id = running
+    boundary count), and each shot elects its maximum-energy frame
+    (ties to the earliest).  Emits one row per (doc, shot) with the
+    shot's frame count and the elected keyframe.
+
+    The frame 'decode' is the same deterministic pseudo-PCM stub as
+    multimodal_audio_energy (no codecs in the container) — which is
+    what makes the whole cascade exact-integer and oracle-replayable.
+
+    Scale: one Arrow-batched mapInPandas pass emits frames; both
+    windows (boundary lag, running shot id) and the per-shot argmax
+    partition BY DOC, so no stage exceeds one clip's frames; zero
+    float arithmetic anywhere.""",
+)
+def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(table(spark, sf_dir, "documents"))
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    frames = payloads.mapInPandas(_audio_energy_batches, _AUDIO_SCHEMA)
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    flagged = frames.select(
+        "doc_id",
+        "frame_id",
+        "energy_scaled",
+        F.when(
+            F.abs(
+                F.col("energy_scaled") - F.lag("energy_scaled").over(w)
+            )
+            > _SHOT_THRESH,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_boundary"),
+    )
+    shots = flagged.select(
+        "doc_id",
+        "frame_id",
+        "energy_scaled",
+        F.sum("is_boundary")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("shot_id"),
+    )
+    ws = Window.partitionBy("doc_id", "shot_id").orderBy(
+        F.col("energy_scaled").desc(), "frame_id"
+    )
+    wn = Window.partitionBy("doc_id", "shot_id")
+    ranked = shots.select(
+        "doc_id",
+        "shot_id",
+        "frame_id",
+        "energy_scaled",
+        F.row_number().over(ws).alias("r"),
+        F.count("*").over(wn).cast("bigint").alias("n_frames"),
+    )
+    return (
+        ranked.where(F.col("r") == 1)
+        .select(
+            "doc_id",
+            "shot_id",
+            "n_frames",
+            F.col("frame_id").alias("keyframe_id"),
+            F.col("energy_scaled").alias("keyframe_energy"),
+        )
+        .orderBy("doc_id", "shot_id")
+    )

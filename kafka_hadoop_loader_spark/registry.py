@@ -145,6 +145,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stats_theil_sen",
     "dedup_source_contamination",
     "ml_knn_label_eval",
+    "ml_ridge_regression",
+    "multimodal_keyframe_select",
+    "dedup_lsh_frontier",
 )
 
 # Round-7 rotation queue: EMPTY as of round-6 start — every registered

@@ -599,3 +599,65 @@ def test_knn_label_eval_votes(spark, reg):
         assert r["n_votes"] == votes[r["predicted_label"]]
         assert r["n_votes"] == max(votes.values())  # majority wins
         assert r["correct"] == (r["predicted_label"] == r["true_label"])
+
+
+def test_ridge_shrinks_toward_zero(spark, reg):
+    ols = {r["returnflag"]: r for r in reg["regr_normal_equations"].fn(spark, SF).collect()}
+    rows = reg["ml_ridge_regression"].fn(spark, SF).collect()
+    assert len(rows) == len(ols)
+    for r in rows:
+        assert r["lambda"] == 1.0e8
+        assert r["beta1_ols"] == ols[r["returnflag"]]["beta1_cents_per_unit"]
+        assert r["beta1_shrunk"] == (
+            abs(r["beta1_cents_per_unit"]) < abs(r["beta1_ols"])
+        )
+        # with lambda >> f11 scale the quantity slope must shrink
+        assert abs(r["beta1_cents_per_unit"]) < abs(r["beta1_ols"])
+
+
+def test_keyframe_is_shot_argmax(spark, reg):
+    frames = reg["multimodal_audio_energy"].fn(spark, SF).collect()
+    keys = reg["multimodal_keyframe_select"].fn(spark, SF).collect()
+    import collections
+
+    by_doc = collections.defaultdict(list)
+    for f in frames:
+        by_doc[f["doc_id"]].append(f)
+    # rebuild shots per doc with the same threshold and check argmax
+    for doc_id, fs in by_doc.items():
+        fs.sort(key=lambda f: f["frame_id"])
+        shots = collections.defaultdict(list)
+        sid, prev = 0, None
+        for f in fs:
+            if prev is not None and abs(f["energy_scaled"] - prev) > 20_000:
+                sid += 1
+            shots[sid].append(f)
+            prev = f["energy_scaled"]
+        got = {k["shot_id"]: k for k in keys if k["doc_id"] == doc_id}
+        assert set(got) == set(shots)
+        for sid, members in shots.items():
+            best = min(members, key=lambda f: (-f["energy_scaled"], f["frame_id"]))
+            assert got[sid]["keyframe_id"] == best["frame_id"]
+            assert got[sid]["n_frames"] == len(members)
+
+
+def test_lsh_frontier_monotone(spark, reg):
+    rows = sorted(
+        reg["dedup_lsh_frontier"].fn(spark, SF).collect(),
+        key=lambda r: r["rows_per_band"],
+    )
+    assert [r["rows_per_band"] for r in rows] == [2, 3, 4, 8]
+    for r in rows:
+        assert r["n_bands"] * r["rows_per_band"] == 24
+        assert r["n_verified"] <= r["n_candidates"]
+        assert r["n_verified"] <= r["n_truth"]
+        # S-curve is monotone in j for every config
+        assert r["p_detect_j05"] < r["p_detect_j07"] < r["p_detect_j09"]
+    # more rows per band can only shrink the candidate set (aligned-band
+    # pigeonhole), and the r=2 config defines the truth set
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["n_candidates"] <= lo["n_candidates"]
+        assert hi["n_verified"] <= lo["n_verified"]
+    assert rows[0]["n_verified"] == rows[0]["n_truth"]
+    # measured on the fixture: the strictest config pays in recall
+    assert rows[-1]["relative_recall"] < 1.0
