@@ -1647,3 +1647,98 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Importance reweighting to a target mix --------------------------------
+
+_REWEIGHT_TARGETS = (
+    ("en", "4", "10"),  # lang, numerator, denominator of the target share
+    ("zh", "2", "10"),
+    ("fr", "2", "10"),
+    ("es", "1", "10"),
+    ("de", "1", "10"),
+)
+_REWEIGHT_SQL_VALUES = ", ".join(
+    f"('{lang}', {n}, {d})" for lang, n, d in _REWEIGHT_TARGETS
+)
+
+
+@register(
+    "sample_importance_reweight",
+    oracle=f"""
+        WITH target(lang, tnum, tden) AS (VALUES {_REWEIGHT_SQL_VALUES}),
+        cur AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cur)
+        SELECT c.lang, c.n_docs,
+               CAST(c.n_docs AS DOUBLE) / CAST(t.n AS DOUBLE)
+                   AS current_share,
+               CAST(g.tnum AS DOUBLE) / CAST(g.tden AS DOUBLE)
+                   AS target_share,
+               CAST(g.tnum * t.n AS DOUBLE)
+                   / CAST(g.tden * c.n_docs AS DOUBLE) AS weight,
+               g.tnum * t.n > g.tden * c.n_docs AS upweighted,
+               CAST(CASE WHEN g.tnum * t.n > g.tden * c.n_docs
+                         THEN (g.tnum * t.n) // (g.tden)
+                         ELSE NULL END AS BIGINT) AS implied_docs_needed
+        FROM cur c JOIN target g ON g.lang = c.lang CROSS JOIN tot t
+        ORDER BY c.lang
+    """,
+    doc="""Importance reweighting to a declared target language mix —
+    the standard correction when the crawl's language distribution
+    differs from the training recipe's: per language, the current
+    share, the target share (exact rationals, declared as integer
+    numerator/denominator literals), the importance weight
+    target/current each document of that language carries into the
+    loss or the sampler, an up/down verdict, and for upweighted
+    languages the document count the target implies (what you'd need
+    to crawl to reach the mix at weight 1).
+
+    Determinism: shares and weights are single divisions of exact
+    BIGINT cross-products (tnum*N / tden*n_l); the verdict and the
+    implied count never touch a float.
+
+    Scale: one map-side-combining count per language plus a broadcast
+    of the |langs|-row target dim — O(|langs|) state.  The weights
+    feed sample_temperature / mix_weighted_sources as the per-row
+    multiplier; reweighting is preferred over resampling when the
+    corpus pass is cheaper than the storage churn.""",
+)
+def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    cur = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = cur.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    target = d.sparkSession.createDataFrame(
+        [(lang, int(n), int(dn)) for lang, n, dn in _REWEIGHT_TARGETS],
+        "lang string, tnum bigint, tden bigint",
+    )
+    return (
+        cur.join(F.broadcast(target), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n").cast("double")).alias(
+                "current_share"
+            ),
+            (F.col("tnum").cast("double") / F.col("tden").cast("double")).alias(
+                "target_share"
+            ),
+            (
+                (F.col("tnum") * F.col("n")).cast("double")
+                / (F.col("tden") * F.col("n_docs")).cast("double")
+            ).alias("weight"),
+            (F.col("tnum") * F.col("n") > F.col("tden") * F.col("n_docs")).alias(
+                "upweighted"
+            ),
+            F.when(
+                F.col("tnum") * F.col("n") > F.col("tden") * F.col("n_docs"),
+                F.expr("(tnum * n) DIV tden"),
+            )
+            .cast("bigint")
+            .alias("implied_docs_needed"),
+        )
+        .orderBy("lang")
+    )

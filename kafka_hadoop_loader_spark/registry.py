@@ -148,6 +148,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ml_ridge_regression",
     "multimodal_keyframe_select",
     "dedup_lsh_frontier",
+    "text_ngram_novelty",
+    "sample_importance_reweight",
 )
 
 # Round-7 rotation queue: EMPTY as of round-6 start — every registered

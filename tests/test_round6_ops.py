@@ -661,3 +661,33 @@ def test_lsh_frontier_monotone(spark, reg):
     assert rows[0]["n_verified"] == rows[0]["n_truth"]
     # measured on the fixture: the strictest config pays in recall
     assert rows[-1]["relative_recall"] < 1.0
+
+
+def test_novelty_decays_and_first_doc_is_fully_novel(spark, reg):
+    rows = sorted(
+        reg["text_ngram_novelty"].fn(spark, SF).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows[0]["novelty"] == 1.0  # nothing precedes the first doc
+    for r in rows:
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert r["n_novel"] <= r["n_grams"]
+        assert r["novelty"] == r["n_novel"] / r["n_grams"]
+    half = len(rows) // 2
+    early = sum(r["novelty"] for r in rows[:half]) / half
+    late = sum(r["novelty"] for r in rows[half:]) / (len(rows) - half)
+    assert early > late  # the curve decays as the corpus accumulates
+
+
+def test_reweight_mix_sums_to_corpus(spark, reg):
+    rows = reg["sample_importance_reweight"].fn(spark, SF).collect()
+    assert {r["lang"] for r in rows} == {"en", "zh", "fr", "es", "de"}
+    n = sum(r["n_docs"] for r in rows)
+    assert abs(sum(r["target_share"] for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r["weight"] == (r["target_share"] * n) / r["n_docs"]
+        assert r["upweighted"] == (r["weight"] > 1.0)
+        if r["upweighted"]:
+            assert r["implied_docs_needed"] >= r["n_docs"]
+    # reweighted doc mass is conserved: sum n_l * w_l == N exactly
+    assert abs(sum(r["n_docs"] * r["weight"] for r in rows) - n) < 1e-9 * n
