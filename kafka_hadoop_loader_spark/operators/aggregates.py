@@ -906,3 +906,83 @@ def orders_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_lines")
     )
+
+
+# --- Weighted median --------------------------------------------------------
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+        WITH obs AS (
+            SELECT l_returnflag AS returnflag,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       AS price_cents,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem
+        ),
+        g AS (
+            SELECT returnflag, price_cents, CAST(SUM(w) AS BIGINT) AS w
+            FROM obs GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT returnflag, price_cents, w,
+                   CAST(SUM(w) OVER (PARTITION BY returnflag
+                                     ORDER BY price_cents) AS BIGINT) AS cw,
+                   CAST(SUM(w) OVER (PARTITION BY returnflag) AS BIGINT)
+                       AS tw
+            FROM g
+        )
+        SELECT returnflag, tw AS total_weight,
+               CAST(MIN(CASE WHEN 2 * cw >= tw THEN price_cents END)
+                    AS BIGINT) AS weighted_median_cents
+        FROM cum GROUP BY returnflag, tw
+        ORDER BY returnflag
+    """,
+    doc="""Exact weighted median — quantity-weighted median unit price
+    per return flag (the inventory-valuation number a plain median
+    gets wrong when line sizes vary): the smallest price whose
+    cumulative quantity weight reaches half the total, located by the
+    cross-multiplied test 2*cum >= total on exact BIGINT weights (the
+    lower weighted median; no interpolation, the quantiles_exact
+    convention).
+
+    Scale: the input collapses FIRST to the (group, distinct price)
+    grain — one map-side-combining aggregate — so the cumulative
+    window runs over the bounded price DOMAIN per group (~10^6 cent
+    values at any corpus size), not over rows.  The selection itself
+    is a conditional MIN, one more hash aggregate.""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("bigint").alias("w"))
+    wc = (
+        Window.partitionBy("returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("returnflag")
+    cum = g.select(
+        "returnflag",
+        "price_cents",
+        F.sum("w").over(wc).cast("bigint").alias("cw"),
+        F.sum("w").over(wt).cast("bigint").alias("tw"),
+    )
+    return (
+        cum.groupBy("returnflag", F.col("tw").alias("total_weight"))
+        .agg(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_cents"))
+            )
+            .cast("bigint")
+            .alias("weighted_median_cents")
+        )
+        .orderBy("returnflag")
+    )

@@ -1873,3 +1873,88 @@ def causal_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("y_control") * F.col("n_treated")
         ).alias("treated_return_more"),
     ).orderBy("segment", "price_band")
+
+
+# --- ABC (Pareto) classification --------------------------------------------
+
+
+@register(
+    "orders_abc_classification",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey AS partkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT)) AS BIGINT)
+                       AS rev
+            FROM lineitem GROUP BY 1
+        ),
+        ranked AS (
+            SELECT partkey, rev,
+                   CAST(SUM(rev) OVER (ORDER BY rev DESC, partkey)
+                        AS BIGINT) AS cum,
+                   CAST(SUM(rev) OVER () AS BIGINT) AS tot,
+                   CAST(row_number() OVER (ORDER BY rev DESC, partkey)
+                        AS BIGINT) AS rnk
+            FROM rev
+        )
+        SELECT CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+                    WHEN 20 * cum <= 19 * tot THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(rev) AS BIGINT) AS class_rev,
+               MIN(rnk) AS first_rank, MAX(rnk) AS last_rank
+        FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+    doc="""ABC (Pareto) inventory classification: parts ranked by
+    discounted revenue, classified by cumulative share — A while the
+    running total is within 80% of revenue, B to 95%, C for the tail
+    (the classic 80/15/5 split, tested with the exact
+    cross-multiplications 5*cum <= 4*tot and 20*cum <= 19*tot on
+    BIGINT revenue in 1/100-cent units).  Emits the three classes
+    with part counts, revenue mass, and rank spans — the table a
+    supply-chain pipeline uses to tier stocking policies.
+
+    Scale: the part dimension is data-sized (10^8+ at 100 TB), so the
+    global revenue order comes from plans/ranking.two_phase_rank —
+    value-bucketed rank + prefix sum, NO single-partition window
+    anywhere (the operator exists largely to exercise that machinery
+    on a cumulative-share workload); the class census is one hash
+    aggregate on the ranked output.  checkpoint_input=True because the
+    input is itself an aggregate the helper reads three times.""",
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("rev")
+    )
+    ranked = two_phase_rank(
+        rev,
+        "rev",
+        [F.col("rev").desc(), F.col("partkey")],
+        descending=True,
+        row_number_col="rnk",
+        prefix_sum=("cum", "rev"),
+        checkpoint_input=True,
+    )
+    tot = rev.agg(F.sum("rev").cast("bigint").alias("tot"))
+    cls = F.when(
+        5 * F.col("cum") <= 4 * F.col("tot"), "A"
+    ).when(20 * F.col("cum") <= 19 * F.col("tot"), "B").otherwise("C")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(cls.alias("abc_class"), "rev", F.col("rnk").cast("bigint").alias("rnk"))
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("bigint").alias("class_rev"),
+            F.min("rnk").alias("first_rank"),
+            F.max("rnk").alias("last_rank"),
+        )
+        .orderBy("abc_class")
+    )

@@ -235,3 +235,83 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .orderBy("o_custkey", "rn")
     )
+
+
+# --- Rolling exact median ----------------------------------------------------
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT event_type, day_id, cents,
+                   list_sort(list(cents) OVER (
+                       PARTITION BY event_type ORDER BY day_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+            FROM daily
+        )
+        SELECT event_type, day_id, cents,
+               CAST(len(arr) AS BIGINT) AS n_in_window,
+               CAST(arr[CAST((len(arr) + 1) // 2 AS INTEGER)] AS BIGINT)
+                   AS rolling_median_cents
+        FROM win ORDER BY event_type, day_id
+    """,
+    doc="""Rolling EXACT median — the robust smoother the moving
+    average can't be (window_moving_avg jumps when one outlier day
+    enters the frame; the median ignores it until outliers are the
+    majority): per event type, the type-1 median of the trailing
+    7-day daily-revenue window, computed by collecting the frame into
+    a sorted array and selecting position (n+1) DIV 2.
+
+    Rolling rank statistics have no incremental aggregate form in
+    either engine, so the frame-collect is the honest plan: the frame
+    is BOUNDED (7 values), making the per-row cost O(7 log 7) and the
+    state 7 BIGINTs — this is precisely the case where collect-inside-
+    a-window is right, in contrast to the unbounded collect the
+    anti-pattern audit hunts.  All integers; no interpolation.
+
+    Scale: the input collapses to the (type, day) grain first (the
+    shared daily-cents aggregate); windows partition by event type
+    over the bounded day spine.""",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.catalog import managed_persist
+
+    e = table(spark, sf_dir, "events")
+    daily = managed_persist(
+        f"forecast_backtest_mase:daily:{sf_dir}",
+        e.groupBy(
+            "event_type",
+            (F.col("ts_us") / 86_400_000_000).cast("bigint").alias("day_id"),
+        ).agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("cents")
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = daily.select(
+        "event_type",
+        "day_id",
+        "cents",
+        F.sort_array(F.collect_list("cents").over(w)).alias("arr"),
+    )
+    return win.select(
+        "event_type",
+        "day_id",
+        "cents",
+        F.size("arr").cast("bigint").alias("n_in_window"),
+        F.expr("arr[CAST((size(arr) + 1) DIV 2 AS INT) - 1]")
+        .cast("bigint")
+        .alias("rolling_median_cents"),
+    ).orderBy("event_type", "day_id")

@@ -150,6 +150,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_lsh_frontier",
     "text_ngram_novelty",
     "sample_importance_reweight",
+    "agg_weighted_median",
+    "orders_abc_classification",
+    "window_rolling_median",
 )
 
 # Round-7 rotation queue: EMPTY as of round-6 start — every registered

@@ -492,3 +492,59 @@ def session_eviction_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeMode="EventTime",
         )
     )
+
+
+def user_topk_tws(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user top-k event values via transformWithStateInPandas
+    LIST STATE — the third state-handle kind after the running-stats
+    ValueState and the session job's timer registry: ListState holds a
+    VARIABLE-LENGTH collection the processor appends to and rewrites
+    without a monolithic value struct, the natural fit for leaderboard
+    / reservoir / beam-search state.  Each batch merges the incoming
+    values into the stored top-k (bounded: the put() writes back at
+    most k rows, so state is O(k) per user regardless of stream
+    length) and emits the user's current leaderboard in Update mode.
+
+    Mechanics pinned here: ``getListState`` with a one-column schema;
+    ``get()`` returns an ITERATOR of tuples (consumed, not indexed);
+    ``put(rows)`` REPLACES the whole list (the bounded rewrite is the
+    point — contrast appendList, which would grow unboundedly and
+    push the truncation to read time).
+
+    Environment note: same protobuf gate as the other tws jobs —
+    plan construction and schema are testable here, the stream start
+    is not (see test_user_topk_tws)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("top", "v DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            vals = [float(t[0]) for t in self._top.get()]
+            for pdf in rows:
+                if len(pdf):
+                    vals.extend(float(v) for v in pdf["value"])
+            vals = sorted(vals, reverse=True)[:k]
+            self._top.put([(v,) for v in vals])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(vals),
+                    "rank": list(range(1, len(vals) + 1)),
+                    "value": vals,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_TopK(),
+        outputStructType="user_id bigint, rank int, value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -499,6 +499,7 @@ def test_query_construction_runs_no_spark_jobs(spark):
         "graph_link_prediction",
         "kmeans_seed_farthest",
         "ml_isotonic_calibration",
+        "orders_abc_classification",
     }
     load_tables(spark, SF_DIR)  # warm the schema cache
     sc = spark.sparkContext

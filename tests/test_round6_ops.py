@@ -691,3 +691,61 @@ def test_reweight_mix_sums_to_corpus(spark, reg):
             assert r["implied_docs_needed"] >= r["n_docs"]
     # reweighted doc mass is conserved: sum n_l * w_l == N exactly
     assert abs(sum(r["n_docs"] * r["weight"] for r in rows) - n) < 1e-9 * n
+
+
+def test_weighted_median_is_weighted(spark, reg):
+    rows = reg["agg_weighted_median"].fn(spark, SF).collect()
+    assert len(rows) == 3  # A/N/R
+    # re-derive from raw rows: smallest price with 2*cumw >= total
+    import collections
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    by_flag = collections.defaultdict(list)
+    for r in li:
+        by_flag[r["l_returnflag"]].append(
+            (round(r["l_extendedprice"] * 100), int(r["l_quantity"]))
+        )
+    for r in rows:
+        obs = sorted(by_flag[r["returnflag"]])
+        total = sum(w for _, w in obs)
+        assert r["total_weight"] == total
+        cum = 0
+        for price, w in obs:
+            cum += w
+            if 2 * cum >= total:
+                assert r["weighted_median_cents"] == price
+                break
+
+
+def test_abc_classes_partition_parts(spark, reg):
+    rows = {r["abc_class"]: r for r in reg["orders_abc_classification"].fn(spark, SF).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    a, b, c = rows["A"], rows["B"], rows["C"]
+    # rank spans tile the full part range in order
+    assert a["first_rank"] == 1
+    assert b["first_rank"] == a["last_rank"] + 1
+    assert c["first_rank"] == b["last_rank"] + 1
+    tot = a["class_rev"] + b["class_rev"] + c["class_rev"]
+    # the A class must hold at most 80% of revenue, A+B at most 95%
+    assert 5 * a["class_rev"] <= 4 * tot
+    assert 20 * (a["class_rev"] + b["class_rev"]) <= 19 * tot
+    # and adding the next part would cross the line (tight boundary):
+    # A holds strictly more than it would if any A-part moved to B
+    assert a["n_parts"] >= 1 and c["n_parts"] >= 1
+
+
+def test_rolling_median_matches_naive(spark, reg):
+    rows = reg["window_rolling_median"].fn(spark, SF).collect()
+    import collections
+
+    series = collections.defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day_id"])):
+        series[r["event_type"]].append(r)
+    for et, rs in series.items():
+        cents = [r["cents"] for r in rs]
+        for i, r in enumerate(rs):
+            frame = sorted(cents[max(0, i - 6) : i + 1])
+            assert r["n_in_window"] == len(frame)
+            assert r["rolling_median_cents"] == frame[(len(frame) + 1) // 2 - 1]

@@ -593,3 +593,55 @@ def test_session_eviction_tws(spark, tmp_path):
     for r in rows:
         assert r.session_start_ms <= r.session_end_ms
         assert r.n_events >= 1
+
+
+def test_user_topk_tws(spark, tmp_path):
+    """ListState top-k (transformWithStateInPandas): plan construction
+    and output schema unconditionally; the run needs the protobuf
+    state server (absent here) — same gate as the other tws tests."""
+    recs = [
+        {"event_id": i, "ts": BASE_US + i * 60_000_000, "user_id": i % 2,
+         "event_type": "click", "value": float(i * 7 % 50), "props": "{}"}
+        for i in range(10)
+    ]
+    _write_events(str(tmp_path / "in" / "a.jsonl"), recs)
+
+    from kafka_hadoop_loader_spark.streaming import jobs
+    from kafka_hadoop_loader_spark.streaming.loader import (
+        LoaderConfig,
+        _read_stream,
+        transform,
+    )
+
+    cfg = LoaderConfig(input_path=str(tmp_path / "in"))
+    raw = transform(cfg, _read_stream(spark, cfg))
+    rec = raw.selectExpr(
+        "from_json(payload, 'event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string') AS r",
+    ).select("r.user_id", "r.value")
+
+    df = jobs.user_topk_tws(rec, k=3)
+    assert [f.name for f in df.schema.fields] == ["user_id", "rank", "value"]
+    assert df.isStreaming
+
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "google.protobuf unavailable: transformWithState's "
+            "state-server protocol cannot start in this container"
+        )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("tws_topk")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_topk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM tws_topk").collect()
+    for r in rows:
+        assert 1 <= r["rank"] <= 3

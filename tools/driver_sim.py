@@ -95,6 +95,7 @@ def main() -> int:
         "text_bigram_kneser_ney", "graph_kcore", "spatial_dbscan_grid",
         "graph_link_prediction", "kmeans_seed_farthest",
         "ml_isotonic_calibration",
+        "orders_abc_classification",
     }
     sc = spark.sparkContext
     failures = []
