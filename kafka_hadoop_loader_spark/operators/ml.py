@@ -1879,3 +1879,109 @@ def ml_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+# --- Precision-recall decision table ----------------------------------------
+
+_PR_BAND = 5_000_000  # threshold grid: $50k bands on the cent grid
+
+
+@register(
+    "ml_pr_curve",
+    oracle=f"""
+        WITH base AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                       // {_PR_BAND} AS band,
+                   CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        g AS (
+            SELECT segment, band,
+                   CAST(SUM(y) AS BIGINT) AS n_pos,
+                   CAST(SUM(1 - y) AS BIGINT) AS n_neg
+            FROM base GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT segment, band,
+                   CAST(SUM(n_pos) OVER (PARTITION BY segment
+                                         ORDER BY band DESC) AS BIGINT)
+                       AS tp,
+                   CAST(SUM(n_neg) OVER (PARTITION BY segment
+                                         ORDER BY band DESC) AS BIGINT)
+                       AS fp,
+                   CAST(SUM(n_pos) OVER (PARTITION BY segment) AS BIGINT)
+                       AS pos_total
+            FROM g
+        )
+        SELECT segment, band * {_PR_BAND // 100} AS threshold_cents,
+               tp, fp, pos_total - tp AS fn,
+               CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+               CAST(tp AS DOUBLE) / CAST(pos_total AS DOUBLE) AS recall
+        FROM cum ORDER BY segment, threshold_cents
+    """,
+    doc="""Precision-recall decision table — ml_auc_roc's operational
+    complement (AUC says whether the score ranks well; THIS says what
+    you get at each deployable threshold): per market segment, for
+    every $50k totalprice threshold, the exact confusion counts and
+    the precision/recall trade-off of predicting "urgent" above it.
+    The table a pipeline reads to pick an alert threshold for a target
+    precision.
+
+    Determinism: thresholds live on a fixed integer band grid;
+    tp/fp/fn are reverse-cumulative BIGINT sums over that bounded
+    grid; precision and recall are single exact divisions.
+
+    Scale: one map-side-combining aggregate to the (segment, band)
+    grain bounds everything after — the cumulative window runs over
+    the BAND DOMAIN (~50 rows per segment at any corpus size), the
+    same banded-grid doctrine as ml_auc_roc and drift_numeric_ks.""",
+)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(f"CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV {_PR_BAND}").alias(
+            "band"
+        ),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = base.groupBy("segment", "band").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    wc = (
+        Window.partitionBy("segment")
+        .orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("segment")
+    cum = g.select(
+        "segment",
+        "band",
+        F.sum("n_pos").over(wc).cast("bigint").alias("tp"),
+        F.sum("n_neg").over(wc).cast("bigint").alias("fp"),
+        F.sum("n_pos").over(wt).cast("bigint").alias("pos_total"),
+    )
+    return cum.select(
+        "segment",
+        (F.col("band") * (_PR_BAND // 100)).alias("threshold_cents"),
+        "tp",
+        "fp",
+        (F.col("pos_total") - F.col("tp")).alias("fn"),
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double")
+        ).alias("precision"),
+        (F.col("tp").cast("double") / F.col("pos_total").cast("double")).alias(
+            "recall"
+        ),
+    ).orderBy("segment", "threshold_cents")

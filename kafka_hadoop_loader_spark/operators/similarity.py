@@ -1773,3 +1773,122 @@ _REG["ml_knn_label_eval"] = _dc.replace(
         bf=_REG["knn_cosine_bruteforce"].oracle
     ),
 )
+
+
+# --- Confusion matrix of the kNN label classifier ---------------------------
+
+
+@register(
+    "ml_confusion_matrix",
+    # {knn} late-bound below to ml_knn_label_eval's registered oracle.
+    oracle="""
+        WITH pred AS ({knn}),
+        labels AS (
+            SELECT true_label AS label FROM pred
+            UNION
+            SELECT predicted_label AS label FROM pred
+        )
+        SELECT l.label,
+               CAST((SELECT COUNT(*) FROM pred p
+                     WHERE p.true_label = l.label) AS BIGINT) AS n_true,
+               CAST((SELECT COUNT(*) FROM pred p
+                     WHERE p.predicted_label = l.label) AS BIGINT) AS n_pred,
+               CAST((SELECT COUNT(*) FROM pred p
+                     WHERE p.true_label = l.label
+                       AND p.predicted_label = l.label) AS BIGINT) AS tp,
+               CAST((SELECT COUNT(*) FROM pred p
+                     WHERE p.true_label = l.label
+                       AND p.predicted_label = l.label) AS DOUBLE)
+                   / CAST(NULLIF((SELECT COUNT(*) FROM pred p
+                                  WHERE p.predicted_label = l.label), 0)
+                          AS DOUBLE) AS precision,
+               CAST((SELECT COUNT(*) FROM pred p
+                     WHERE p.true_label = l.label
+                       AND p.predicted_label = l.label) AS DOUBLE)
+                   / CAST(NULLIF((SELECT COUNT(*) FROM pred p
+                                  WHERE p.true_label = l.label), 0)
+                          AS DOUBLE) AS recall,
+               CAST(2 * (SELECT COUNT(*) FROM pred p
+                         WHERE p.true_label = l.label
+                           AND p.predicted_label = l.label) AS DOUBLE)
+                   / CAST(NULLIF((SELECT COUNT(*) FROM pred p
+                                  WHERE p.true_label = l.label)
+                                 + (SELECT COUNT(*) FROM pred p
+                                    WHERE p.predicted_label = l.label), 0)
+                          AS DOUBLE) AS f1
+        FROM labels l
+        ORDER BY l.label
+    """,
+    doc="""Per-class confusion summary of the k-NN label classifier —
+    the next table after ml_knn_label_eval's per-query verdicts: for
+    every label observed as truth or prediction, the support, the
+    prediction count, true positives, and precision/recall/F1, each a
+    SINGLE exact division (F1 in its one-division form
+    2tp/(n_true+n_pred), never the P*R composition that would chain
+    float ops).  NULLIF guards classes never predicted / never true.
+
+    The oracle nests ml_knn_label_eval's registered oracle (itself
+    nesting the exact neighbor table) — three compose levels, still
+    drift-proof.
+
+    Scale: O(queries) input, O(|labels|) output; everything heavy
+    happened in the audited neighbor tier.""",
+)
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.registry import REGISTRY
+
+    pred = REGISTRY["ml_knn_label_eval"].fn(spark, sf_dir).select(
+        "true_label", "predicted_label"
+    )
+    from kafka_hadoop_loader_spark.catalog import managed_persist
+
+    pred = managed_persist(f"ml_confusion_matrix:pred:{sf_dir}", pred)
+    labels = (
+        pred.select(F.col("true_label").alias("label"))
+        .union(pred.select(F.col("predicted_label").alias("label")))
+        .distinct()
+    )
+    per_true = pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_true"),
+        F.count(F.when(F.col("true_label") == F.col("predicted_label"), 1))
+        .cast("bigint")
+        .alias("tp"),
+    )
+    per_pred = pred.groupBy(F.col("predicted_label").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_pred")
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        labels.join(per_true, "label", "left")
+        .join(per_pred, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_true", z).alias("n_true"),
+            F.coalesce("n_pred", z).alias("n_pred"),
+            F.coalesce("tp", z).alias("tp"),
+            (
+                F.coalesce("tp", z).cast("double")
+                / F.nullif(F.coalesce("n_pred", z), F.lit(0)).cast("double")
+            ).alias("precision"),
+            (
+                F.coalesce("tp", z).cast("double")
+                / F.nullif(F.coalesce("n_true", z), F.lit(0)).cast("double")
+            ).alias("recall"),
+            (
+                (2 * F.coalesce("tp", z)).cast("double")
+                / F.nullif(
+                    F.coalesce("n_true", z) + F.coalesce("n_pred", z),
+                    F.lit(0),
+                ).cast("double")
+            ).alias("f1"),
+        )
+        .orderBy("label")
+    )
+
+
+_REG["ml_confusion_matrix"] = _dc.replace(
+    _REG["ml_confusion_matrix"],
+    oracle=_REG["ml_confusion_matrix"].oracle.format(
+        knn=_REG["ml_knn_label_eval"].oracle
+    ),
+)

@@ -153,6 +153,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_weighted_median",
     "orders_abc_classification",
     "window_rolling_median",
+    "ml_pr_curve",
+    "ml_confusion_matrix",
 )
 
 # Round-7 rotation queue: EMPTY as of round-6 start — every registered

@@ -749,3 +749,33 @@ def test_rolling_median_matches_naive(spark, reg):
             frame = sorted(cents[max(0, i - 6) : i + 1])
             assert r["n_in_window"] == len(frame)
             assert r["rolling_median_cents"] == frame[(len(frame) + 1) // 2 - 1]
+
+
+def test_pr_curve_monotone_recall(spark, reg):
+    rows = reg["ml_pr_curve"].fn(spark, SF).collect()
+    import collections
+
+    by_seg = collections.defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["segment"], r["threshold_cents"])):
+        by_seg[r["segment"]].append(r)
+    for seg, rs in by_seg.items():
+        # recall decreases as the threshold rises; tp+fn is constant
+        pos_total = rs[0]["tp"] + rs[0]["fn"]
+        assert rs[0]["recall"] == 1.0  # lowest band includes everything
+        for lo, hi in zip(rs, rs[1:]):
+            assert hi["tp"] <= lo["tp"] and hi["fp"] <= lo["fp"]
+            assert hi["recall"] <= lo["recall"]
+            assert hi["tp"] + hi["fn"] == pos_total
+        for r in rs:
+            assert r["precision"] == r["tp"] / (r["tp"] + r["fp"])
+
+
+def test_confusion_matrix_totals(spark, reg):
+    pred = reg["ml_knn_label_eval"].fn(spark, SF).collect()
+    rows = reg["ml_confusion_matrix"].fn(spark, SF).collect()
+    assert sum(r["n_true"] for r in rows) == len(pred)
+    assert sum(r["n_pred"] for r in rows) == len(pred)
+    assert sum(r["tp"] for r in rows) == sum(1 for p in pred if p["correct"])
+    for r in rows:
+        if r["f1"] is not None:
+            assert abs(r["f1"] - 2 * r["tp"] / (r["n_true"] + r["n_pred"])) < 1e-15
