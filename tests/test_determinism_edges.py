@@ -112,3 +112,64 @@ def test_signed_truncating_division_matches_duckdb(spark):
     # today's naked semantics: both truncate
     assert spark.sql("SELECT -7 DIV 2 AS v").collect()[0].v == -3
     assert con.execute("SELECT -7 // 2").fetchone()[0] == -3
+
+
+def test_phash_kernel_matches_python_reference(spark):
+    """Fuzz the Arrow-buffer aHash kernel (multimodal_phash_dedup)
+    against a naive per-row Python reference: the buffer-level
+    vectorization (offsets arithmetic, fused row x bucket bincount,
+    cross-multiplied threshold) must agree with the obvious
+    implementation on adversarial payloads — short rows, long rows,
+    constant bytes, and the bucket-boundary lengths around 32."""
+    import random
+
+    import pyarrow as pa
+
+    from kafka_hadoop_loader_spark.operators.multimodal import (
+        _PHASH_BUCKETS,
+        _phash_batches,
+    )
+
+    rng = random.Random(42)
+    payloads = [
+        bytes([7]),                       # single byte
+        bytes([0] * 31),                  # below bucket count
+        bytes([255] * 32),                # exactly bucket count, constant
+        bytes([1] * 33),                  # one over
+        bytes(rng.randrange(256) for _ in range(47)),   # fixture min
+        bytes(rng.randrange(256) for _ in range(553)),  # fixture max
+        bytes(rng.randrange(256) for _ in range(2048)),
+        bytes([0, 255] * 100),            # alternating extremes
+    ]
+
+    def reference(b: bytes) -> int:
+        n = len(b)
+        tsum = sum(b)
+        h = 0
+        for bkt in range(_PHASH_BUCKETS):
+            members = [b[i] for i in range(n) if i * _PHASH_BUCKETS // n == bkt]
+            if members and sum(members) * n > tsum * len(members):
+                h |= 1 << bkt
+        return h
+
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(list(range(len(payloads))), pa.int64()),
+            pa.array(payloads, pa.binary()),
+        ],
+        names=["doc_id", "payload"],
+    )
+    out = list(_phash_batches(iter([batch])))
+    assert len(out) == 1
+    got = dict(
+        zip(out[0].column("doc_id").to_pylist(), out[0].column("phash").to_pylist())
+    )
+    for i, p in enumerate(payloads):
+        assert got[i] == reference(p), f"payload {i} (len {len(p)})"
+    # sliced-batch path: non-zero arr.offset through the buffer math
+    sl = batch.slice(2, 4)
+    out2 = list(_phash_batches(iter([sl])))
+    got2 = dict(
+        zip(out2[0].column("doc_id").to_pylist(), out2[0].column("phash").to_pylist())
+    )
+    assert got2 == {i: got[i] for i in range(2, 6)}

@@ -779,3 +779,38 @@ def test_confusion_matrix_totals(spark, reg):
     for r in rows:
         if r["f1"] is not None:
             assert abs(r["f1"] - 2 * r["tp"] / (r["n_true"] + r["n_pred"])) < 1e-15
+
+
+def test_fulfillment_quantiles_ordered(spark, reg):
+    rows = reg["orders_fulfillment_latency"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["p50_days"] <= r["p90_days"] <= r["p99_days"] <= r["max_days"]
+        assert 0 <= r["n_within_30"] <= r["n_lines"]
+        assert r["sla_30_rate"] == r["n_within_30"] / r["n_lines"]
+        assert r["sla_majority"] == (r["n_within_30"] * 2 >= r["n_lines"])
+
+
+def test_release_gate_is_conjunction(spark, reg):
+    kan = reg["k_anonymity_suppress"].fn(spark, SF).collect()
+    ldiv = {(r["nationkey"], r["mktsegment"]): r
+            for r in reg["l_diversity_audit"].fn(spark, SF).collect()}
+    tclo = {(r["nationkey"], r["mktsegment"]): r
+            for r in reg["t_closeness_audit"].fn(spark, SF).collect()}
+    import collections
+
+    small = collections.Counter()
+    for r in kan:
+        if r["suppress"]:
+            small[(r["nationkey"], r["mktsegment"])] += 1
+    rows = reg["privacy_release_gate"].fn(spark, SF).collect()
+    assert len(rows) == len(ldiv) == len(tclo)
+    for r in rows:
+        key = (r["nationkey"], r["mktsegment"])
+        assert r["k_ok"] == (small[key] == 0)
+        assert r["n_small_cells"] == small[key]
+        assert r["l_ok"] == ldiv[key]["l_diverse"]
+        assert r["t_ok"] == tclo[key]["t_close_ok"]
+        assert r["release"] == (
+            r["k_ok"] and r["l_ok"] and r["homogeneity_ok"] and r["t_ok"]
+        )
