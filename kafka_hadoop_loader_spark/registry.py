@@ -157,6 +157,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ml_confusion_matrix",
     "orders_fulfillment_latency",
     "privacy_release_gate",
+    "scan_binary_files",
 )
 
 # Round-7 rotation queue: EMPTY as of round-6 start — every registered

@@ -768,3 +768,75 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_round_trip_path(spark, sf_dir, "xml"))
     )
     return _slice_agg(back)
+
+
+# --- Binary-files source ------------------------------------------------------
+
+_BLOB_MOD = 100  # every 100th document becomes a blob file
+_blob_dirs: dict = {}
+
+
+def _blob_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """First-touch fixture: every {_BLOB_MOD}th document's text written
+    as a standalone .bin file (plain Python IO — no Spark job), the
+    on-disk shape of an image/audio blob store keyed by id."""
+    key = os.path.abspath(sf_dir)
+    if key not in _blob_dirs:
+        path = os.path.join(_temp_root(), f"blobs_{len(_blob_dirs)}")
+        os.makedirs(path, exist_ok=True)
+        rows = (
+            table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % _BLOB_MOD == 0)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        _blob_dirs[key] = path
+    return _blob_dirs[key]
+
+
+@register(
+    "scan_binary_files",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+               md5(text) AS content_md5
+        FROM documents
+        WHERE doc_id % {_BLOB_MOD} = 0
+        ORDER BY doc_id
+    """,
+    doc=f"""Whole-file binary source — ``spark.read.format("binaryFile")``,
+    the ingestion path for image/audio/model-checkpoint blobs that have
+    no row structure (the eighth source format after parquet / json /
+    csv / orc / gzip-text / xml / the custom Python DataSource): each
+    file becomes one row of (path, modificationTime, length, content),
+    here every {_BLOB_MOD}th document's bytes staged as a ``.bin``
+    file at first touch.  The query extracts the id from the filename
+    (JVM regexp), the size, and the content md5; the oracle computes
+    the same three from the source-of-truth documents view, proving
+    the blob round-trip byte-lossless without the oracle ever seeing
+    the staging directory.
+
+    Scale notes pinned in code: binaryFile loads EACH FILE WHOLE into
+    one row — the right tool for millions of small-to-medium blobs
+    (it lists and partitions by file), the wrong one past
+    2 GB/file (Spark's byte-array row limit); a real lake fronts it
+    with the same (id, bytes) columnar shape multimodal_meta models.
+    The md5 runs JVM-side on the binary column — no Python in the
+    scan.""",
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _blob_fixture_dir(spark, sf_dir)
+    files = spark.read.format("binaryFile").load(path)
+    return (
+        files.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").cast("bigint").alias("payload_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -477,7 +477,7 @@ def test_query_construction_runs_no_spark_jobs(spark):
         "reference_loader_parity",
         "observe_metrics_audit",
         # file-source fixtures generated from parquet at first touch
-        "scan_corrupt_records",
+        "scan_corrupt_records", "scan_binary_files",
         "scan_json",
         "scan_python_datasource",
         "scan_csv",

@@ -814,3 +814,20 @@ def test_release_gate_is_conjunction(spark, reg):
         assert r["release"] == (
             r["k_ok"] and r["l_ok"] and r["homogeneity_ok"] and r["t_ok"]
         )
+
+
+def test_binary_files_round_trip(spark, reg):
+    rows = reg["scan_binary_files"].fn(spark, SF).collect()
+    assert rows
+    import hashlib
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+        if r["doc_id"] % 100 == 0
+    }
+    assert {r["doc_id"] for r in rows} == set(docs)
+    for r in rows:
+        b = docs[r["doc_id"]].encode("utf-8")
+        assert r["payload_bytes"] == len(b)
+        assert r["content_md5"] == hashlib.md5(b).hexdigest()

@@ -88,7 +88,7 @@ def main() -> int:
         "compact_small_files", "insert_overwrite_day", "sink_partitioned",
         "sql_ctas_insert", "join_bucketed_colocated", "join_dpp_partitioned",
         "fk_orphan_check", "reference_loader_parity", "observe_metrics_audit",
-        "scan_corrupt_records", "scan_csv", "scan_json", "scan_orc",
+        "scan_corrupt_records", "scan_binary_files", "scan_csv", "scan_json", "scan_orc",
         "scan_python_datasource", "scan_text_lines", "scan_xml",
         "dedup_clusters", "dedup_clusters_star", "graph_connected_components",
         "graph_label_propagation", "orders_rfm_segments", "ann_recall_audit",
