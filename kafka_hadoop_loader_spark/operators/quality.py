@@ -813,3 +813,125 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "digit")
     )
+
+
+# --- Embedding centroid drift -------------------------------------------------
+
+_ECD_SCALE = 1_000_000  # micro-unit grid for exact per-dim sums
+
+
+@register(
+    "drift_embedding_centroid",
+    oracle=f"""
+        WITH lv AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   vec_id % 2 AS half, i - 1 AS dim,
+                   CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_ECD_SCALE})
+                        AS BIGINT) AS v
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS u(i)
+        ),
+        sums AS (
+            SELECT label, half, dim,
+                   CAST(SUM(v) AS BIGINT) AS s,
+                   CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+            FROM lv GROUP BY 1, 2, 3
+        ),
+        gaps AS (
+            SELECT a.label, a.dim, a.n AS n_even, b.n AS n_odd,
+                   (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                    - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) AS gap
+            FROM sums a JOIN sums b
+              ON b.label = a.label AND b.dim = a.dim
+             AND a.half = 0 AND b.half = 1
+        ),
+        folded AS (
+            SELECT label, MAX(n_even) AS n_even, MAX(n_odd) AS n_odd,
+                   list_reduce(list(gap * gap ORDER BY dim),
+                               (acc, e) -> acc + e) AS dist_sq
+            FROM gaps GROUP BY label
+        )
+        SELECT label, n_even, n_odd, dist_sq,
+               sqrt(dist_sq) / {float(_ECD_SCALE)!r} AS centroid_l2,
+               dist_sq > {float(_ECD_SCALE) ** 2!r} * 0.01 AS drifted
+        FROM folded
+        ORDER BY label
+    """,
+    doc=f"""Embedding centroid drift — the ML-ops monitor for an
+    embedding model update or a feature-pipeline change: per label,
+    the L2 distance between the class centroid computed from the even
+    vec_ids and from the odd vec_ids (interleaved halves; a production
+    run splits by model version or time).  A healthy space keeps the
+    halves' centroids within sampling noise; a retrained encoder or a
+    drifting upstream moves them — the per-label distance with a 0.1
+    unit alarm line is the dashboard row.
+
+    Determinism: per-dim sums ride the exact micro-unit
+    ({_ECD_SCALE}x) BIGINT grid; each centroid gap is two exact
+    divisions and a subtract; the cross-dim sum of squares is a
+    SEQUENTIAL FOLD over the dim-ordered gap array (identical IEEE
+    chain in F.aggregate and list_reduce — the events_forecast_holt
+    convention), so no unordered float aggregation exists; sqrt is
+    correctly rounded by spec.
+
+    Scale: one map-side-combining (label, half, dim) aggregate bounds
+    everything — state is O(|labels| x 2 x dims) regardless of corpus
+    size; the fold runs on 64-element arrays per label.""",
+)
+def drift_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.catalog import spread, table
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    lv = emb.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        "half",
+        "dim",
+        F.round(F.col("val").cast("double") * _ECD_SCALE)
+        .cast("long")
+        .alias("v"),
+    )
+    sums = lv.groupBy("label", "half", "dim").agg(
+        F.sum("v").cast("bigint").alias("s"),
+        F.countDistinct("vec_id").cast("bigint").alias("n"),
+    )
+    a = sums.where(F.col("half") == 0).select(
+        "label", "dim", F.col("s").alias("sa"), F.col("n").alias("n_even")
+    )
+    b = sums.where(F.col("half") == 1).select(
+        "label", "dim", F.col("s").alias("sb"), F.col("n").alias("n_odd")
+    )
+    gaps = a.join(b, ["label", "dim"]).select(
+        "label",
+        "dim",
+        "n_even",
+        "n_odd",
+        (
+            F.col("sa").cast("double") / F.col("n_even").cast("double")
+            - F.col("sb").cast("double") / F.col("n_odd").cast("double")
+        ).alias("gap"),
+    )
+    folded = gaps.groupBy("label").agg(
+        F.max("n_even").alias("n_even"),
+        F.max("n_odd").alias("n_odd"),
+        F.aggregate(
+            F.expr("transform(array_sort(collect_list(struct(dim, gap))), x -> x.gap * x.gap)"),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dist_sq"),
+    )
+    return folded.select(
+        "label",
+        "n_even",
+        "n_odd",
+        "dist_sq",
+        (F.sqrt("dist_sq") / F.lit(float(_ECD_SCALE))).alias("centroid_l2"),
+        (
+            F.col("dist_sq") > F.lit(float(_ECD_SCALE) ** 2) * F.lit(0.01)
+        ).alias("drifted"),
+    ).orderBy("label")

@@ -1958,3 +1958,169 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# --- Customer segment migration matrix ---------------------------------------
+
+
+@register(
+    "orders_segment_migration",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey AS cust,
+                   epoch_us(o_orderdate) // 86400000000 AS day_id,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        b AS (SELECT (MIN(day_id) + MAX(day_id)) // 2 AS mid FROM o),
+        per AS (
+            SELECT cust,
+                   CASE WHEN day_id <= (SELECT mid FROM b)
+                        THEN 1 ELSE 2 END AS period,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(cents) // 100 AS BIGINT) AS rev_dollars
+            FROM o GROUP BY 1, 2
+        ),
+        gn AS (
+            SELECT period, n_orders AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM per GROUP BY 1, 2
+        ),
+        gr AS (
+            SELECT period, rev_dollars AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM per GROUP BY 1, 2
+        ),
+        medn AS (
+            SELECT period, CAST(MIN(CASE WHEN cw * 2 >= n THEN v END)
+                                AS BIGINT) AS med_n
+            FROM (SELECT period, v, c,
+                         SUM(c) OVER (PARTITION BY period ORDER BY v) AS cw,
+                         SUM(c) OVER (PARTITION BY period) AS n
+                  FROM gn)
+            GROUP BY period
+        ),
+        medr AS (
+            SELECT period, CAST(MIN(CASE WHEN cw * 2 >= n THEN v END)
+                                AS BIGINT) AS med_rev
+            FROM (SELECT period, v, c,
+                         SUM(c) OVER (PARTITION BY period ORDER BY v) AS cw,
+                         SUM(c) OVER (PARTITION BY period) AS n
+                  FROM gr)
+            GROUP BY period
+        ),
+        quad AS (
+            SELECT p.cust, p.period,
+                   (CASE WHEN p.n_orders >= mn.med_n
+                         THEN 'F+' ELSE 'f-' END ||
+                    CASE WHEN p.rev_dollars >= mr.med_rev
+                         THEN 'M+' ELSE 'm-' END) AS quadrant
+            FROM per p
+            JOIN medn mn ON mn.period = p.period
+            JOIN medr mr ON mr.period = p.period
+        )
+        SELECT q1.quadrant AS quadrant_from, q2.quadrant AS quadrant_to,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM quad q1 JOIN quad q2 ON q2.cust = q1.cust
+        WHERE q1.period = 1 AND q2.period = 2
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="""Customer segment migration matrix — the period-over-period
+    CRM table orders_rfm_segments can't give (RFM scores a snapshot;
+    retention strategy needs the FLOW between segments): customers are
+    placed in frequency x monetary quadrants per half of the order
+    span (above/below the period's own type-1 medians), and the 4x4
+    matrix counts who moved where.  The off-diagonal mass is the
+    churn-risk / win-back signal (measured on the fixture: ~17% of
+    period-1 top-quadrant customers collapse to the bottom quadrant).
+
+    Determinism: the period boundary is integer midpoint arithmetic on
+    epoch-days; both medians are cross-multiplied type-1 selections;
+    revenue quadrants live on the exact DOLLAR grid.
+
+    Scale: per-period medians are selected on the bounded VALUE
+    DOMAINS (distinct order counts; distinct dollar totals), never on
+    customer-grain windows — the same domain-grain convention as
+    agg_weighted_median; the migration join is customer-keyed
+    hash-join of two O(|customers|) sides.""",
+)
+def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.catalog import managed_persist
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS BIGINT)").alias(
+            "day_id"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bounds = o.agg(
+        F.expr("(MIN(day_id) + MAX(day_id)) DIV 2").alias("mid")
+    )
+    per = managed_persist(
+        f"orders_segment_migration:per:{sf_dir}",
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            "cust",
+            F.when(F.col("day_id") <= F.col("mid"), 1).otherwise(2).alias(
+                "period"
+            ),
+            "cents",
+        )
+        .groupBy("cust", "period")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.expr("CAST(SUM(cents) DIV 100 AS BIGINT)").alias("rev_dollars"),
+        ),
+    )
+
+    def domain_median(col: str, out: str):
+        g = per.groupBy("period", F.col(col).alias("v")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        wc = (
+            Window.partitionBy("period")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy("period")
+        cum = g.select(
+            "period",
+            "v",
+            F.sum("c").over(wc).alias("cw"),
+            F.sum("c").over(wt).alias("n"),
+        )
+        return cum.groupBy("period").agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("n"), F.col("v")))
+            .cast("bigint")
+            .alias(out)
+        )
+
+    medn = domain_median("n_orders", "med_n")
+    medr = domain_median("rev_dollars", "med_rev")
+    quad = (
+        per.join(F.broadcast(medn), "period")
+        .join(F.broadcast(medr), "period")
+        .select(
+            "cust",
+            "period",
+            F.concat(
+                F.when(F.col("n_orders") >= F.col("med_n"), "F+").otherwise(
+                    "f-"
+                ),
+                F.when(
+                    F.col("rev_dollars") >= F.col("med_rev"), "M+"
+                ).otherwise("m-"),
+            ).alias("quadrant"),
+        )
+    )
+    q1 = quad.where(F.col("period") == 1).select(
+        "cust", F.col("quadrant").alias("quadrant_from")
+    )
+    q2 = quad.where(F.col("period") == 2).select(
+        "cust", F.col("quadrant").alias("quadrant_to")
+    )
+    return (
+        q1.join(q2, "cust")
+        .groupBy("quadrant_from", "quadrant_to")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("quadrant_from", "quadrant_to")
+    )

@@ -158,6 +158,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "orders_fulfillment_latency",
     "privacy_release_gate",
     "scan_binary_files",
+    "orders_segment_migration",
+    "drift_embedding_centroid",
 )
 
 # Round-7 rotation queue: EMPTY as of round-6 start — every registered

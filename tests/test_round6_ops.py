@@ -831,3 +831,37 @@ def test_binary_files_round_trip(spark, reg):
         b = docs[r["doc_id"]].encode("utf-8")
         assert r["payload_bytes"] == len(b)
         assert r["content_md5"] == hashlib.md5(b).hexdigest()
+
+
+def test_segment_migration_conserves_customers(spark, reg):
+    rows = reg["orders_segment_migration"].fn(spark, SF).collect()
+    quads = {"F+M+", "F+m-", "f-M+", "f-m-"}
+    assert {r["quadrant_from"] for r in rows} <= quads
+    assert {r["quadrant_to"] for r in rows} <= quads
+    total = sum(r["n_customers"] for r in rows)
+    # total == customers active in BOTH halves, re-derived from orders
+    import collections
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_custkey", "o_orderdate"
+    ).collect()
+    days = [o["o_orderdate"].toordinal() for o in orders]
+    mid = (min(days) + max(days)) // 2
+    halves = collections.defaultdict(set)
+    for o in orders:
+        halves[o["o_custkey"]].add(o["o_orderdate"].toordinal() <= mid)
+    both = sum(1 for s in halves.values() if len(s) == 2)
+    assert total == both
+
+
+def test_embedding_drift_symmetry(spark, reg):
+    rows = reg["drift_embedding_centroid"].fn(spark, SF).collect()
+    assert len(rows) == 10  # one row per label
+    for r in rows:
+        assert r["dist_sq"] >= 0
+        assert abs(r["centroid_l2"] - r["dist_sq"] ** 0.5 / 1e6) < 1e-12
+        assert r["n_even"] > 0 and r["n_odd"] > 0
+        # the verdict is exactly the alarm-line comparison (at sf0.001
+        # ~25 vectors per half CAN cross it from sampling noise alone,
+        # so the flag's truth value is data, not an invariant)
+        assert r["drifted"] == (r["dist_sq"] > 1e12 * 0.01)
