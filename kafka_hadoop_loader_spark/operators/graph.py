@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.catalog import spread, table
 from kafka_hadoop_loader_spark.registry import register
 
 _R0 = 1_000_000  # initial rank, ×1e6 fixed-point
@@ -1001,3 +1001,136 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
         .limit(_LP_TOPN)
     )
+
+
+# --- Degree assortativity ------------------------------------------------------
+
+# Pearson r over per-edge endpoint degrees, ONE expression string shared
+# verbatim by both engines (the bm25/OLS convention): all six moments
+# are exact BIGINTs cast once to double, fixed +-*/ tree, sqrt is
+# correctly rounded by spec.
+_ASSORT_R = (
+    "(CAST(ne * sxy - sx * sy AS DOUBLE) / "
+    "(sqrt(CAST(ne * sxx - sx * sx AS DOUBLE))"
+    " * sqrt(CAST(ne * syy - sy * sy AS DOUBLE))))"
+)
+
+
+@register(
+    "graph_assortativity",
+    # {mh} late-bound below to dedup_minhash_lsh's registered oracle.
+    oracle=f"""
+        WITH pairs AS ({{mh}}),
+        sym AS (
+            SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_id_b AS u, doc_id_a AS v FROM pairs
+        ),
+        deg AS (
+            SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM sym GROUP BY 1
+        ),
+        ed AS (
+            SELECT da.d AS x, db.d AS y
+            FROM sym s JOIN deg da ON da.node = s.u
+            JOIN deg db ON db.node = s.v
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS ne,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes
+            FROM ed
+        )
+        SELECT n_nodes, ne // 2 AS n_edges,
+               CASE WHEN ne * sxx > sx * sx AND ne * syy > sy * sy
+                    THEN {_ASSORT_R} END AS assortativity,
+               ne * sxy < sx * sy AS disassortative
+        FROM mom
+    """,
+    doc="""Degree assortativity (Newman's r) of the near-duplicate
+    graph: the Pearson correlation of endpoint degrees over the
+    symmetrized edge list — positive when hubs link to hubs (one big
+    template family duplicating itself), negative when hubs link to
+    leaves (a star/boilerplate pattern, typical of scraped corpora).
+    This single number tells the dedup pipeline whether star
+    contraction will collapse the graph in few rounds (disassortative
+    stars) or needs the full budget (assortative chains) — measured
+    context for the fixed round counts graph.py documents.
+
+    Determinism: all six moments are exact BIGINT sums of integer
+    degrees; r is one shared literal expression (two correctly-rounded
+    sqrts, one division); the disassortative verdict is the fully
+    integer cross-multiplication ne*sxy < sx*sy; the zero-variance
+    edge (regular graph) yields NULL in both engines via the guarded
+    CASE.
+
+    Scale: degree = one hash aggregate over edges; the edge-degree
+    join ships edge rows through two broadcastable degree lookups;
+    moments are a 1-row reduce.  The oracle nests dedup_minhash_lsh's
+    registered oracle verbatim.""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.operators.dedup import _minhash_pairs
+
+    from kafka_hadoop_loader_spark.catalog import managed_persist
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    pairs = _minhash_pairs(d, sf_dir).select("doc_id_a", "doc_id_b")
+    # sym feeds the degree aggregate AND the edge-degree join: one lazy
+    # cut keeps the full LSH cascade from re-running per consumer
+    # (measured 9.7s -> ~2s warm at sf0.1).
+    sym = managed_persist(
+        f"graph_assortativity:sym:{sf_dir}",
+        pairs.select(
+            F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
+        ).unionAll(
+            pairs.select(
+                F.col("doc_id_b").alias("u"), F.col("doc_id_a").alias("v")
+            )
+        ),
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    ed = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
+        .select("x", "y")
+    )
+    n_nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    mom = ed.agg(
+        F.count("*").cast("bigint").alias("ne"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    ).crossJoin(F.broadcast(n_nodes))
+    return mom.select(
+        "n_nodes",
+        F.expr("ne DIV 2").alias("n_edges"),
+        F.when(
+            (F.col("ne") * F.col("sxx") > F.col("sx") * F.col("sx"))
+            & (F.col("ne") * F.col("syy") > F.col("sy") * F.col("sy")),
+            F.expr(_ASSORT_R),
+        ).alias("assortativity"),
+        (F.col("ne") * F.col("sxy") < F.col("sx") * F.col("sy")).alias(
+            "disassortative"
+        ),
+    )
+
+
+import dataclasses as _gdc  # noqa: E402
+
+from kafka_hadoop_loader_spark.registry import REGISTRY as _GREG  # noqa: E402
+
+_GREG["graph_assortativity"] = _gdc.replace(
+    _GREG["graph_assortativity"],
+    oracle=_GREG["graph_assortativity"].oracle.format(
+        mh=_GREG["dedup_minhash_lsh"].oracle
+    ),
+)

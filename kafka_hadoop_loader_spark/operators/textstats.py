@@ -878,3 +878,78 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_langid_confusion",
+    # {lid} late-bound below to text_lang_id's registered oracle.
+    oracle="""
+        WITH lid AS ({lid}),
+        cells AS (
+            SELECT lang, pred_en, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM lid GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+            FROM cells GROUP BY 1
+        )
+        SELECT c.lang, c.pred_en, c.n_docs, t.n_lang,
+               CAST(c.n_docs AS DOUBLE) / CAST(t.n_lang AS DOUBLE)
+                   AS share_of_lang,
+               (c.lang = 'en') = c.pred_en AS is_correct_cell
+        FROM cells c JOIN tot t ON t.lang = c.lang
+        ORDER BY c.lang, c.pred_en
+    """,
+    doc="""Language-ID confusion table — the evaluation text_lang_id's
+    per-doc verdicts need before the heuristic gates a corpus: per
+    (gold language, predicted-English) cell, the document count and
+    the share of that language, with the correct-cell flag.  The
+    off-diagonal shares ARE the gate's error budget: en rows with
+    pred_en=false are English the filter would wrongly drop, non-en
+    rows with pred_en=true are contamination it would wrongly keep.
+
+    The oracle nests text_lang_id's registered oracle, so the
+    confusion table can never drift from the classifier it evaluates.
+    Pure integer counts plus one division per cell.
+
+    Scale: O(|langs| x 2) state off one hash aggregate over the
+    classifier's output.""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.registry import REGISTRY
+
+    lid = REGISTRY["text_lang_id"].fn(spark, sf_dir).select("lang", "pred_en")
+    cells = lid.groupBy("lang", "pred_en").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    tot = cells.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_lang")
+    )
+    return (
+        cells.join(tot, "lang")
+        .select(
+            "lang",
+            "pred_en",
+            "n_docs",
+            "n_lang",
+            (
+                F.col("n_docs").cast("double") / F.col("n_lang").cast("double")
+            ).alias("share_of_lang"),
+            ((F.col("lang") == "en") == F.col("pred_en")).alias(
+                "is_correct_cell"
+            ),
+        )
+        .orderBy("lang", "pred_en")
+    )
+
+
+import dataclasses as _tdc  # noqa: E402
+
+from kafka_hadoop_loader_spark.registry import REGISTRY as _TXREG  # noqa: E402
+
+_TXREG["text_langid_confusion"] = _tdc.replace(
+    _TXREG["text_langid_confusion"],
+    oracle=_TXREG["text_langid_confusion"].oracle.format(
+        lid=_TXREG["text_lang_id"].oracle
+    ),
+)

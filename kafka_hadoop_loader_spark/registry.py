@@ -160,6 +160,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "scan_binary_files",
     "orders_segment_migration",
     "drift_embedding_centroid",
+    "text_langid_confusion",
+    "graph_assortativity",
 )
 
 # Round-7 rotation queue: EMPTY as of round-6 start — every registered

@@ -865,3 +865,49 @@ def test_embedding_drift_symmetry(spark, reg):
         # ~25 vectors per half CAN cross it from sampling noise alone,
         # so the flag's truth value is data, not an invariant)
         assert r["drifted"] == (r["dist_sq"] > 1e12 * 0.01)
+
+
+def test_langid_confusion_partitions(spark, reg):
+    lid = reg["text_lang_id"].fn(spark, SF).collect()
+    rows = reg["text_langid_confusion"].fn(spark, SF).collect()
+    assert sum(r["n_docs"] for r in rows) == len(lid)
+    import collections
+
+    want = collections.Counter((r["lang"], r["pred_en"]) for r in lid)
+    for r in rows:
+        assert r["n_docs"] == want[(r["lang"], r["pred_en"])]
+        assert r["share_of_lang"] == r["n_docs"] / r["n_lang"]
+        assert r["is_correct_cell"] == ((r["lang"] == "en") == r["pred_en"])
+
+
+def test_assortativity_matches_numpy(spark, reg):
+    row = reg["graph_assortativity"].fn(spark, SF).collect()[0]
+    pairs = [
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in reg["dedup_minhash_lsh"].fn(spark, SF).collect()
+    ]
+    assert row["n_edges"] == len(pairs)
+    import collections
+
+    deg = collections.Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    assert row["n_nodes"] == len(deg)
+    xs, ys = [], []
+    for a, b in pairs:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    if row["assortativity"] is not None:
+        import math
+
+        want = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        assert abs(row["assortativity"] - want) < 1e-12
+        assert -1.0 - 1e-9 <= row["assortativity"] <= 1.0 + 1e-9
+    assert row["disassortative"] == (n * sxy < sx * sy)
