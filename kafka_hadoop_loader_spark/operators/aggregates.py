@@ -558,7 +558,13 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     types = ["click", "purchase", "view"]
     wide = (
-        e.select(F.date_trunc("day", "ts").alias("d"), "event_type")
+        # .cast(ntz): date_trunc coerces NTZ -> session-zone LTZ; the
+        # cast back (the batch_windows convention) keeps the collected
+        # value wall-clock-stable on a non-UTC driver session
+        e.select(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("d"),
+            "event_type",
+        )
         .groupBy("d")
         .pivot("event_type", types)
         .count()

@@ -2047,9 +2047,12 @@ def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("cust"),
-        F.expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000 AS BIGINT)").alias(
-            "day_id"
-        ),
+        # TZ-FREE epoch-day: datediff on DATE never consults the session
+        # time zone (unix_micros(CAST(date AS TIMESTAMP)) would shift the
+        # split boundary on a non-UTC driver session)
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day_id"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     bounds = o.agg(

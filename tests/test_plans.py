@@ -558,3 +558,27 @@ def test_runtime_bloom_filter_join_injects(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_no_session_zone_timestamp_outputs(spark):
+    """No registered query may OUTPUT a TimestampType (session-zone LTZ)
+    column: the driver collects values on a vanilla session whose zone
+    is whatever the host says, so an LTZ output renders differently
+    under TZ=America/New_York than under UTC and hash-mismatches the
+    (zone-free) DuckDB oracle — exactly the latent agg_unpivot bug the
+    round-6 non-UTC driver_sim sweep caught (date_trunc silently
+    coerces NTZ -> LTZ; cast back per the batch_windows convention).
+    Building the schema needs no job, so this audits all queries
+    cheaply."""
+    from pyspark.sql.types import TimestampType
+
+    offenders = {}
+    for name, q in REG.items():
+        fields = q.fn(spark, SF_DIR).schema.fields
+        ltz = [f.name for f in fields if isinstance(f.dataType, TimestampType)]
+        if ltz:
+            offenders[name] = ltz
+    assert not offenders, (
+        f"session-zone timestamp outputs (cast to timestamp_ntz or date): "
+        f"{offenders}"
+    )
