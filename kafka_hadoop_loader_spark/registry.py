@@ -60,81 +60,19 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # FRONT of the returned mapping each round, so every query accumulates
 # a driver-green CORRECTNESS row over successive rounds.
 #
-# Round 6 priority (after r5 the cumulative driver-green set is
-# 239/258 with 0 red ever — computed by diffing CORRECTNESS_r0{1..5}.json
+# Round 7 priority (after r6 the cumulative driver-green set is
+# 286/313 with 0 red ever — computed by diffing CORRECTNESS_r0{1..6}.json
 # keys against the registry; tests/test_driver_window.py mechanizes the
-# check).  Exactly the 19 never-driver-tested names remain, ordered:
-# 1. the 5 round-5 SURVEY §2 operators (highest novelty risk);
-# 2. the 5 final-commit extras (ml/quality/spatial/textstats);
-# 3. the 9 events/orders §2.BB satellites that spilled past the
-#    round-5 window.
-# New round-6 operators are PREPENDED above this block as they land so
-# they reach the driver in the same round they are written.  Pure
-# presentation order — names, fns, and oracles are unchanged.
+# check).  Exactly the 27 never-driver-tested names remain — the
+# operators that landed late in round 6 past the full 50-slot window,
+# rotated here to the front in their round-6 append order.  New round-7
+# operators are PREPENDED above this block as they land so they reach
+# the driver in the same round they are written.  Pure presentation
+# order — names, fns, and oracles are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new round-6 operators (never driver-tested) --
-    "quality_benford_audit",
-    "ml_isotonic_calibration",
-    "causal_cem_att",
-    "ml_auc_roc",
-    "ml_calibration_ece",
-    "ts_acf",
-    "l_diversity_audit",
-    "drift_numeric_ks",
-    "ml_logreg_rational",
-    "conformal_interval_coverage",
-    "tokenizer_fertility",
-    "kmeans_seed_farthest",
-    "scd_temporal_join",
-    "feature_hashing_vectorizer",
-    "events_changepoint_cusum",
-    "events_forecast_holt",
-    "spatial_dbscan_grid",
-    "orders_survival_km",
-    "events_uplift_did",
-    "graph_link_prediction",
-    "pipeline_dataset_card",
-    "resample_interpolate",
-    "ann_ivf_probe_frontier",
-    "dedup_cross_split_leakage",
-    "stats_bootstrap_ci",
-    "sketch_kmv_setops",
-    "feature_target_encoding",
-    "graph_kcore",
-    # -- 0. round-6 re-verification: convergence certificate added to
-    # the star-contraction consumers (schema + oracle changed, so the
-    # prior green rows no longer describe them; tests/test_driver_window
-    # lists these in _REVERIFY_OK) --
-    "graph_connected_components",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    # -- 1. round-5 SURVEY §2 operators --
-    "rank_distributed",
-    "join_fuzzy_blocked",
-    "k_anonymity_suppress",
-    "hilbert_layout",
-    "ann_matryoshka_recall",
-    # -- 2. round-5 final-commit extras --
-    "ml_naive_bayes",
-    "ml_gini_split",
-    "drift_category_chi2",
-    "spatial_geohash",
-    "text_readability",
-    # -- 3. events/orders satellites spilled from the round-5 window --
-    "events_markov_transitions",
-    "events_time_weighted_avg",
-    "orders_cohort_revenue",
-    "events_dau_wau_mau",
-    "events_seasonality_profile",
-    "events_longest_streak",
-    "events_type_diversity",
-    "events_new_vs_returning",
-    "orders_reorder_cycle",
-    # -- round-7 queue: the 50-slot window above is FULL (28 round-6
-    # ops + 3 certificate re-verifications + 19 carried names), so
-    # operators added late in round 6 are APPENDED here — positions
-    # 51+ stay out of this round's driver window instead of evicting
-    # a never-tested name, and rotate to the front in round 7.
+    # -- round-6 late additions (never driver-tested, positions 51-77
+    # of the round-6 window; all 27 MATCH in the committed round-6
+    # driver_sim full pass) --
     "ann_pq_recall_audit",
     "multimodal_phash_dedup",
     "t_closeness_audit",
@@ -164,11 +102,13 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "graph_assortativity",
 )
 
-# Round-7 rotation queue: EMPTY as of round-6 start — every registered
-# query either has a driver-green row (239) or sits in the window above
-# (19).  Operators added during round 6 must be prepended to the window
-# in the same commit that registers them; recompute the pending set by
-# diffing CORRECTNESS_r0{1..6}.json keys against the registry.
+# Round-8 rotation queue: EMPTY as of round-7 start — every registered
+# query either has a driver-green row (286) or sits in the window above
+# (27), so after the round-7 driver run the full inventory is
+# driver-verified.  Operators added during round 7 must be prepended to
+# the window in the same commit that registers them; recompute the
+# pending set by diffing CORRECTNESS_r0{1..7}.json keys against the
+# registry.
 
 
 def load_all() -> dict[str, Query]:

@@ -42,14 +42,10 @@ def _correctness_files() -> list[str]:
 
 # Names allowed in the window despite an existing green row (deliberate
 # re-verification after a behavior change).  Keep empty unless needed.
-_REVERIFY_OK: frozenset[str] = frozenset({
-    # Round 6: convergence certificate column added (schema + oracle
-    # changed — star_contract_certified), so the r4/r5 green rows no
-    # longer describe these queries' output.
-    "graph_connected_components",
-    "dedup_clusters",
-    "dedup_clusters_star",
-})
+_REVERIFY_OK: frozenset[str] = frozenset()
+# (Round 6 used this for the three star-contraction consumers whose
+# schema gained the convergence certificate; their re-verification rows
+# landed green in CORRECTNESS_r06.json, so the set is empty again.)
 
 
 def _driver_green() -> set[str]:
