@@ -49,6 +49,14 @@ def main() -> None:
     spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(
         _ident, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    # bench.py's memoized-ANN-index warmup (see bench.py for why): one
+    # untimed build of the IVF assignment / PQ long view / LSH buckets
+    # so a targeted run of any consumer measures the serving path,
+    # exactly as the full-suite run does.
+    for warm in ("knn_cosine_ivf", "knn_pq_adc", "knn_cosine_lsh"):
+        reg[warm].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     times: dict[str, float] = {}
     for _pass in range(3):
