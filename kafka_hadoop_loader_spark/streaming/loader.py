@@ -181,14 +181,170 @@ def transform(cfg: LoaderConfig, raw: DataFrame) -> DataFrame:
     )
 
 
+# Codecs Spark's sinks accept, per output format (parquet codecs from
+# parquet.compression; text/json ride Hadoop compression codecs).
+_SINK_CODECS = {
+    "parquet": {"none", "uncompressed", "snappy", "gzip", "lzo", "brotli", "lz4", "zstd"},
+    "text": {"none", "gzip", "bzip2", "lz4", "deflate", "snappy"},
+    "json": {"none", "gzip", "bzip2", "lz4", "deflate", "snappy"},
+}
+
+
+class _DryRunStop(Exception):
+    """Internal: stop the plan-resolution block after a precise error."""
+
+
+def validate_config(spark: SparkSession, cfg: LoaderConfig, strict: bool = False) -> dict:
+    """DRY-RUN the loader: build and validate the whole plan, start nothing.
+
+    The reference's job conf had no preflight — a typo'd topic or codec
+    surfaced minutes into a MapReduce run.  This validator makes R10's
+    config surface construction-tested: it (1) checks every knob's
+    domain Python-side, (2) parses ``payload_schema`` with Spark's DDL
+    parser and resolves the FULL ``transform`` plan against an empty
+    static frame with the source's schema — so a missing
+    ``timestamp_field`` or malformed DDL fails HERE, (3) for the kafka
+    source, builds the real ``format("kafka")`` reader with
+    ``kafka_source_options`` and attempts ``load()``, which runs the
+    connector's own option validation WITHOUT contacting a broker
+    (source resolution is lazy; offsets are first fetched at
+    ``start()``).  A container without the kafka connector jar reports
+    ``connector_available: False`` instead of failing the dry run —
+    the remaining checks still ran, which is exactly the degree of
+    verification this no-broker environment permits (SURVEY §0
+    env-limits).
+
+    Returns a report dict: ``{"ok", "errors", "source", "options",
+    "connector_available", "output_schema", "partition_cols"}``.
+    With ``strict=True`` raises ``ValueError`` listing every error at
+    once (operators fail fast; preflights report exhaustively).
+    """
+    errors: list[str] = []
+    if cfg.source not in ("files", "kafka"):
+        errors.append(f"source must be files|kafka, got {cfg.source!r}")
+    if cfg.source == "kafka":
+        if not cfg.kafka_bootstrap:
+            errors.append("kafka source requires kafka_bootstrap")
+        if not cfg.topics or not all(t.strip() for t in cfg.topics.split(",")):
+            errors.append(f"topics must be a non-empty comma list, got {cfg.topics!r}")
+        if cfg.offset_reset not in ("earliest", "latest") and not (
+            cfg.offset_reset.startswith("{")
+        ):
+            errors.append(
+                "offset_reset must be earliest|latest|JSON offsets map, "
+                f"got {cfg.offset_reset!r}"
+            )
+    elif cfg.source == "files" and not cfg.input_path:
+        errors.append("files source requires input_path")
+    if not cfg.target_path:
+        errors.append("target_path is required")
+    if not cfg.checkpoint_path:
+        errors.append("checkpoint_path is required")
+    elif cfg.checkpoint_path == cfg.target_path:
+        errors.append("checkpoint_path must differ from target_path")
+    if cfg.output_format not in _SINK_CODECS:
+        errors.append(f"output_format must be parquet|text|json, got {cfg.output_format!r}")
+    elif cfg.compression not in _SINK_CODECS[cfg.output_format]:
+        errors.append(
+            f"compression {cfg.compression!r} not valid for {cfg.output_format}: "
+            f"choose from {sorted(_SINK_CODECS[cfg.output_format])}"
+        )
+    if cfg.timestamp_unit not in ("s", "ms", "us"):
+        errors.append(f"timestamp_unit must be s|ms|us, got {cfg.timestamp_unit!r}")
+    if cfg.max_files_per_trigger is not None and cfg.max_files_per_trigger <= 0:
+        errors.append("max_files_per_trigger must be positive when set")
+
+    # Resolve the actual transform plan against an empty static frame
+    # with the source's exact post-_read_stream schema: catches DDL
+    # syntax errors, a timestamp_field absent from payload_schema, and
+    # partition-column collisions — the full analyzer pass, zero jobs.
+    out_schema = None
+    part_cols = ("d", "h", *cfg.extra_partition_cols)
+    if cfg.timestamp_unit in ("s", "ms", "us"):
+        try:
+            from pyspark.sql.types import StructType
+
+            payload_fields = {
+                f.name for f in StructType.fromDDL(cfg.payload_schema).fields
+            }  # precise DDL error surfaces first
+            if cfg.timestamp_field not in payload_fields:
+                errors.append(
+                    f"timestamp_field {cfg.timestamp_field!r} not in payload_schema"
+                )
+                raise _DryRunStop  # transform cannot resolve without it
+            stand_in = spark.createDataFrame(
+                [],
+                "topic string, kafka_partition int, offset bigint, payload string",
+            )
+            plan = transform(cfg, stand_in)
+            fields = {f.name for f in plan.schema.fields}
+            missing = [c for c in cfg.extra_partition_cols if c not in fields]
+            if missing:
+                errors.append(f"extra_partition_cols not in output: {missing}")
+            if len(set(part_cols)) != len(part_cols):
+                errors.append(f"duplicate partition columns: {part_cols}")
+            out_schema = plan.schema.simpleString()
+        except _DryRunStop:
+            pass  # already reported precisely above
+        except Exception as e:  # analyzer/DDL error — report, don't raise
+            errors.append(f"transform plan does not resolve: {str(e)[:300]}")
+
+    # Kafka reader construction: the connector's validateStreamOptions
+    # runs inside load() with no broker round-trip.
+    connector_available = None
+    if cfg.source == "kafka" and cfg.kafka_bootstrap:
+        reader = spark.readStream.format("kafka")
+        for k, v in kafka_source_options(cfg).items():
+            reader = reader.option(k, v)
+        try:
+            raw = reader.load()
+            connector_available = True
+            got = {f.name for f in raw.schema.fields}
+            need = {"topic", "partition", "offset", "value"}
+            if not need <= got:
+                errors.append(f"kafka source schema missing {sorted(need - got)}")
+        except Exception as e:
+            msg = str(e)
+            if "Failed to find data source" in msg:
+                connector_available = False  # env limit, not a config error
+            else:
+                connector_available = True
+                errors.append(f"kafka reader rejected options: {msg[:300]}")
+
+    report = {
+        "ok": not errors,
+        "errors": errors,
+        "source": cfg.source,
+        "options": kafka_source_options(cfg) if cfg.source == "kafka" else {
+            "path": cfg.input_path,
+            **(
+                {"maxFilesPerTrigger": str(cfg.max_files_per_trigger)}
+                if cfg.max_files_per_trigger
+                else {}
+            ),
+        },
+        "connector_available": connector_available,
+        "output_schema": out_schema,
+        "partition_cols": list(part_cols),
+    }
+    if strict and errors:
+        raise ValueError("loader config invalid: " + "; ".join(errors))
+    return report
+
+
 def run_loader(spark: SparkSession, cfg: LoaderConfig) -> dict:
     """One bounded incremental run (the reference's `hadoop jar ... run`).
 
     Returns run metrics.  Re-running with the same checkpoint picks up
     only data that arrived since the last run (R2/R9 parity, but
     exactly-once thanks to the file sink's transaction log).
+
+    Every run is preflighted by ``validate_config(strict=True)``: a bad
+    knob aborts before a streaming query (and its checkpoint state)
+    exists, with every config error listed at once.
     """
     configure_runtime(spark)
+    validate_config(spark, cfg, strict=True)
     out = transform(cfg, _read_stream(spark, cfg))
     if cfg.output_format == "text":
         # R8 text-lines parity: the text sink takes exactly one string
