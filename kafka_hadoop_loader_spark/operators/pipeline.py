@@ -1857,3 +1857,351 @@ _PREG["privacy_release_gate"] = _pdc.replace(
         tclo=_PREG["t_closeness_audit"].oracle,
     ),
 )
+
+
+# --- End-to-end corpus build: the full pipeline in ONE plan ---------------
+
+
+@register(
+    "pipeline_corpus_build",
+    # {mh} late-bound below to dedup_minhash_lsh's registered oracle,
+    # so the near-dup stage of this composite and the standalone pair
+    # table cannot drift (same mechanism as dedup_source_contamination).
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text, n_chars, source FROM documents
+            WHERE doc_id % 97 <> 0
+        ),
+        tt AS (
+            SELECT doc_id, source, text, n_chars,
+                   string_split(text, ' ') AS w,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM d
+        ),
+        q AS (
+            SELECT doc_id FROM tt
+            WHERE n_tok >= {_QG_MIN_TOKENS}
+              AND CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                      >= {_QG_MIN_AVG_LEN}
+              AND CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                      <= {_QG_MAX_AVG_LEN}
+              AND CAST(len(list_distinct(w)) AS DOUBLE)
+                      / CAST(n_tok AS DOUBLE) >= {_QG_MIN_TTR}
+              AND CAST(len(list_filter(w, x -> x IN {_QG_STOPWORDS!r}))
+                       AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                      <= {_QG_MAX_STOP}
+        ),
+        canon AS (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM tt WHERE doc_id IN (SELECT doc_id FROM q)
+        ),
+        c2 AS (SELECT doc_id FROM canon WHERE rn = 1),
+        pairs AS ({{mh}}),
+        nd AS (
+            SELECT DISTINCT doc_id_b AS doc_id FROM pairs
+            WHERE doc_id_a IN (SELECT doc_id FROM c2)
+              AND doc_id_b IN (SELECT doc_id FROM c2)
+        ),
+        c3 AS (
+            SELECT doc_id FROM c2
+            WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+        ),
+        allg AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g3
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents) w,
+                 unnest(generate_series(1, len(ws) - 2)) AS u(i)
+            WHERE len(ws) >= 3
+        ),
+        bench AS (
+            SELECT DISTINCT g3 FROM allg WHERE doc_id % 97 = 0
+        ),
+        contam AS (
+            SELECT DISTINCT g.doc_id
+            FROM allg g JOIN bench b USING (g3)
+            WHERE g.doc_id % 97 <> 0
+        ),
+        c4 AS (
+            SELECT doc_id FROM c3
+            WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        ),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         {_PHASH_SQL.format(
+                             x="'split:' || CAST(doc_id AS VARCHAR)")}
+                             % 100 AS b
+                  FROM c4)
+        ),
+        spt AS (
+            SELECT sp.doc_id, sp.split, tt.source, tt.n_tok
+            FROM sp JOIN tt USING (doc_id)
+        ),
+        pk AS (
+            SELECT split, source, CAST(SUM(n_tok) AS BIGINT) AS ttok
+            FROM spt GROUP BY 1, 2
+        ),
+        pks AS (
+            SELECT split,
+                   CAST(SUM((ttok + {_PACK_BUDGET} - 1)
+                            // {_PACK_BUDGET}) AS BIGINT) AS n_seqs,
+                   CAST(SUM(ttok) AS BIGINT) AS ttok
+            FROM pk GROUP BY 1
+        ),
+        tsum AS (SELECT doc_id, n_tok FROM tt)
+        SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'corpus' AS stage,
+                   (SELECT COUNT(*) FROM d) AS n_units,
+                   (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+                    FROM tsum) AS n_tokens
+            UNION ALL
+            SELECT 1, 'quality_pass', (SELECT COUNT(*) FROM q),
+                   (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+                    FROM tsum WHERE doc_id IN (SELECT doc_id FROM q))
+            UNION ALL
+            SELECT 2, 'exact_dedup', (SELECT COUNT(*) FROM c2),
+                   (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+                    FROM tsum WHERE doc_id IN (SELECT doc_id FROM c2))
+            UNION ALL
+            SELECT 3, 'near_dedup', (SELECT COUNT(*) FROM c3),
+                   (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+                    FROM tsum WHERE doc_id IN (SELECT doc_id FROM c3))
+            UNION ALL
+            SELECT 4, 'decontaminated', (SELECT COUNT(*) FROM c4),
+                   (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+                    FROM tsum WHERE doc_id IN (SELECT doc_id FROM c4))
+            UNION ALL
+            SELECT 5, 'split_train',
+                   (SELECT COUNT(*) FROM sp WHERE split = 'train'),
+                   (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+                    FROM spt WHERE split = 'train')
+            UNION ALL
+            SELECT 6, 'split_val',
+                   (SELECT COUNT(*) FROM sp WHERE split = 'val'),
+                   (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+                    FROM spt WHERE split = 'val')
+            UNION ALL
+            SELECT 7, 'split_test',
+                   (SELECT COUNT(*) FROM sp WHERE split = 'test'),
+                   (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+                    FROM spt WHERE split = 'test')
+            UNION ALL
+            SELECT 8, 'packed_train',
+                   (SELECT CAST(COALESCE(SUM(n_seqs), 0) AS BIGINT)
+                    FROM pks WHERE split = 'train'),
+                   (SELECT CAST(COALESCE(SUM(ttok), 0) AS BIGINT)
+                    FROM pks WHERE split = 'train')
+            UNION ALL
+            SELECT 9, 'packed_val',
+                   (SELECT CAST(COALESCE(SUM(n_seqs), 0) AS BIGINT)
+                    FROM pks WHERE split = 'val'),
+                   (SELECT CAST(COALESCE(SUM(ttok), 0) AS BIGINT)
+                    FROM pks WHERE split = 'val')
+            UNION ALL
+            SELECT 10, 'packed_test',
+                   (SELECT CAST(COALESCE(SUM(n_seqs), 0) AS BIGINT)
+                    FROM pks WHERE split = 'test'),
+                   (SELECT CAST(COALESCE(SUM(ttok), 0) AS BIGINT)
+                    FROM pks WHERE split = 'test')
+        )
+        ORDER BY stage_idx
+    """,
+    doc=f"""The pipeline_funnel pattern at FULL depth: one plan chains
+    quality gate -> exact dedup (keep-first) -> MinHash near-dup prune
+    -> benchmark decontamination -> hash split -> sequence packing,
+    reporting per-stage document AND token survival plus the packed
+    {_PACK_BUDGET}-token sequence count per split — the complete
+    pre-tokenization corpus build as ONE Catalyst plan with no
+    materialization between stages.
+
+    Stage semantics reuse the REGISTERED standalone operators exactly:
+    quality_gate's thresholds, dedup_exact's keep-first-by-md5,
+    dedup_minhash_lsh's verified pair table (the oracle nests its full
+    SQL, so the near-dup stage cannot drift from the shipped cascade),
+    decontaminate_ngram's 3-gram benchmark rule, sample_hash_split's
+    portable md5 buckets, and pack_sequences' integer ceil-div layout
+    at the (split, source) shard grain.  Near-dup pruning is
+    edge-greedy: a doc is dropped when a verified pair links it to a
+    SMALLER surviving doc_id — the standard keep-first pair rule;
+    cluster-canonical pruning (star contraction) is the separately
+    registered dedup_clusters_star.
+
+    Scale shape: one documents scan computes every per-doc flag
+    map-side; the exact-dedup window shuffles once on md5(text); the
+    near-dup stage reuses _minhash_pairs' banded cascade (and its
+    memoized shingle persist — never all-pairs); contamination is one
+    broadcast semi-join on the tiny benchmark gram set; the final
+    counts are conditional sums, so the 11 report rows cost two small
+    aggregates.  This is the artifact a pretraining team reviews
+    before spending GPU-hours: where the tokens went, stage by stage.""",
+)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.operators.dedup import _minhash_pairs
+
+    full = spread(table(spark, sf_dir, "documents"), "doc_id")
+    d = full.where(F.col("doc_id") % 97 != 0)
+    w = F.split("text", " ")
+    n_tok = F.size(w).cast("bigint")
+    avg_len = F.col("n_chars").cast("double") / n_tok.cast("double")
+    ttr = F.size(F.array_distinct(w)).cast("double") / n_tok.cast("double")
+    stop = (
+        F.size(F.filter(w, lambda x: x.isin(*_QG_STOPWORDS))).cast("double")
+        / n_tok.cast("double")
+    )
+    pass_q = (
+        (n_tok >= _QG_MIN_TOKENS)
+        & (avg_len >= _QG_MIN_AVG_LEN)
+        & (avg_len <= _QG_MAX_AVG_LEN)
+        & (ttr >= _QG_MIN_TTR)
+        & (stop <= _QG_MAX_STOP)
+    )
+    flags = d.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        pass_q.alias("pass_q"),
+        F.md5("text").alias("h"),
+    )
+    # exact dedup: canonical = min doc_id among quality-passers per hash
+    wnd = Window.partitionBy("h")
+    flags = flags.withColumn(
+        "canon",
+        F.col("pass_q")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("pass_q"), F.col("doc_id"))).over(wnd)
+        ),
+    )
+    # near-dup prune: drop the larger doc of any verified pair whose
+    # BOTH ends survived exact dedup (edge-greedy keep-first).  The
+    # pair table is the registered banded cascade; the survivors join
+    # ships only pair rows, and AQE picks broadcast vs shuffle by the
+    # pair count (near-dup mass is corpus-dependent — don't force it).
+    surv = flags.where(F.col("canon")).select("doc_id")
+    pairs = _minhash_pairs(full, sf_dir).select("doc_id_a", "doc_id_b")
+    nd = (
+        pairs.join(surv.select(F.col("doc_id").alias("doc_id_a")), "doc_id_a", "semi")
+        .join(surv.select(F.col("doc_id").alias("doc_id_b")), "doc_id_b", "semi")
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_drop", F.lit(True))
+    )
+    flags = flags.join(nd, "doc_id", "left").withColumn(
+        "keep_nd", F.col("canon") & F.col("near_drop").isNull()
+    )
+    # decontamination vs the benchmark slice (doc_id % 97 == 0)
+    ws = F.split("text", " ")
+    g3 = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ws, i),
+            F.element_at(ws, i + 1),
+            F.element_at(ws, i + 2),
+        ),
+    )
+    grams = full.where(F.size(ws) >= 3).select(
+        "doc_id", F.explode(F.array_distinct(g3)).alias("g3")
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("g3").distinct()
+    contam = (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g3", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(True))
+    )
+    flags = flags.join(F.broadcast(contam), "doc_id", "left").withColumn(
+        "clean", F.col("keep_nd") & F.col("contam").isNull()
+    )
+    bucket = _phash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    flags = flags.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+
+    one = lambda c: F.sum(c.cast("bigint"))  # noqa: E731
+    tok = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.when(c, F.col("n_tok"))), F.lit(0)
+    ).cast("bigint")
+    counts = flags.agg(
+        F.count("*").alias("c0"),
+        tok(F.lit(True)).alias("t0"),
+        one(F.col("pass_q")).alias("c1"),
+        tok(F.col("pass_q")).alias("t1"),
+        one(F.col("canon")).alias("c2"),
+        tok(F.col("canon")).alias("t2"),
+        one(F.col("keep_nd")).alias("c3"),
+        tok(F.col("keep_nd")).alias("t3"),
+        one(F.col("clean")).alias("c4"),
+        tok(F.col("clean")).alias("t4"),
+        one(F.col("clean") & (F.col("split") == "train")).alias("c5"),
+        tok(F.col("clean") & (F.col("split") == "train")).alias("t5"),
+        one(F.col("clean") & (F.col("split") == "val")).alias("c6"),
+        tok(F.col("clean") & (F.col("split") == "val")).alias("t6"),
+        one(F.col("clean") & (F.col("split") == "test")).alias("c7"),
+        tok(F.col("clean") & (F.col("split") == "test")).alias("t7"),
+    )
+    # packing at the (split, source) shard grain: ceil-div per shard,
+    # then one conditional-sum row so every split always reports
+    pk = (
+        flags.where(F.col("clean"))
+        .groupBy("split", "source")
+        .agg(F.sum("n_tok").alias("ttok"))
+        .select(
+            "split",
+            "ttok",
+            F.expr(f"(ttok + {_PACK_BUDGET} - 1) DIV {_PACK_BUDGET}").alias(
+                "n_seqs"
+            ),
+        )
+    )
+    z = lambda c: F.coalesce(F.sum(c).cast("bigint"), F.lit(0).cast("bigint"))  # noqa: E731
+    pks = pk.agg(
+        z(F.when(F.col("split") == "train", F.col("n_seqs"))).alias("c8"),
+        z(F.when(F.col("split") == "train", F.col("ttok"))).alias("t8"),
+        z(F.when(F.col("split") == "val", F.col("n_seqs"))).alias("c9"),
+        z(F.when(F.col("split") == "val", F.col("ttok"))).alias("t9"),
+        z(F.when(F.col("split") == "test", F.col("n_seqs"))).alias("c10"),
+        z(F.when(F.col("split") == "test", F.col("ttok"))).alias("t10"),
+    )
+    stages = (
+        "corpus",
+        "quality_pass",
+        "exact_dedup",
+        "near_dedup",
+        "decontaminated",
+        "split_train",
+        "split_val",
+        "split_test",
+    )
+    stack_docs = ", ".join(
+        f"CAST({i} AS BIGINT), '{s}', c{i}, t{i}" for i, s in enumerate(stages)
+    )
+    doc_rows = counts.selectExpr(
+        f"stack(8, {stack_docs}) AS (stage_idx, stage, n_units, n_tokens)"
+    )
+    stack_pack = ", ".join(
+        f"CAST({i} AS BIGINT), '{s}', c{i}, t{i}"
+        for i, s in ((8, "packed_train"), (9, "packed_val"), (10, "packed_test"))
+    )
+    pack_rows = pks.selectExpr(
+        f"stack(3, {stack_pack}) AS (stage_idx, stage, n_units, n_tokens)"
+    )
+    return doc_rows.unionByName(pack_rows).orderBy("stage_idx")
+
+
+from kafka_hadoop_loader_spark.operators import dedup as _pipeline_dedup  # noqa: E402,F401
+
+_PREG["pipeline_corpus_build"] = _pdc.replace(
+    _PREG["pipeline_corpus_build"],
+    oracle=_PREG["pipeline_corpus_build"].oracle.format(
+        mh=_PREG["dedup_minhash_lsh"].oracle
+    ),
+)

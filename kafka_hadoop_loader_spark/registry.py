@@ -70,6 +70,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # the driver in the same round they are written.  Pure presentation
 # order — names, fns, and oracles are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- new round-7 operators (never driver-tested) --
+    "pipeline_corpus_build",
     # -- round-6 late additions (never driver-tested, positions 51-77
     # of the round-6 window; all 27 MATCH in the committed round-6
     # driver_sim full pass) --
