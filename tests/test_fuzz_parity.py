@@ -323,3 +323,141 @@ def test_td_compress_invariants(vals):
     for q in (0.0, 0.01, 0.5, 0.99, 1.0):
         est = _td_quantile(m, w, q)
         assert v[0] <= est <= v[-1]
+
+
+# ---- round-7 shapes: frames, lag, ALL set-ops, rollup, subqueries -----
+#
+# Tie discipline for the window shapes: ORDER BY lists EVERY column, so
+# rows tying on the full key are bit-identical rows — any permutation
+# among them yields the same MULTISET of window outputs, which is what
+# the canonicalized comparison checks.  (A partial order would make
+# running sums legitimately engine-dependent; that's a test bug the
+# round-2 shapes avoided by aggregating ranks, this avoids by total
+# order.)
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_fuzz_window_frames_and_lag(spark, fuzz_duck, rows):
+    _mk_tables(spark, fuzz_duck, rows)
+    _both(
+        spark,
+        fuzz_duck,
+        """
+        SELECT k,
+               CAST(SUM(COALESCE(i, 0)) OVER (
+                   PARTITION BY k
+                   ORDER BY i NULLS FIRST, d NULLS FIRST, s NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS run_i,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY k
+                   ORDER BY i NULLS FIRST, d NULLS FIRST, s NULLS FIRST
+                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               ) AS BIGINT) AS near_n,
+               lag(i) OVER (
+                   PARTITION BY k
+                   ORDER BY i NULLS FIRST, d NULLS FIRST, s NULLS FIRST
+               ) AS prev_i,
+               lead(s, 1, 'EOG') OVER (
+                   PARTITION BY k
+                   ORDER BY i NULLS FIRST, d NULLS FIRST, s NULLS FIRST
+               ) AS next_s
+        FROM fz_a
+        """,
+    )
+
+
+@given(rows=_rows, rows_b=_rows_b)
+@_SETTINGS
+def test_fuzz_setops_all(spark, fuzz_duck, rows, rows_b):
+    # bag semantics: duplicate counts must subtract/intersect exactly
+    _mk_tables(spark, fuzz_duck, rows, rows_b)
+    for op in ("INTERSECT ALL", "EXCEPT ALL"):
+        _both(
+            spark,
+            fuzz_duck,
+            f"""
+            SELECT k, i FROM fz_a
+            {op}
+            SELECT k, v FROM fz_b
+            """,
+        )
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_fuzz_rollup_grouping(spark, fuzz_duck, rows):
+    # subtotal NULL markers vs genuine NULL group keys: GROUPING()
+    # disambiguates; counts and exact cent sums must agree per cell.
+    # KNOWN DIVERGENCE (found by this fuzzer, hence the guard): on a
+    # ZERO-ROW input DuckDB emits the grand-total row (the standard's
+    # empty-grouping-set semantics: one row, COUNT=0) while Spark's
+    # ROLLUP emits nothing — so no registered oracle may rely on the
+    # grand-total row of a possibly-empty input.  Non-empty inputs
+    # agree cell-for-cell.
+    if not rows:
+        return
+    _mk_tables(spark, fuzz_duck, rows)
+    _both(
+        spark,
+        fuzz_duck,
+        """
+        SELECT k, s,
+               CAST(GROUPING(k) AS BIGINT) AS gk,
+               CAST(GROUPING(s) AS BIGINT) AS gs,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(d * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM fz_a
+        GROUP BY ROLLUP (k, s)
+        """,
+    )
+
+
+@given(rows=_rows, rows_b=_rows_b)
+@_SETTINGS
+def test_fuzz_not_in_null_subquery(spark, fuzz_duck, rows, rows_b):
+    # the classic three-valued-logic trap: one NULL in the NOT IN
+    # subquery empties the result; EXISTS/NOT EXISTS are unaffected
+    _mk_tables(spark, fuzz_duck, rows, rows_b)
+    _both(
+        spark,
+        fuzz_duck,
+        "SELECT k, i FROM fz_a WHERE i NOT IN (SELECT v FROM fz_b)",
+    )
+    _both(
+        spark,
+        fuzz_duck,
+        "SELECT k, i FROM fz_a WHERE i IN (SELECT v FROM fz_b)",
+    )
+    _both(
+        spark,
+        fuzz_duck,
+        """
+        SELECT a.k, a.i FROM fz_a a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM fz_b b WHERE b.k = a.k AND b.v IS NULL
+        )
+        """,
+    )
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_fuzz_conditional_arithmetic(spark, fuzz_duck, rows):
+    # CASE/COALESCE/NULLIF + truncating integer DIV and % on negatives
+    _mk_tables(spark, fuzz_duck, rows)
+    _both(
+        spark,
+        fuzz_duck,
+        """
+        SELECT k,
+               CASE WHEN i IS NULL THEN -1
+                    WHEN i % 7 = 0
+                        THEN CAST(floor(abs(i) / 7.0) AS BIGINT)
+                    ELSE NULLIF(i, k) END AS c1,
+               COALESCE(i, k, 0) % 5 AS c2,
+               CAST(floor(abs(COALESCE(i, 0)) / 3.0) AS BIGINT) AS c3
+        FROM fz_a
+        """,
+    )
