@@ -47,17 +47,27 @@ def pandas_canon(rows, cols):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    # Adversarial-parallelism knobs: results must be invariant to the
+    # cluster shape (partition counts, task parallelism) — the property
+    # a 1000-executor deployment relies on.  Defaults replicate the
+    # grading driver exactly (local[8], no shuffle conf = Spark's 200);
+    # a periodic sweep runs e.g. --master local[3] --shuffle 7 and must
+    # still read ALL MATCH.
+    ap.add_argument("--master", default="local[8]")
+    ap.add_argument("--shuffle", type=int, default=None)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master("local[8]")
+    builder = (
+        SparkSession.builder.master(args.master)
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if args.shuffle is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle))
+    spark = builder.getOrCreate()
     import __spark_entry__ as E
 
     df = E.entry(spark)
