@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-files-per-trigger", type=int, default=None,
                    help="bound each micro-batch (backfill in increments)")
     p.add_argument("--master", default=None, help="Spark master (default local[*])")
+    p.add_argument("--dry-run", action="store_true",
+                   help="validate the whole config + plan and exit: prints "
+                        "the validate_config report as JSON, starts no "
+                        "streaming query, writes no checkpoint state; exit "
+                        "code 0 iff the config is valid")
     return p
 
 
@@ -86,6 +91,12 @@ def main(argv: list[str] | None = None) -> int:
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark("khl-loader", master=args.master)
     try:
+        if args.dry_run:
+            from kafka_hadoop_loader_spark.streaming.loader import validate_config
+
+            report = validate_config(spark, LoaderConfig(**cfg_kwargs))
+            print(json.dumps(report))
+            return 0 if report["ok"] else 1
         metrics = run_loader(spark, LoaderConfig(**cfg_kwargs))
     finally:
         if not preexisting:

@@ -352,3 +352,30 @@ def test_run_loader_preflights_strictly(spark, tmp_path):
     with _pytest.raises(ValueError, match="compression"):
         run_loader(spark, cfg)
     assert not ckpt.exists()
+
+
+def test_cli_dry_run(spark, tmp_path, capsys):
+    """--dry-run prints the validate_config report and exits 0/1 by
+    validity, starting nothing and writing no checkpoint state."""
+    import json as _json
+
+    from kafka_hadoop_loader_spark.__main__ import main
+
+    ckpt = tmp_path / "ckpt"
+    rc = main([
+        "--source", "files", "--input", str(tmp_path / "in"),
+        "--target", str(tmp_path / "out"), "--checkpoint", str(ckpt),
+        "--dry-run",
+    ])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["ok"] and not ckpt.exists()
+
+    rc = main([
+        "--source", "files", "--input", str(tmp_path / "in"),
+        "--target", str(tmp_path / "out"), "--checkpoint", str(ckpt),
+        "--timestamp-field", "nope", "--dry-run",
+    ])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and not rep["ok"]
+    assert any("timestamp_field" in e for e in rep["errors"])
+    assert not ckpt.exists()
