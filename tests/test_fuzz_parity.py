@@ -461,3 +461,132 @@ def test_fuzz_conditional_arithmetic(spark, fuzz_duck, rows):
         FROM fz_a
         """,
     )
+
+
+# ---- as-of join construction parity (the union-window seam) -----------
+#
+# join_asof / join_asof_tolerance replace a range join with ONE window
+# (last/first IGNORE NULLS over a PRECEDING/FOLLOWING frame) — linear at
+# 100 TB, but the construction's correctness hangs on three seams the
+# fixtures barely exercise: exact timestamp TIES (broken by event_id),
+# NULL timestamps under explicit NULLS FIRST, and users with only one
+# side present.  Generate adversarial event sets and hold the Spark
+# construction to DuckDB's IGNORE NULLS window on the same data.
+
+_ev_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),            # user
+        st.one_of(st.none(), st.integers(0, 6)),          # ts (ties likely)
+        st.booleans(),                                    # is_click
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+_ASOF_SCHEMA = "u long, eid long, typ string, ts long"
+
+
+def _mk_events(spark, duck, rows):
+    recs = [
+        (u, i, "click" if c else "purchase", ts)
+        for i, (u, ts, c) in enumerate(rows)
+    ]
+    df = (
+        spark.createDataFrame(recs, _ASOF_SCHEMA)
+        if recs
+        else spark.createDataFrame([], _ASOF_SCHEMA)
+    )
+    df.createOrReplaceTempView("fz_ev2")
+    duck.execute("DROP TABLE IF EXISTS fz_ev2")
+    duck.execute(
+        "CREATE TABLE fz_ev2 (u BIGINT, eid BIGINT, typ VARCHAR, ts BIGINT)"
+    )
+    if recs:
+        duck.executemany("INSERT INTO fz_ev2 VALUES (?, ?, ?, ?)", recs)
+    return df
+
+
+@given(rows=_ev_rows)
+@_SETTINGS
+def test_fuzz_asof_backward(spark, fuzz_duck, rows):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = _mk_events(spark, fuzz_duck, rows)
+    w = (
+        Window.partitionBy("u")
+        .orderBy(F.col("ts").asc_nulls_first(), "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = (
+        df.withColumn(
+            "click_ts", F.when(F.col("typ") == "click", F.col("ts"))
+        )
+        .withColumn("last_click", F.last("click_ts", ignorenulls=True).over(w))
+        .where(F.col("typ") == "purchase")
+        .select("eid", "u", "ts", "last_click")
+        .collect()
+    )
+    want = fuzz_duck.execute(
+        """
+        SELECT eid, u, ts,
+               last_value(CASE WHEN typ = 'click' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY u ORDER BY ts NULLS FIRST, eid
+                         ROWS UNBOUNDED PRECEDING) AS last_click
+        FROM fz_ev2
+        QUALIFY typ = 'purchase'
+        """
+    ).fetchall()
+    canon = lambda rs: sorted(repr(tuple(r)) for r in rs)  # noqa: E731
+    assert canon(got) == canon(want)
+
+
+@given(rows=_ev_rows)
+@_SETTINGS
+def test_fuzz_asof_forward_tolerance(spark, fuzz_duck, rows):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tol = 3
+    df = _mk_events(spark, fuzz_duck, rows)
+    w = (
+        Window.partitionBy("u")
+        .orderBy(F.col("ts").asc_nulls_first(), "eid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = F.first(
+        F.when(F.col("typ") == "purchase", F.col("ts")), ignorenulls=True
+    ).over(w)
+    within = F.col("nxt") - F.col("ts") <= tol
+    got = (
+        df.withColumn("nxt", nxt)
+        .where(F.col("typ") == "click")
+        .select(
+            "eid",
+            "u",
+            "ts",
+            F.when(within, F.col("nxt")).alias("next_purch"),
+            F.coalesce(within, F.lit(False)).alias("attributed"),
+        )
+        .collect()
+    )
+    want = fuzz_duck.execute(
+        f"""
+        WITH m AS (
+            SELECT eid, u, typ, ts,
+                   first_value(CASE WHEN typ = 'purchase' THEN ts END
+                               IGNORE NULLS)
+                       OVER (PARTITION BY u ORDER BY ts NULLS FIRST, eid
+                             ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING) AS nxt
+            FROM fz_ev2
+        )
+        SELECT eid, u, ts,
+               CASE WHEN nxt - ts <= {tol} THEN nxt END AS next_purch,
+               COALESCE(nxt - ts <= {tol}, FALSE) AS attributed
+        FROM m
+        WHERE typ = 'click'
+        """
+    ).fetchall()
+    canon = lambda rs: sorted(repr(tuple(r)) for r in rs)  # noqa: E731
+    assert canon(got) == canon(want)
