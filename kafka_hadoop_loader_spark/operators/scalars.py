@@ -32,7 +32,11 @@ from kafka_hadoop_loader_spark.registry import register
                lower(c_mktsegment) AS seg_lower,
                substr(c_name, 1, 8) AS name_prefix,
                length(c_name) AS name_len,
-               concat(c_mktsegment, ':', c_name) AS tagged,
+               concat(c_mktsegment, ':', c_name) AS tagged, -- NON-NULL
+               -- cols only: concat() NULL-skips in DuckDB but
+               -- NULL-propagates in Spark (pinned by
+               -- tests/test_fuzz_parity.py::test_concat_null_divergence_pin);
+               -- nullable inputs must use || instead
                lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
                regexp_extract(c_name, '([0-9]+)', 1) AS digits,
                regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,

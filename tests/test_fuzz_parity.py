@@ -590,3 +590,41 @@ def test_fuzz_asof_forward_tolerance(spark, fuzz_duck, rows):
     ).fetchall()
     canon = lambda rs: sorted(repr(tuple(r)) for r in rs)  # noqa: E731
     assert canon(got) == canon(want)
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_fuzz_string_family_and_greatest(spark, fuzz_duck, rows):
+    # ||-concat NULL-propagates in BOTH engines (unlike concat(), see
+    # the divergence pin below); GREATEST/LEAST skip NULLs in both;
+    # upper/substr/length/trim agree on the unicode + empty strings in
+    # the generator
+    _mk_tables(spark, fuzz_duck, rows)
+    _both(
+        spark,
+        fuzz_duck,
+        """
+        SELECT k,
+               upper(s) AS up,
+               substr(s, 1, 2) AS pre,
+               CAST(length(s) AS BIGINT) AS n_chars,
+               trim(s) AS trimmed,
+               s || ':' || CAST(k AS STRING) AS tagged,
+               GREATEST(i, k) AS hi,
+               LEAST(i, k) AS lo
+        FROM fz_a
+        """,
+    )
+
+
+def test_concat_null_divergence_pin(spark, fuzz_duck):
+    """EXECUTABLE DIVERGENCE PIN (found by the round-7 probe):
+    ``concat('a', NULL)`` is NULL in Spark (NULL-propagating, like ||)
+    but 'a' in DuckDB (NULL-skipping, per the standard's CONCAT).
+    Consequence for oracle authors: ``concat()`` is only portable over
+    provably NON-NULL columns (fn_string's TPC-H columns qualify);
+    anything nullable must use ``||``.  If either engine changes this
+    semantic, this test fails and the convention must be re-audited."""
+    got = spark.sql("SELECT concat('a', NULL) AS c").collect()[0].c
+    want = fuzz_duck.execute("SELECT concat('a', NULL) AS c").fetchone()[0]
+    assert got is None and want == "a"
