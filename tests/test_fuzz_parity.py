@@ -628,3 +628,68 @@ def test_concat_null_divergence_pin(spark, fuzz_duck):
     got = spark.sql("SELECT concat('a', NULL) AS c").collect()[0].c
     want = fuzz_duck.execute("SELECT concat('a', NULL) AS c").fetchone()[0]
     assert got is None and want == "a"
+
+
+def test_cast_double_bigint_divergence_pin(spark, fuzz_duck):
+    """EXECUTABLE DIVERGENCE PIN (found by the round-7 probe):
+    ``CAST(<double> AS BIGINT)`` TRUNCATES toward zero in Spark
+    (2.7 -> 2, -2.7 -> -2) but ROUNDS in DuckDB (2.7 -> 3, -2.7 -> -3).
+    Consequence for oracle authors: casting a double to BIGINT is only
+    portable when the value is exactly integral — which is why the
+    repo-wide convention is ROUND (or floor/ceil) BEFORE the cast, and
+    why exact_sum works on pre-scaled BIGINTs.  If either engine
+    changes this, re-audit every CAST(... AS BIGINT) over a double."""
+    srow = spark.sql(
+        "SELECT CAST(CAST(2.7 AS DOUBLE) AS BIGINT) AS a,"
+        "       CAST(CAST(-2.7 AS DOUBLE) AS BIGINT) AS b"
+    ).collect()[0]
+    drow = fuzz_duck.execute(
+        "SELECT CAST(CAST(2.7 AS DOUBLE) AS BIGINT),"
+        "       CAST(CAST(-2.7 AS DOUBLE) AS BIGINT)"
+    ).fetchone()
+    assert (srow.a, srow.b) == (2, -2), "Spark no longer truncates"
+    assert drow == (3, -3), "DuckDB no longer rounds"
+
+
+_ws_strings = st.lists(
+    st.sampled_from(
+        ["", " ", "  ", "a", "a b", "a  b", " a", "b ", "a b  c ", "\ta",
+         "é x", "a   "]
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(strs=_ws_strings)
+@_SETTINGS
+def test_fuzz_token_count_convention(spark, fuzz_duck, strs):
+    """The registry-wide token count n_tok = size(split(text, ' ')) must
+    equal DuckDB's len(string_split(text, ' ')) on whitespace-adversarial
+    strings (leading/trailing/consecutive spaces, empty string, tabs) —
+    every documents oracle leans on this equality."""
+    from pyspark.sql import functions as F
+
+    recs = [(i, s) for i, s in enumerate(strs)]
+    df = (
+        spark.createDataFrame(recs, "id long, s string")
+        if recs
+        else spark.createDataFrame([], "id long, s string")
+    )
+    got = sorted(
+        (r.id, r.n)
+        for r in df.select(
+            "id", F.size(F.split("s", " ")).cast("bigint").alias("n")
+        ).collect()
+    )
+    fuzz_duck.execute("DROP TABLE IF EXISTS fz_s")
+    fuzz_duck.execute("CREATE TABLE fz_s (id BIGINT, s VARCHAR)")
+    if recs:
+        fuzz_duck.executemany("INSERT INTO fz_s VALUES (?, ?)", recs)
+    want = sorted(
+        tuple(r)
+        for r in fuzz_duck.execute(
+            "SELECT id, CAST(len(string_split(s, ' ')) AS BIGINT) FROM fz_s"
+        ).fetchall()
+    )
+    assert got == want
