@@ -693,3 +693,53 @@ def test_fuzz_token_count_convention(spark, fuzz_duck, strs):
         ).fetchall()
     )
     assert got == want
+
+
+_hash_strings = st.lists(
+    st.one_of(
+        st.sampled_from(
+            ["", " ", "a", "é", "split:0", "split:123456789", "\t\n",
+             "ü ü", "0x", "NULL", "ab" * 40]
+        ),
+        st.text(min_size=0, max_size=20),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(strs=_hash_strings)
+@_SETTINGS
+def test_fuzz_portable_hash(spark, fuzz_duck, strs):
+    """_phash (Spark conv(substr(md5),16,10)) must equal the oracle's
+    CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) on arbitrary unicode
+    strings — every split / sampling / salting decision in the registry
+    rides this equality, so a single mismatching codepoint would skew
+    train/val/test membership between engines."""
+    from pyspark.sql import functions as F
+
+    from kafka_hadoop_loader_spark.operators.pipeline import _PHASH_SQL, _phash
+
+    # md5 operates on UTF-8 bytes in both engines; NULs excluded (the
+    # duckdb client rejects NUL in VARCHAR binds, not an engine seam)
+    strs = [s for s in strs if "\x00" not in s]
+    recs = [(i, s) for i, s in enumerate(strs)]
+    df = (
+        spark.createDataFrame(recs, "id long, s string")
+        if recs
+        else spark.createDataFrame([], "id long, s string")
+    )
+    got = sorted((r.id, r.h) for r in df.select("id", _phash(F.col("s")).alias("h")).collect())
+    fuzz_duck.execute("DROP TABLE IF EXISTS fz_h")
+    fuzz_duck.execute("CREATE TABLE fz_h (id BIGINT, s VARCHAR)")
+    if recs:
+        fuzz_duck.executemany("INSERT INTO fz_h VALUES (?, ?)", recs)
+    want = sorted(
+        tuple(r)
+        for r in fuzz_duck.execute(
+            f"SELECT id, {_PHASH_SQL.format(x='s')} FROM fz_h"
+        ).fetchall()
+    )
+    assert got == want
+    # and the sign invariant the split buckets rely on
+    assert all(h >= 0 for _, h in got)
