@@ -743,3 +743,51 @@ def test_fuzz_portable_hash(spark, fuzz_duck, strs):
     assert got == want
     # and the sign invariant the split buckets rely on
     assert all(h >= 0 for _, h in got)
+
+
+_fold_cents = st.lists(
+    st.integers(min_value=-99999, max_value=99999).map(lambda c: c / 100.0),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(xs=_fold_cents)
+@_SETTINGS
+def test_fuzz_sequential_fold_ieee_chain(spark, fuzz_duck, xs):
+    """The sequential-fold convention (events_forecast_holt /
+    orders_survival_km / drift_embedding_centroid): Spark's F.aggregate
+    and DuckDB's list_reduce must evaluate the identical IEEE chain in
+    the identical element order — including a NON-ASSOCIATIVE smoothing
+    recurrence where any reordering or fused-multiply difference would
+    change low-order bits.  Inputs off the cent grid, accumulator a
+    [level, sse] pair, exact equality (repr, not approx)."""
+    from pyspark.sql import functions as F
+
+    a = 0.3  # smoothing weight: exactly representable? 0.3 is NOT exact
+    # in binary — deliberately so: both engines must parse the same
+    # literal to the same double and chain it identically.
+    df = spark.createDataFrame([(xs,)], "xs array<double>")
+    folded = df.select(
+        F.aggregate(
+            "xs",
+            F.expr("array(CAST(element_at(xs, 1) AS DOUBLE), CAST(0.0 AS DOUBLE))"),
+            lambda acc, x: F.array(
+                F.lit(a) * x + F.lit(1 - a) * acc[0],
+                acc[1] + (x - acc[0]) * (x - acc[0]),
+            ),
+        ).alias("st")
+    ).collect()[0].st
+    want = fuzz_duck.execute(
+        f"""
+        SELECT list_reduce(
+                   list_prepend([xs[1], CAST(0.0 AS DOUBLE)],
+                                list_transform(xs, x -> [x, 0.0])),
+                   (acc, e) -> [{a} * e[1] + {1 - a} * acc[1],
+                                acc[2] + (e[1] - acc[1]) * (e[1] - acc[1])]
+               ) AS st
+        FROM (SELECT ? AS xs)
+        """,
+        [xs],
+    ).fetchone()[0]
+    assert repr(list(folded)) == repr(list(want)), (xs, folded, want)
