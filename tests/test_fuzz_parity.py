@@ -791,3 +791,69 @@ def test_fuzz_sequential_fold_ieee_chain(spark, fuzz_duck, xs):
         [xs],
     ).fetchone()[0]
     assert repr(list(folded)) == repr(list(want)), (xs, folded, want)
+
+
+# strings exercising the regex constructs the oracles actually use:
+# char classes, quantifiers, alternation, anchors, capture groups —
+# the Java-regex / RE2 COMMON SUBSET.  (Backrefs and lookaround are
+# Java-only — RE2 rejects them — so no oracle may use them; keeping
+# the fuzz to the shared subset IS the convention.)
+_re_strings = st.lists(
+    st.one_of(
+        st.sampled_from(
+            ["", "a1b22c333", "x@y.zz", "no digits", "+1-555-0199",
+             "a.b@c.dd e.f@g.hh", "123", "...", "a-b_c", "é9ü",
+             "UPPER lower 42", " 7 ", "tab\there"]
+        ),
+        st.text(
+            alphabet="ab1@.- _xyzA",
+            min_size=0,
+            max_size=24,
+        ),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(strs=_re_strings)
+@_SETTINGS
+def test_fuzz_regexp_common_subset(spark, fuzz_duck, strs):
+    from pyspark.sql import functions as F
+
+    recs = [(i, s) for i, s in enumerate(strs)]
+    df = (
+        spark.createDataFrame(recs, "id long, s string")
+        if recs
+        else spark.createDataFrame([], "id long, s string")
+    )
+    pat_digits = "([0-9]+)"
+    pat_word = "[a-z]+[0-9]"
+    got = sorted(
+        tuple(r)
+        for r in df.select(
+            "id",
+            F.regexp_extract("s", pat_digits, 1).alias("first_digits"),
+            F.regexp_replace("s", "[0-9]", "#").alias("masked"),
+            F.col("s").rlike(pat_word).alias("has_word_digit"),
+            F.regexp_replace("s", "^\\s+|\\s+$", "").alias("re_trimmed"),
+        ).collect()
+    )
+    fuzz_duck.execute("DROP TABLE IF EXISTS fz_re")
+    fuzz_duck.execute("CREATE TABLE fz_re (id BIGINT, s VARCHAR)")
+    if recs:
+        fuzz_duck.executemany("INSERT INTO fz_re VALUES (?, ?)", recs)
+    want = sorted(
+        tuple(r)
+        for r in fuzz_duck.execute(
+            f"""
+            SELECT id,
+                   regexp_extract(s, '{pat_digits}', 1) AS first_digits,
+                   regexp_replace(s, '[0-9]', '#', 'g') AS masked,
+                   regexp_matches(s, '{pat_word}') AS has_word_digit,
+                   regexp_replace(s, '^\\s+|\\s+$', '', 'g') AS re_trimmed
+            FROM fz_re
+            """
+        ).fetchall()
+    )
+    assert got == want
