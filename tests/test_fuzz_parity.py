@@ -857,3 +857,70 @@ def test_fuzz_regexp_common_subset(spark, fuzz_duck, strs):
         ).fetchall()
     )
     assert got == want
+
+
+_days = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-40000, max_value=40000)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(days=_days)
+@_SETTINGS
+def test_fuzz_date_arithmetic(spark, fuzz_duck, days):
+    """Date family over ±~110 years off epoch (both engines are
+    proleptic Gregorian): year/month/day/quarter extraction, month
+    truncation, epoch-day round trip, and month arithmetic — the
+    constructs fn_datetime / SCD2 / cohort oracles use, under NULLs
+    and pre-1970 dates the fixtures never reach."""
+    recs = [(i, d) for i, d in enumerate(days)]
+    fuzz_duck.execute("DROP TABLE IF EXISTS fz_d")
+    fuzz_duck.execute("CREATE TABLE fz_d (id BIGINT, ed BIGINT)")
+    if recs:
+        fuzz_duck.executemany("INSERT INTO fz_d VALUES (?, ?)", recs)
+    df = (
+        spark.createDataFrame(recs, "id long, ed long")
+        if recs
+        else spark.createDataFrame([], "id long, ed long")
+    )
+    df.createOrReplaceTempView("fz_d")
+    # DATE_FROM_EPOCH_DAYS: Spark = date_add('1970-01-01', ed);
+    # DuckDB = epoch day cast.  Shared text via to_date + arithmetic:
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT id,
+                   CAST(year(d) AS BIGINT) AS yr,
+                   CAST(month(d) AS BIGINT) AS mo,
+                   CAST(day(d) AS BIGINT) AS dy,
+                   CAST(quarter(d) AS BIGINT) AS qtr,
+                   CAST(date_trunc('month', d) AS DATE) AS mstart,
+                   add_months(d, 7) AS plus7m,
+                   CAST(datediff(d, DATE '2000-01-01') AS BIGINT) AS dd
+            FROM (SELECT id, date_add(DATE '1970-01-01', CAST(ed AS INT)) AS d
+                  FROM fz_d)
+            """
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in fuzz_duck.execute(
+            """
+            SELECT id,
+                   CAST(year(d) AS BIGINT) AS yr,
+                   CAST(month(d) AS BIGINT) AS mo,
+                   CAST(day(d) AS BIGINT) AS dy,
+                   CAST(quarter(d) AS BIGINT) AS qtr,
+                   CAST(date_trunc('month', d) AS DATE) AS mstart,
+                   CAST(d + INTERVAL 7 MONTH AS DATE) AS plus7m,
+                   CAST(d - DATE '2000-01-01' AS BIGINT) AS dd
+            FROM (SELECT id, DATE '1970-01-01' + CAST(ed AS INT) AS d
+                  FROM fz_d)
+            """
+        ).fetchall()
+    )
+    # DuckDB returns plus7m as datetime.date; Spark too — repr-compare
+    canon = lambda rs: [tuple(repr(c) for c in r) for r in rs]  # noqa: E731
+    assert canon(got) == canon(want)
