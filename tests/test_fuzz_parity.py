@@ -924,3 +924,72 @@ def test_fuzz_date_arithmetic(spark, fuzz_duck, days):
     # DuckDB returns plus7m as datetime.date; Spark too — repr-compare
     canon = lambda rs: [tuple(repr(c) for c in r) for r in rs]  # noqa: E731
     assert canon(got) == canon(want)
+
+
+_wrows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # group
+        st.integers(min_value=-3, max_value=3),  # value (ties likely)
+        st.integers(min_value=1, max_value=4),   # weight
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+_RANK_SEL_SQL = """
+    WITH g AS (
+        SELECT grp, v, CAST(SUM(w) AS BIGINT) AS w
+        FROM fz_w GROUP BY grp, v
+    ),
+    cum AS (
+        SELECT grp, v, w,
+               CAST(SUM(w) OVER (PARTITION BY grp ORDER BY v)
+                    AS BIGINT) AS cw,
+               CAST(SUM(w) OVER (PARTITION BY grp) AS BIGINT) AS n
+        FROM g
+    )
+    SELECT grp,
+           MAX(n) AS total_w,
+           CAST(MIN(CASE WHEN cw * 2 >= n THEN v END) AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN cw * 4 >= 3 * n THEN v END) AS BIGINT) AS p75
+    FROM cum GROUP BY grp
+"""
+
+
+@given(rows=_wrows)
+@_SETTINGS
+def test_fuzz_rank_selection_convention(spark, fuzz_duck, rows):
+    """The cross-multiplied type-1 quantile convention shared by
+    agg_weighted_median / orders_fulfillment_latency / ts_anomaly_
+    seasonal's MAD / stats_theil_sen: MIN(v | cum*q_den >= q_num*n)
+    over the value-domain grain.  Two assertions: (1) Spark and DuckDB
+    agree on the SAME SQL under adversarial weight/value ties
+    (boundary-exact cum*2 == n cases included by construction);
+    (2) both equal an independent pure-Python type-1 weighted
+    quantile — the convention is semantically right, not merely
+    consistent."""
+    recs = [(i, g, v, w) for i, (g, v, w) in enumerate(rows)]
+    df = spark.createDataFrame(recs, "id long, grp long, v long, w long")
+    df.createOrReplaceTempView("fz_w")
+    fuzz_duck.execute("DROP TABLE IF EXISTS fz_w")
+    fuzz_duck.execute(
+        "CREATE TABLE fz_w (id BIGINT, grp BIGINT, v BIGINT, w BIGINT)"
+    )
+    fuzz_duck.executemany("INSERT INTO fz_w VALUES (?, ?, ?, ?)", recs)
+    got = sorted(tuple(r) for r in spark.sql(_RANK_SEL_SQL).collect())
+    want = sorted(tuple(r) for r in fuzz_duck.execute(_RANK_SEL_SQL).fetchall())
+    assert got == want
+
+    # independent semantic oracle: expand weights, take the element at
+    # 1-based position ceil(q * n) of the sorted multiset
+    import math
+    from collections import defaultdict
+
+    expanded = defaultdict(list)
+    for _, g, v, w in recs:
+        expanded[g].extend([v] * w)
+    for grp, total_w, p50, p75 in got:
+        vals = sorted(expanded[grp])
+        assert total_w == len(vals)
+        assert p50 == vals[math.ceil(0.5 * len(vals)) - 1]
+        assert p75 == vals[math.ceil(0.75 * len(vals)) - 1]
