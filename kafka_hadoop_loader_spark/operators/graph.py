@@ -1126,6 +1126,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 import dataclasses as _gdc  # noqa: E402
 
+# the {mh} late-bind below needs dedup_minhash_lsh REGISTERED, which
+# registry.load_all()'s import order guarantees but a standalone
+# `import operators.graph` (tests, notebooks) does not — import the
+# dependency explicitly (cycle-safe: dedup imports graph only inside
+# function bodies), the same pattern pipeline.py uses
+from kafka_hadoop_loader_spark.operators import dedup as _graph_dedup  # noqa: E402,F401
 from kafka_hadoop_loader_spark.registry import REGISTRY as _GREG  # noqa: E402
 
 _GREG["graph_assortativity"] = _gdc.replace(

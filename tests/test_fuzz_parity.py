@@ -993,3 +993,70 @@ def test_fuzz_rank_selection_convention(spark, fuzz_duck, rows):
         assert total_w == len(vals)
         assert p50 == vals[math.ceil(0.5 * len(vals)) - 1]
         assert p75 == vals[math.ceil(0.75 * len(vals)) - 1]
+
+
+# ---- star contraction on generated graphs (semantic + certificate) ----
+
+_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(raw_edges=_edges_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_star_contract_vs_union_find(spark, raw_edges):
+    """star_contract on GENERATED topologies (random graphs over 15
+    nodes: stress paths, cycles, stars, parallel edges) must equal a
+    pure-Python union-find, and star_contract_certified must report
+    converged=True at the production round count — the semantic
+    guarantee behind graph_connected_components and dedup_clusters_star
+    beyond the fixture graphs."""
+    from kafka_hadoop_loader_spark.operators.graph import star_contract_certified
+
+    canon = sorted({(min(u, v), max(u, v)) for u, v in raw_edges})
+    edges = spark.createDataFrame(canon, "u long, v long")
+    labels_df, cert_df = star_contract_certified(edges, rounds=6)
+    got = {(r.node, r.comp) for r in labels_df.collect()}
+    assert cert_df.collect()[0].converged is True
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in canon:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+
+def test_star_certificate_detects_insufficient_rounds(spark):
+    """The convergence certificate's NEGATIVE contract: on a 40-node
+    path graph, rounds=1 cannot reach the star fixpoint, and the
+    certificate must say so (converged=False) instead of letting
+    wrong labels pass — this is the exact failure mode the r6
+    certificate was built to expose at 100 TB diameters."""
+    from kafka_hadoop_loader_spark.operators.graph import star_contract_certified
+
+    path = [(i, i + 1) for i in range(40)]
+    edges = spark.createDataFrame(path, "u long, v long")
+    _, cert = star_contract_certified(edges, rounds=1)
+    assert cert.collect()[0].converged is False
+    # and with generous rounds the same graph converges to one component
+    labels, cert6 = star_contract_certified(edges, rounds=6)
+    assert cert6.collect()[0].converged is True
+    assert {r.comp for r in labels.collect()} == {0}
