@@ -19,20 +19,31 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_MODULES = sorted(
-    f[:-3]
-    for f in os.listdir(
-        os.path.join(REPO, "kafka_hadoop_loader_spark", "operators")
-    )
-    if f.endswith(".py") and f != "__init__.py"
+def _pkg_modules(*rel: str) -> list[str]:
+    out = []
+    for r in rel:
+        d = os.path.join(REPO, "kafka_hadoop_loader_spark", *r.split("."))
+        if os.path.isdir(d):
+            out += [
+                f"kafka_hadoop_loader_spark.{r}.{f[:-3]}"
+                for f in os.listdir(d)
+                if f.endswith(".py") and f != "__init__.py"
+            ]
+        elif os.path.isfile(d + ".py"):
+            out.append(f"kafka_hadoop_loader_spark.{r}")
+    return sorted(out)
+
+
+_MODULES = _pkg_modules(
+    "operators", "sources", "streaming", "plans", "functions",
+    "catalog", "registry", "session",
 )
 
 
 @pytest.mark.parametrize("mod", _MODULES)
 def test_operator_module_imports_standalone(mod):
     proc = subprocess.run(
-        [sys.executable, "-c",
-         f"import kafka_hadoop_loader_spark.operators.{mod}"],
+        [sys.executable, "-c", f"import {mod}"],
         capture_output=True,
         text=True,
         cwd=REPO,
