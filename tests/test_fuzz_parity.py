@@ -1060,3 +1060,44 @@ def test_star_certificate_detects_insufficient_rounds(spark):
     labels, cert6 = star_contract_certified(edges, rounds=6)
     assert cert6.collect()[0].converged is True
     assert {r.comp for r in labels.collect()} == {0}
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_fuzz_exact_sum_avg_helpers(spark, fuzz_duck, rows):
+    """functions/exact.py's scaled-BIGINT aggregates vs their textually
+    parallel oracle fragments (o_sum/o_avg) — THE most-used convention
+    in the repo — on generated cent-grid doubles with NULLs and
+    negatives.  Bit-exact comparison (repr), per group, both scales."""
+    from pyspark.sql import functions as F
+
+    from kafka_hadoop_loader_spark.functions.exact import (
+        exact_avg,
+        exact_sum,
+        o_avg,
+        o_sum,
+    )
+
+    _mk_tables(spark, fuzz_duck, rows)
+    got = sorted(
+        tuple(repr(c) for c in r)
+        for r in spark.table("fz_a")
+        .groupBy("k")
+        .agg(
+            exact_sum(F.col("d")).alias("s100"),
+            exact_avg(F.col("d")).alias("a100"),
+            exact_sum(F.col("d"), scale=10000).alias("s1e4"),
+        )
+        .collect()
+    )
+    want = sorted(
+        tuple(repr(c) for c in r)
+        for r in fuzz_duck.execute(
+            f"""
+            SELECT k, {o_sum('d')} AS s100, {o_avg('d')} AS a100,
+                   {o_sum('d', 10000)} AS s1e4
+            FROM fz_a GROUP BY k
+            """
+        ).fetchall()
+    )
+    assert got == want
