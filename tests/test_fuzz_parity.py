@@ -1101,3 +1101,54 @@ def test_fuzz_exact_sum_avg_helpers(spark, fuzz_duck, rows):
         ).fetchall()
     )
     assert got == want
+
+
+def test_array_sort_null_placement_divergence_pin(spark, fuzz_duck):
+    """EXECUTABLE DIVERGENCE PIN (found by the round-7 probe):
+    Spark's ``sort_array`` defaults to NULLS FIRST ascending while
+    DuckDB's ``list_sort`` defaults to NULLS LAST — element positions
+    diverge the moment a collected array contains a NULL.  Consequence
+    for oracle authors: any sorted-array construction over a NULLABLE
+    column must either filter NULLs before collecting or spell
+    ``list_sort(x, 'ASC', 'NULLS FIRST')`` on the DuckDB side (the one
+    registered frame-collect consumer, window_rolling_median, collects
+    a provably non-null TPC-H column)."""
+    got = spark.sql("SELECT sort_array(array(3, NULL, 1)) AS a").collect()[0].a
+    want_default = fuzz_duck.execute(
+        "SELECT list_sort([3, NULL, 1])"
+    ).fetchone()[0]
+    want_explicit = fuzz_duck.execute(
+        "SELECT list_sort([3, NULL, 1], 'ASC', 'NULLS FIRST')"
+    ).fetchone()[0]
+    assert got == [None, 1, 3] and want_default == [1, 3, None]
+    assert got == want_explicit
+
+
+@given(rows=_rows)
+@_SETTINGS
+def test_fuzz_sorted_array_collect(spark, fuzz_duck, rows):
+    """sort_array(collect_list(x)) per group equals DuckDB's
+    list_sort(list(x)) once NULLs are filtered (the portable subset per
+    the pin above) — the frame-collect convention window_rolling_median
+    and the in-row sorted-array folds rely on."""
+    from pyspark.sql import functions as F
+
+    _mk_tables(spark, fuzz_duck, rows)
+    got = sorted(
+        (r.k, list(r.arr))
+        for r in spark.table("fz_a")
+        .where(F.col("i").isNotNull())
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_list("i")).alias("arr"))
+        .collect()
+    )
+    want = sorted(
+        (k, list(a))
+        for k, a in fuzz_duck.execute(
+            """
+            SELECT k, list_sort(list(i)) FROM fz_a
+            WHERE i IS NOT NULL GROUP BY k
+            """
+        ).fetchall()
+    )
+    assert got == want
