@@ -1,14 +1,28 @@
 """Regression guard for the driver-window rotation contract.
 
 The grading driver verifies only a bounded prefix (~50 entries) of
-``queries()`` per round, so ``registry._DRIVER_WINDOW_PRIORITY`` must
-rotate: every name it promotes must be one the driver has NEVER marked
-green in a committed ``CORRECTNESS_r0*.json``.  A name that is already
-green wastes a window slot that an untested query needed.
+``queries()`` per round, so ``registry._DRIVER_WINDOW_PRIORITY`` decides
+what gets (re-)verified.  Two eras of the contract:
 
-(Exception mechanism: if an operator's semantics change and it must be
-re-verified, list it in ``_REVERIFY_OK`` below with a comment saying
-why — the test then allows it.)
+- Rounds 1-7 ("coverage era"): every name promoted had to be one the
+  driver had NEVER marked green — the window existed to get each query
+  its first driver row.  That closed in round 7 at 314/314 cumulative
+  green.
+- Round 8+ ("staleness era", the steady state): the window holds the 50
+  names whose most recent driver-green row is OLDEST, ordered by
+  (latest-green round ascending, registry insertion order ascending).
+  A name with no green row ever — a new operator, or a red that was
+  never re-run — counts as round 0 and sorts to the very front, so the
+  coverage-era behavior falls out as a special case.  This bounds code
+  drift since last verification at ~ceil(314/50) rounds and shrinks the
+  suite-wide max staleness every round.
+
+The test below recomputes the expected window from the COMMITTED
+``CORRECTNESS_r0*.json`` artifacts and fails on any drift.  Because the
+driver drops a new artifact into the working tree at round end (before
+the builder can rotate), only git-tracked artifacts count: the rotation
+must land in the same commit that ``git add``s the new artifact, and an
+untracked artifact never reddens an otherwise-correct tree.
 """
 
 from __future__ import annotations
@@ -16,21 +30,18 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import subprocess
 
 from kafka_hadoop_loader_spark import registry
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50  # the driver's per-round correctness budget
 
 
 def _correctness_files() -> list[str]:
-    """Committed CORRECTNESS artifacts only.
-
-    The driver drops ``CORRECTNESS_r{N}.json`` into the working tree at
-    round end, BEFORE the builder has a chance to rotate the window — so
-    an untracked artifact must not redden an otherwise-correct tree.
-    The contract is: the rotation happens in the same commit that tracks
-    the artifact.  Fall back to all files if git is unavailable."""
+    """Committed CORRECTNESS artifacts only (see module docstring).
+    Fall back to all files if git is unavailable."""
     try:
         out = subprocess.run(
             ["git", "-C", REPO, "ls-files", "CORRECTNESS_r0*.json"],
@@ -40,22 +51,16 @@ def _correctness_files() -> list[str]:
     except (OSError, subprocess.SubprocessError):
         return glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))
 
-# Names allowed in the window despite an existing green row (deliberate
-# re-verification after a behavior change).  Keep empty unless needed.
-_REVERIFY_OK: frozenset[str] = frozenset()
-# (Round 6 used this for the three star-contraction consumers whose
-# schema gained the convergence certificate; their re-verification rows
-# landed green in CORRECTNESS_r06.json, so the set is empty again.)
 
-
-def _driver_green() -> set[str]:
-    """Names with at least one PASSING driver row.  A name that only
-    ever appeared red (err set, or any match flag false — as happened
-    to 8 queries in round 2) is NOT green: the rotation contract
-    requires re-promoting it, so it must stay eligible for the
-    window."""
-    green: set[str] = set()
+def _latest_green_round() -> dict[str, int]:
+    """name -> highest round with a PASSING driver row (absent = never
+    green; includes names whose only rows were red)."""
+    latest: dict[str, int] = {}
     for path in _correctness_files():
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             rows = json.load(open(path))
         except (OSError, json.JSONDecodeError):
@@ -69,16 +74,28 @@ def _driver_green() -> set[str]:
                 row.get(k, False)
                 for k in ("rows_match", "schema_match", "hash_match")
             ):
-                green.add(name)
-    return green
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
-def test_window_contains_no_already_green_name():
-    green = _driver_green() - _REVERIFY_OK
-    stale = [n for n in registry._DRIVER_WINDOW_PRIORITY if n in green]
-    assert not stale, (
-        f"driver window wastes slots on already-green queries: {stale}; "
-        "rotate them out of _DRIVER_WINDOW_PRIORITY"
+def _expected_window() -> list[str]:
+    registry.load_all()
+    names = list(registry.REGISTRY)  # insertion (module import) order
+    latest = _latest_green_round()
+    order = {n: i for i, n in enumerate(names)}
+    ranked = sorted(names, key=lambda n: (latest.get(n, 0), order[n]))
+    return ranked[: min(WINDOW, len(ranked))]
+
+
+def test_window_is_the_stalest_fifty():
+    expected = _expected_window()
+    actual = list(registry._DRIVER_WINDOW_PRIORITY)
+    assert actual == expected, (
+        "driver window must hold the 50 stalest names "
+        "(latest-green round asc, registry order asc); "
+        f"missing={sorted(set(expected) - set(actual))} "
+        f"extra={sorted(set(actual) - set(expected))} "
+        "— recompute after git-tracking the new CORRECTNESS artifact"
     )
 
 
