@@ -2117,7 +2117,13 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("contam", F.lit(True))
     )
-    flags = flags.join(F.broadcast(contam), "doc_id", "left").withColumn(
+    # The bench gram set above is BOUNDED (the benchmark slice), so the
+    # broadcast hint there is safe at any corpus size.  `contam` is NOT:
+    # it is the set of contaminated corpus doc_ids and grows with the
+    # corpus (even 1% of 100 TB of doc_ids blows the broadcast ceiling),
+    # so — exactly like the near-dup join above — the strategy is left
+    # to AQE, which picks broadcast vs shuffle from the measured size.
+    flags = flags.join(contam, "doc_id", "left").withColumn(
         "clean", F.col("keep_nd") & F.col("contam").isNull()
     )
     bucket = _phash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
