@@ -111,6 +111,16 @@ class LoaderConfig:
     max_files_per_trigger: int | None = None
     extra_partition_cols: tuple = field(default_factory=tuple)
 
+    def __post_init__(self) -> None:
+        # Spark's sinks resolve format names and codec names
+        # case-insensitively ("SNAPPY", "Parquet" work), so the config
+        # surface must too — otherwise validate_config(strict=True)
+        # would reject configs the engine happily runs, and
+        # run_loader's `output_format == "text"` branch would silently
+        # miss "TEXT".  Normalize once here so every consumer agrees.
+        self.output_format = self.output_format.lower()
+        self.compression = self.compression.lower()
+
 
 def kafka_source_options(cfg: LoaderConfig) -> dict[str, str]:
     """The exact ``format("kafka")`` reader options the production path
@@ -192,6 +202,25 @@ _SINK_CODECS = {
 
 class _DryRunStop(Exception):
     """Internal: stop the plan-resolution block after a precise error."""
+
+
+def _is_missing_datasource_error(msg: str) -> bool:
+    """True when an exception message means "connector jar absent".
+
+    Jar absence renders differently across Spark versions and code
+    paths: "Failed to find data source" (pre-4.x and the streaming
+    reader today), "Failed to find the data source" (the 4.x
+    DATA_SOURCE_NOT_FOUND error-class template), or a raw
+    ClassNotFoundException from the provider lookup.  Matching all of
+    them keeps an upgrade from misclassifying a missing connector as a
+    config error (which, with run_loader's strict preflight, would
+    hard-fail valid configs)."""
+    return (
+        "Failed to find data source" in msg
+        or "Failed to find the data source" in msg
+        or "DATA_SOURCE_NOT_FOUND" in msg
+        or "ClassNotFoundException" in msg
+    )
 
 
 def validate_config(spark: SparkSession, cfg: LoaderConfig, strict: bool = False) -> dict:
@@ -305,7 +334,7 @@ def validate_config(spark: SparkSession, cfg: LoaderConfig, strict: bool = False
                 errors.append(f"kafka source schema missing {sorted(need - got)}")
         except Exception as e:
             msg = str(e)
-            if "Failed to find data source" in msg:
+            if _is_missing_datasource_error(msg):
                 connector_available = False  # env limit, not a config error
             else:
                 connector_available = True
