@@ -1,0 +1,180 @@
+"""Streaming corpus maintenance: pipeline_corpus_build's ingest gate as
+an incremental foreachBatch job (quality -> exact dedup within-batch and
+vs the corpus hash index -> minhash-band near-dup vs index and within
+batch -> benchmark decontamination), with an idempotent per-batch
+partition commit.  File-stream source, availableNow micro-batches."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from kafka_hadoop_loader_spark.streaming import jobs
+
+# 24 distinct 6-char words: passes every quality threshold (n_tok=24,
+# avg token len ~7 incl. separators, TTR=1.0, zero stopwords)
+_WORDS_A = [f"word{i:02d}" for i in range(24)]
+_TEXT_A = " ".join(_WORDS_A)
+# near-dup of A: last two words swapped out -> 3-gram Jaccard 20/24
+_TEXT_C = " ".join(_WORDS_A[:22] + ["zebra9", "yonder"])
+# a different near-dup of A (for the vs-corpus path in batch 2)
+_TEXT_G = " ".join(_WORDS_A[:22] + ["quartz", "vortex"])
+# fresh doc, disjoint vocabulary
+_TEXT_H = " ".join(f"fresh{i:02d}" for i in range(24))
+# quality-passing doc carrying the benchmark gram "alpha beta gamma"
+_TEXT_E = " ".join(["alpha", "beta", "gamma"] + [f"etc{i:02d}" for i in range(21)])
+_BENCH = ("alpha beta gamma",)
+
+
+def _write_docs(path: str, docs: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+
+def _doc_stream(spark, in_dir: str):
+    raw = spark.readStream.format("text").load(in_dir)
+    return raw.selectExpr(
+        "from_json(value, 'doc_id bigint, source string, text string') AS r"
+    ).select("r.doc_id", "r.source", "r.text")
+
+
+def _decisions(spark, corpus_dir: str) -> dict[int, dict]:
+    rows = spark.read.parquet(os.path.join(corpus_dir, "decisions")).collect()
+    return {r["doc_id"]: r.asDict() for r in rows}
+
+
+def _run(spark, tmp_path, corpus_dir: str, ckpt: str) -> None:
+    q = (
+        jobs.corpus_maintain_foreach_batch(
+            _doc_stream(spark, str(tmp_path / "in")), corpus_dir, _BENCH
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_corpus_maintain_two_batches(spark, tmp_path):
+    corpus_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: A good, B exact-dup of A, C near-dup of A, D low quality,
+    # E contaminated by the benchmark gram
+    _write_docs(
+        str(tmp_path / "in" / "b1.jsonl"),
+        [
+            {"doc_id": 1, "source": "web", "text": _TEXT_A},
+            {"doc_id": 2, "source": "web", "text": _TEXT_A},
+            {"doc_id": 3, "source": "web", "text": _TEXT_C},
+            {"doc_id": 4, "source": "web", "text": "tiny doc"},
+            {"doc_id": 5, "source": "web", "text": _TEXT_E},
+        ],
+    )
+    _run(spark, tmp_path, corpus_dir, ckpt)
+
+    dec = _decisions(spark, corpus_dir)
+    assert dec[1]["accept"] is True
+    # exact within-batch dup: flagged AND keep-first kept the smaller id
+    assert dec[2]["dup_within_batch"] is True and dec[2]["accept"] is False
+    # near-dup within batch: edge-greedy dropped the larger end, with
+    # provenance pointing at the kept doc
+    assert dec[3]["near_dup"] is True and dec[3]["near_match_id"] == 1
+    assert dec[3]["accept"] is False
+    assert dec[4]["pass_q"] is False and dec[4]["accept"] is False
+    assert dec[5]["contaminated"] is True and dec[5]["accept"] is False
+
+    idx = spark.read.parquet(os.path.join(corpus_dir, "index"))
+    assert {r["doc_id"] for r in idx.collect()} == {1}
+
+    # batch 2: F exact-dup of corpus doc 1, G near-dup of corpus doc 1,
+    # H genuinely new
+    _write_docs(
+        str(tmp_path / "in" / "b2.jsonl"),
+        [
+            {"doc_id": 10, "source": "web", "text": _TEXT_A},
+            {"doc_id": 11, "source": "web", "text": _TEXT_G},
+            {"doc_id": 12, "source": "web", "text": _TEXT_H},
+        ],
+    )
+    _run(spark, tmp_path, corpus_dir, ckpt)
+
+    dec = _decisions(spark, corpus_dir)
+    assert dec[10]["dup_vs_corpus"] is True and dec[10]["corpus_match_id"] == 1
+    assert dec[10]["accept"] is False
+    assert dec[11]["near_dup"] is True and dec[11]["near_match_id"] == 1
+    assert dec[11]["accept"] is False
+    assert dec[12]["accept"] is True
+
+    idx = spark.read.parquet(os.path.join(corpus_dir, "index"))
+    assert {r["doc_id"] for r in idx.collect()} == {1, 12}
+    # the stored signature is the full 64-hash minhash array
+    assert all(len(r["sig"]) == 64 for r in idx.collect())
+
+
+def test_corpus_batch_commit_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once on retry: re-applying a batch must
+    rewrite byte-identical state (each partition is a deterministic
+    function of earlier partitions + the batch)."""
+    corpus_dir = str(tmp_path / "corpus")
+    docs = spark.createDataFrame(
+        [
+            (1, "web", _TEXT_A),
+            (2, "web", _TEXT_A),
+            (3, "web", _TEXT_C),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    def _snap(sub: str) -> list[dict]:
+        rows = spark.read.parquet(os.path.join(corpus_dir, sub)).collect()
+        return sorted((r.asDict() for r in rows), key=lambda r: r["doc_id"])
+
+    jobs.corpus_apply_ingest_batch(docs, 0, corpus_dir, _BENCH)
+    first_idx = _snap("index")
+    first_dec = _snap("decisions")
+
+    # redelivery: same batch id, same rows — must converge, not append
+    jobs.corpus_apply_ingest_batch(docs, 0, corpus_dir, _BENCH)
+    again_idx = _snap("index")
+    again_dec = _snap("decisions")
+    assert first_idx == again_idx
+    assert first_dec == again_dec
+    assert [r["doc_id"] for r in first_idx] == [1]
+
+
+def test_corpus_stream_matches_batch_funnel_on_fixture(spark):
+    """Cross-check vs the BATCH funnel: feeding the fixture documents
+    table through the incremental gate as one batch must reproduce
+    pipeline_corpus_build's exact-dedup stage counts (quality and exact
+    dedup have identical semantics; near-dup/contam rules differ by
+    design — signature-estimate verify and a caller-supplied gram set —
+    so only the shared stages are compared)."""
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    from kafka_hadoop_loader_spark.catalog import table
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "source", "text")
+    )
+    with tempfile.TemporaryDirectory() as td:
+        jobs.corpus_apply_ingest_batch(docs, 0, td, ())
+        dec = spark.read.parquet(os.path.join(td, "decisions"))
+        got_q = dec.where("pass_q").count()
+        got_canon = dec.where("pass_q AND NOT dup_within_batch").count()
+
+    from kafka_hadoop_loader_spark.operators.pipeline import (
+        pipeline_corpus_build,
+    )
+
+    stages = {
+        r["stage"]: r["n_units"]
+        for r in pipeline_corpus_build(spark, sf_dir).collect()
+    }
+    assert got_q == stages["quality_pass"]
+    assert got_canon == stages["exact_dedup"]
