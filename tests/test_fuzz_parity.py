@@ -651,6 +651,65 @@ def test_cast_double_bigint_divergence_pin(spark, fuzz_duck):
     assert drow == (3, -3), "DuckDB no longer rounds"
 
 
+def test_substr_position_zero_divergence_pin(spark, fuzz_duck):
+    """EXECUTABLE DIVERGENCE PIN (found by the round-8 probe):
+    ``substr(s, 0, n)`` in Spark treats position 0 like 1 and returns
+    n characters ('hello', 0, 1 -> 'h'); DuckDB starts counting AT 0,
+    so the phantom position before the string consumes one unit of
+    length ('hello', 0, 1 -> '', and 0, 3 -> 'he').  Negative starts
+    agree (both count from the end: (-1, 3) -> 'o').  Consequence for
+    oracle authors: string positions in portable SQL are 1-based ONLY —
+    never emit substr/substring with a computed start that can reach 0
+    (clamp with GREATEST(pos, 1) on both sides).  If either engine
+    changes this, re-audit every substr with a computed start."""
+    srow = spark.sql(
+        "SELECT substring('hello', 0, 1) AS a, substring('hello', 0, 3) AS b,"
+        "       substring('hello', -1, 3) AS c"
+    ).collect()[0]
+    drow = fuzz_duck.execute(
+        "SELECT substr('hello', 0, 1), substr('hello', 0, 3),"
+        "       substr('hello', -1, 3)"
+    ).fetchone()
+    assert (srow.a, srow.b, srow.c) == ("h", "hel", "o"), (
+        "Spark changed substring(pos=0) semantics"
+    )
+    assert drow == ("", "he", "o"), "DuckDB changed substr(pos=0) semantics"
+
+
+def test_string_decimal_to_int_cast_divergence_pin(spark, fuzz_duck):
+    """EXECUTABLE DIVERGENCE PIN (found by the round-8 probe):
+    casting the STRING '4.9' to an integer type ROUNDS in DuckDB
+    (CAST and TRY_CAST both give 5) but is MALFORMED in Spark 4
+    (ANSI-default: CAST raises CAST_INVALID_INPUT, TRY_CAST gives
+    NULL).  Plain integer strings (' 42 ') agree in both engines,
+    whitespace trimmed.  Consequence for oracle authors: never cast a
+    string that can carry a decimal point directly to an integer type
+    in portable SQL — parse it as DOUBLE first, then apply the
+    repo-wide ROUND/FLOOR-before-CAST doctrine (see the
+    cast_double_bigint pin above).  If either engine changes this,
+    re-audit every CAST(<string> AS <int type>)."""
+    import pyspark.errors
+
+    srow = spark.sql(
+        "SELECT TRY_CAST('4.9' AS INT) AS a, TRY_CAST(' 42 ' AS INT) AS b"
+    ).collect()[0]
+    assert srow.a is None and srow.b == 42, (
+        "Spark changed string-decimal TRY_CAST semantics"
+    )
+    try:
+        spark.sql("SELECT CAST('4.9' AS INT) AS a").collect()
+        raise AssertionError(
+            "Spark no longer rejects CAST('4.9' AS INT) — ANSI default off?"
+        )
+    except pyspark.errors.PySparkException:
+        pass  # CAST_INVALID_INPUT: the pinned behavior
+    drow = fuzz_duck.execute(
+        "SELECT CAST('4.9' AS INTEGER), TRY_CAST('4.9' AS INTEGER),"
+        "       CAST('  42 ' AS INTEGER)"
+    ).fetchone()
+    assert drow == (5, 5, 42), "DuckDB changed string-decimal cast rounding"
+
+
 _ws_strings = st.lists(
     st.sampled_from(
         ["", " ", "  ", "a", "a b", "a  b", " a", "b ", "a b  c ", "\ta",
