@@ -178,3 +178,122 @@ def test_corpus_stream_matches_batch_funnel_on_fixture(spark):
     }
     assert got_q == stages["quality_pass"]
     assert got_canon == stages["exact_dedup"]
+
+
+def test_corpus_gate_matches_python_model_over_random_batches(spark, tmp_path):
+    """Model-based check: drive randomized multi-batch ingest through
+    corpus_apply_ingest_batch and compare every per-doc decision against
+    an independent pure-Python model of the gate (quality thresholds,
+    within-batch keep-first, vs-corpus hash index, benchmark-gram
+    contamination).  Docs are built with pairwise-DISJOINT vocabularies
+    (except deliberate exact dups), so the model can also pin
+    near_dup=False everywhere — any spurious band collision would
+    surface as a mismatch.  Seeded rng, three seeds: deterministic."""
+    import hashlib
+    import random
+
+    from kafka_hadoop_loader_spark.operators.pipeline import (
+        _QG_MAX_AVG_LEN,
+        _QG_MAX_STOP,
+        _QG_MIN_AVG_LEN,
+        _QG_MIN_TOKENS,
+        _QG_MIN_TTR,
+        _QG_STOPWORDS,
+    )
+
+    def model_pass_q(text: str) -> bool:
+        w = text.split(" ")  # Spark split keeps empty tokens; so does this
+        n = len(w)
+        avg = len(text) / n
+        ttr = len(set(w)) / n
+        stop = sum(1 for x in w if x in _QG_STOPWORDS) / n
+        return (
+            n >= _QG_MIN_TOKENS
+            and _QG_MIN_AVG_LEN <= avg <= _QG_MAX_AVG_LEN
+            and ttr >= _QG_MIN_TTR
+            and stop <= _QG_MAX_STOP
+        )
+
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        corpus_dir = str(tmp_path / f"corpus_{seed}")
+        corpus_hash: dict[str, int] = {}  # md5 -> min accepted doc_id
+        next_id = 1
+        all_texts: list[str] = []  # pool for dup generation
+
+        for batch_id in range(3):
+            docs: list[tuple[int, str, str]] = []
+            expected: dict[int, dict] = {}
+            batch_texts: dict[int, str] = {}
+            for _ in range(rng.randint(5, 10)):
+                kind = rng.choice(["good", "good", "dup", "junk", "contam"])
+                if kind == "dup" and all_texts:
+                    text = rng.choice(all_texts)
+                elif kind == "junk":
+                    text = "x y"
+                elif kind == "contam":
+                    text = " ".join(
+                        ["alpha", "beta", "gamma"]
+                        + [f"c{next_id}x{j:02d}" for j in range(21)]
+                    )
+                else:
+                    text = " ".join(f"g{next_id}x{j:02d}" for j in range(24))
+                docs.append((next_id, "web", text))
+                batch_texts[next_id] = text
+                all_texts.append(text)
+                next_id += 1
+
+            # pure-Python model of the gate, same order of rules
+            batch_min: dict[str, int] = {}
+            for doc_id, _, text in docs:
+                if model_pass_q(text):
+                    h = hashlib.md5(text.encode()).hexdigest()
+                    batch_min.setdefault(h, doc_id)
+            for doc_id, _, text in docs:
+                h = hashlib.md5(text.encode()).hexdigest()
+                pq = model_pass_q(text)
+                dup_within = pq and batch_min[h] < doc_id
+                match = corpus_hash.get(h)
+                w = text.split(" ")
+                grams = {
+                    " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+                } if len(w) >= 3 else set()
+                contam = bool(grams & set(_BENCH))
+                accept = (
+                    pq
+                    and not dup_within
+                    and match is None
+                    and not contam
+                )
+                expected[doc_id] = {
+                    "pass_q": pq,
+                    "dup_within_batch": dup_within,
+                    "corpus_match_id": match,
+                    "dup_vs_corpus": match is not None,
+                    "near_dup": False,  # disjoint vocab by construction
+                    "contaminated": contam,
+                    "accept": accept,
+                }
+
+            batch = spark.createDataFrame(
+                docs, "doc_id bigint, source string, text string"
+            )
+            jobs.corpus_apply_ingest_batch(batch, batch_id, corpus_dir, _BENCH)
+            got = {
+                r["doc_id"]: r.asDict()
+                for r in spark.read.parquet(
+                    os.path.join(corpus_dir, "decisions", f"ingest_batch={batch_id}")
+                ).collect()
+            }
+            assert set(got) == set(expected), (seed, batch_id)
+            for doc_id, exp in expected.items():
+                for k, v in exp.items():
+                    assert got[doc_id][k] == v, (
+                        seed, batch_id, doc_id, k, got[doc_id][k], v
+                    )
+                # model the index update only for accepted docs
+                if exp["accept"]:
+                    h = hashlib.md5(
+                        batch_texts[doc_id].encode()
+                    ).hexdigest()
+                    corpus_hash.setdefault(h, doc_id)
