@@ -710,6 +710,94 @@ def test_string_decimal_to_int_cast_divergence_pin(spark, fuzz_duck):
     assert drow == (5, 5, 42), "DuckDB changed string-decimal cast rounding"
 
 
+def test_division_by_zero_divergence_pin(spark, fuzz_duck):
+    """EXECUTABLE DIVERGENCE PIN (found by the round-8 probe): division
+    and modulo by zero return NULL in DuckDB (every numeric type,
+    including DOUBLE — no IEEE Infinity by default) but RAISE in
+    ANSI-default Spark 4 (DIVIDE_BY_ZERO / REMAINDER_BY_ZERO, doubles
+    included).  Portable form: ``x / NULLIF(y, 0)`` — NULLIF makes the
+    divisor NULL and both engines agree NULL-in/NULL-out (Spark's
+    try_divide matches DuckDB but has no DuckDB spelling).  Every
+    registered oracle hash-matches on the fixtures, so current
+    denominators are provably nonzero there; any NEW oracle whose
+    denominator can reach zero must use the NULLIF guard on BOTH
+    sides."""
+    import pyspark.errors
+
+    for bad in ("SELECT 1/0 AS x", "SELECT CAST(1 AS DOUBLE)/0 AS x",
+                "SELECT mod(5, 0) AS x"):
+        try:
+            spark.sql(bad).collect()
+            raise AssertionError(f"Spark no longer raises on {bad!r}")
+        except pyspark.errors.PySparkException:
+            pass
+    assert fuzz_duck.execute(
+        "SELECT 1/0, CAST(1 AS DOUBLE)/0, mod(5, 0)"
+    ).fetchone() == (None, None, None), "DuckDB div-by-zero no longer NULL"
+    # the portable guard agrees in both engines
+    s = spark.sql(
+        "SELECT 1 / NULLIF(0, 0) AS a, 10.0 / NULLIF(4, 0) AS b"
+    ).collect()[0]
+    d = fuzz_duck.execute(
+        "SELECT 1 / NULLIF(0, 0), 10.0 / NULLIF(4, 0)"
+    ).fetchone()
+    assert s.a is None and d[0] is None
+    assert float(s.b) == float(d[1]) == 2.5
+
+
+def test_math_domain_divergence_pin(spark, fuzz_duck):
+    """EXECUTABLE DIVERGENCE PIN (found by the round-8 probe): math
+    domain violations RAISE in DuckDB (sqrt(-1), ln(0), ln(-1),
+    asin(2) are all Out of Range / Invalid Input errors) but are
+    VALUES in Spark (sqrt(-1) -> NaN, ln(0)/ln(-1) -> NULL,
+    asin(2) -> NaN).  power(0,0) = 1.0 agrees.  Consequence for oracle
+    authors: pre-guard the domain in portable SQL (``CASE WHEN x > 0
+    THEN ln(x) END``) — an out-of-domain input that would silently
+    produce NULL/NaN on the Spark side is a hard oracle error on the
+    DuckDB side, so the fixture either proves the domain or the SQL
+    must."""
+    import math
+
+    srow = spark.sql(
+        "SELECT sqrt(-1.0) AS a, ln(0.0) AS b, ln(-1.0) AS c,"
+        "       asin(2.0) AS d, power(0,0) AS e"
+    ).collect()[0]
+    assert math.isnan(srow.a) and srow.b is None and srow.c is None
+    assert math.isnan(srow.d) and srow.e == 1.0
+    for bad in ("SELECT sqrt(-1.0)", "SELECT ln(0.0)", "SELECT asin(2.0)"):
+        try:
+            fuzz_duck.execute(bad).fetchone()
+            raise AssertionError(f"DuckDB no longer raises on {bad!r}")
+        except Exception as e:  # noqa: BLE001 — duckdb.Error subclasses vary
+            assert "Range" in str(e) or "Invalid" in str(e), e
+    assert fuzz_duck.execute("SELECT power(0,0)").fetchone()[0] == 1.0
+
+
+def test_bigint_sum_overflow_divergence_pin(spark, fuzz_duck):
+    """EXECUTABLE DIVERGENCE PIN (found by the round-8 probe):
+    ``SUM(<bigint>)`` that exceeds int64 RAISES in ANSI-default Spark 4
+    (ARITHMETIC_OVERFLOW) but silently WIDENS to HUGEINT in DuckDB
+    (int64max + 1 sums fine).  Consequence for the repo's scaled-BIGINT
+    exact_sum convention: the scale factor must keep |sum| < 2^63 over
+    the full table, or the two engines part ways at the exact moment
+    precision mattered.  functions/exact.py's default scale=100 (2dp
+    money) leaves ~9.2e16 of summed absolute magnitude — its own
+    docstring carries the 100 TB headroom math."""
+    import pyspark.errors
+
+    try:
+        spark.sql(
+            "SELECT SUM(x) AS s FROM VALUES (9223372036854775807), (1) AS t(x)"
+        ).collect()
+        raise AssertionError("Spark no longer raises on bigint SUM overflow")
+    except pyspark.errors.PySparkException:
+        pass
+    got = fuzz_duck.execute(
+        "SELECT SUM(x) FROM (VALUES (9223372036854775807), (1)) t(x)"
+    ).fetchone()[0]
+    assert int(got) == 9223372036854775808, "DuckDB no longer widens SUM"
+
+
 _ws_strings = st.lists(
     st.sampled_from(
         ["", " ", "  ", "a", "a b", "a  b", " a", "b ", "a b  c ", "\ta",
