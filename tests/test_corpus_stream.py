@@ -297,3 +297,25 @@ def test_corpus_gate_matches_python_model_over_random_batches(spark, tmp_path):
                         batch_texts[doc_id].encode()
                     ).hexdigest()
                     corpus_hash.setdefault(h, doc_id)
+
+
+def test_corpus_gate_survives_all_rejected_first_batch(spark, tmp_path):
+    """A batch that accepts NOTHING still commits its (empty) index
+    partition; subsequent batches must read that state without error
+    and see an empty corpus (explicit read schema — no parquet footer
+    to infer from)."""
+    corpus_dir = str(tmp_path / "corpus")
+    junk = spark.createDataFrame(
+        [(1, "web", "x y"), (2, "web", "p q")],
+        "doc_id bigint, source string, text string",
+    )
+    jobs.corpus_apply_ingest_batch(junk, 0, corpus_dir, _BENCH)
+    good = spark.createDataFrame(
+        [(3, "web", _TEXT_A)], "doc_id bigint, source string, text string"
+    )
+    jobs.corpus_apply_ingest_batch(good, 1, corpus_dir, _BENCH)
+    dec = _decisions(spark, corpus_dir)
+    assert dec[1]["accept"] is False and dec[2]["accept"] is False
+    assert dec[3]["accept"] is True and dec[3]["dup_vs_corpus"] is False
+    idx = spark.read.parquet(os.path.join(corpus_dir, "index"))
+    assert {r["doc_id"] for r in idx.collect()} == {3}
