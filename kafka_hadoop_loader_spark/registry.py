@@ -62,74 +62,76 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # FIRST driver-green row; that closed in round 7 (cumulative 314/314
 # green, zero red at latest check).  From round 8 on the steady-state
 # policy is STALENESS ROTATION: each round promotes the 50 names whose
-# most recent driver-green row is OLDEST (ties broken by registry
-# insertion order), so code drift since a query's last verification is
-# bounded at ~(314/50) ≈ 7 rounds worst-case and shrinks every round.
-# A never-driver-green name (a new operator, or a red that was never
-# re-run) counts as round 0 and therefore always sorts to the front —
-# the round-1..7 "new ops first" behavior falls out as a special case.
+# most recent driver-green row is OLDEST (ties broken ALPHABETICALLY —
+# the one ordering that is stable regardless of which modules a process
+# happened to import first; registry insertion order is not), so code
+# drift since a query's last verification is bounded at ~(314/50) ≈ 7
+# rounds worst-case and shrinks every round.  A never-driver-green name
+# (a new operator, or a red that was never re-run) counts as round 0
+# and therefore always sorts to the front — the round-1..7 "new ops
+# first" behavior falls out as a special case.
 #
 # The tuple below is the round-8 window: the 50 stalest names, whose
 # latest green rows all date to CORRECTNESS_r01/r02 (36 + 14 of the 42
 # r2 names; 5-6 rounds of code drift since last driver check).
 # tests/test_driver_window.py recomputes this ordering from the
-# committed CORRECTNESS_r0*.json artifacts and fails if the tuple
+# committed CORRECTNESS_r*.json artifacts and fails if the tuple
 # drifts from it; rotate in the SAME commit that git-tracks the new
 # round's artifact.  Pure presentation order — names, fns, and oracles
 # are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- latest driver green: round 1 (36 names, registry order) --
+    # -- latest driver green: round 1 (36 names, name order) --
+    "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_keep_first",
-    "dedup_near_prefix",
     "dedup_minhash_lsh",
+    "dedup_near_prefix",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "filter_pushdown",
+    "embedding_norms",
     "filter_in_like",
-    "project_expr",
-    "join_inner",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_broadcast",
-    "join_cross",
-    "join_range",
-    "join_asof",
-    "join_bucketed_colocated",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "fn_string",
-    "fn_datetime",
-    "fn_math",
+    "filter_pushdown",
     "fn_array",
+    "fn_datetime",
     "fn_json",
     "fn_map",
-    "set_union_distinct",
-    "set_union_all",
-    "set_intersect",
+    "fn_math",
+    "fn_string",
+    "join_anti",
+    "join_asof",
+    "join_broadcast",
+    "join_bucketed_colocated",
+    "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_left_outer",
+    "join_range",
+    "join_right_outer",
+    "join_semi",
+    "knn_cosine_bruteforce",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "project_expr",
     "set_except",
     "set_except_all",
+    "set_intersect",
     "set_intersect_all",
-    "knn_cosine_bruteforce",
-    "embedding_norms",
-    # -- latest driver green: round 2 (first 14 of 42, registry order) --
-    "dedup_simhash",
-    "multimodal_decode",
-    "text_repetition",
-    "quality_gate",
+    "set_union_all",
+    "set_union_distinct",
+    # -- latest driver green: round 2 (first 14 of 42, name order) --
     "decontaminate_ngram",
-    "sample_hash_split",
-    "mix_weighted_sources",
-    "pii_redact",
-    "knn_cosine_lsh",
+    "dedup_simhash",
+    "doc_fingerprint",
     "embedding_label_centroid_dist",
+    "events_hourly",
     "knn_cosine_ivf",
+    "knn_cosine_lsh",
+    "mix_weighted_sources",
+    "multimodal_decode",
+    "pii_redact",
+    "quality_gate",
+    "sample_hash_split",
     "sort_multi_limit",
     "sort_nulls_order",
-    "text_lang_stats",
 )
 
 

@@ -118,8 +118,13 @@ class LoaderConfig:
         # would reject configs the engine happily runs, and
         # run_loader's `output_format == "text"` branch would silently
         # miss "TEXT".  Normalize once here so every consumer agrees.
-        self.output_format = self.output_format.lower()
-        self.compression = self.compression.lower()
+        # Non-string values (a config deserialized with None/0) are
+        # left as-is so validate_config can REPORT the domain error
+        # exhaustively instead of construction raising AttributeError.
+        if isinstance(self.output_format, str):
+            self.output_format = self.output_format.lower()
+        if isinstance(self.compression, str):
+            self.compression = self.compression.lower()
 
 
 def kafka_source_options(cfg: LoaderConfig) -> dict[str, str]:

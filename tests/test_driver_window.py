@@ -10,15 +10,19 @@ what gets (re-)verified.  Two eras of the contract:
   green.
 - Round 8+ ("staleness era", the steady state): the window holds the 50
   names whose most recent driver-green row is OLDEST, ordered by
-  (latest-green round ascending, registry insertion order ascending).
-  A name with no green row ever — a new operator, or a red that was
-  never re-run — counts as round 0 and sorts to the very front, so the
-  coverage-era behavior falls out as a special case.  This bounds code
-  drift since last verification at ~ceil(314/50) rounds and shrinks the
-  suite-wide max staleness every round.
+  (latest-green round ascending, name ascending) — the alphabetical
+  tie-break is the one ordering that is stable no matter which modules
+  a process imported first (registry insertion order is not: an
+  operator module imported early by an unrelated test registers its
+  queries early).  A name with no green row ever — a new operator, or
+  a red that was never re-run — counts as round 0 and sorts to the
+  very front, so the coverage-era behavior falls out as a special
+  case.  This bounds code drift since last verification at
+  ~ceil(314/50) rounds and shrinks the suite-wide max staleness every
+  round.
 
 The test below recomputes the expected window from the COMMITTED
-``CORRECTNESS_r0*.json`` artifacts and fails on any drift.  Because the
+``CORRECTNESS_r*.json`` artifacts and fails on any drift.  Because the
 driver drops a new artifact into the working tree at round end (before
 the builder can rotate), only git-tracked artifacts count: the rotation
 must land in the same commit that ``git add``s the new artifact, and an
@@ -44,12 +48,12 @@ def _correctness_files() -> list[str]:
     Fall back to all files if git is unavailable."""
     try:
         out = subprocess.run(
-            ["git", "-C", REPO, "ls-files", "CORRECTNESS_r0*.json"],
+            ["git", "-C", REPO, "ls-files", "CORRECTNESS_r*.json"],
             capture_output=True, text=True, timeout=30, check=True,
         ).stdout.split()
         return [os.path.join(REPO, p) for p in out]
     except (OSError, subprocess.SubprocessError):
-        return glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))
+        return glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
 
 
 def _latest_green_round() -> dict[str, int]:
@@ -80,10 +84,8 @@ def _latest_green_round() -> dict[str, int]:
 
 def _expected_window() -> list[str]:
     registry.load_all()
-    names = list(registry.REGISTRY)  # insertion (module import) order
     latest = _latest_green_round()
-    order = {n: i for i, n in enumerate(names)}
-    ranked = sorted(names, key=lambda n: (latest.get(n, 0), order[n]))
+    ranked = sorted(registry.REGISTRY, key=lambda n: (latest.get(n, 0), n))
     return ranked[: min(WINDOW, len(ranked))]
 
 
@@ -92,7 +94,7 @@ def test_window_is_the_stalest_fifty():
     actual = list(registry._DRIVER_WINDOW_PRIORITY)
     assert actual == expected, (
         "driver window must hold the 50 stalest names "
-        "(latest-green round asc, registry order asc); "
+        "(latest-green round asc, name asc); "
         f"missing={sorted(set(expected) - set(actual))} "
         f"extra={sorted(set(actual) - set(expected))} "
         "— recompute after git-tracking the new CORRECTNESS artifact"
