@@ -798,6 +798,38 @@ def test_bigint_sum_overflow_divergence_pin(spark, fuzz_duck):
     assert int(got) == 9223372036854775808, "DuckDB no longer widens SUM"
 
 
+def test_element_at_out_of_bounds_divergence_pin(spark, fuzz_duck):
+    """EXECUTABLE DIVERGENCE PIN (found by the round-8 probe):
+    ``element_at(arr, i)`` with i past the end RAISES in ANSI-default
+    Spark 4 (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) but DuckDB's
+    ``arr[i]`` / list_extract returns NULL.  Negative indexes AGREE
+    (-1 = last element in both), as do array_position misses (0 in
+    both).  Consequence for oracle authors: any element_at index
+    computed at runtime must be provably within [1, size] — which is
+    why every registry construction indexes inside
+    ``transform(sequence(1, size - k), ...)`` lambdas (in-bounds by
+    construction); an index that can escape needs try_element_at on
+    the Spark side AND the corresponding NULL on the DuckDB side."""
+    import pyspark.errors
+
+    try:
+        spark.sql("SELECT element_at(array(1,2,3), 10) AS x").collect()
+        raise AssertionError("Spark no longer raises on OOB element_at")
+    except pyspark.errors.PySparkException:
+        pass
+    srow = spark.sql(
+        "SELECT try_element_at(array(1,2,3), 10) AS a,"
+        "       element_at(array(1,2,3), -1) AS b,"
+        "       array_position(array(1,2), 5) AS c"
+    ).collect()[0]
+    drow = fuzz_duck.execute(
+        "SELECT ([1,2,3])[10], ([1,2,3])[-1], list_position([1,2], 5)"
+    ).fetchone()
+    assert srow.a is None and drow[0] is None
+    assert srow.b == 3 and drow[1] == 3
+    assert srow.c == 0 and drow[2] == 0
+
+
 _ws_strings = st.lists(
     st.sampled_from(
         ["", " ", "  ", "a", "a b", "a  b", " a", "b ", "a b  c ", "\ta",
