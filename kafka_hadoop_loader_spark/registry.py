@@ -71,67 +71,68 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # and therefore always sorts to the front — the round-1..7 "new ops
 # first" behavior falls out as a special case.
 #
-# The tuple below is the round-8 window: the 50 stalest names, whose
-# latest green rows all date to CORRECTNESS_r01/r02 (36 + 14 of the 42
-# r2 names; 5-6 rounds of code drift since last driver check).
+# The tuple below is the round-9 window: the 50 stalest names — the
+# remaining 28 round-2 names plus the first 22 round-3 names (latest
+# driver-green round ascending, name ascending; 5-6 rounds of code
+# drift since their last driver check).
 # tests/test_driver_window.py recomputes this ordering from the
 # committed CORRECTNESS_r*.json artifacts and fails if the tuple
 # drifts from it; rotate in the SAME commit that git-tracks the new
 # round's artifact.  Pure presentation order — names, fns, and oracles
 # are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- latest driver green: round 1 (36 names, name order) --
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_keep_first",
-    "dedup_minhash_lsh",
-    "dedup_near_prefix",
-    "dedup_ngram_jaccard",
-    "embedding_norms",
-    "filter_in_like",
-    "filter_pushdown",
-    "fn_array",
-    "fn_datetime",
-    "fn_json",
-    "fn_map",
-    "fn_math",
-    "fn_string",
-    "join_anti",
-    "join_asof",
-    "join_broadcast",
-    "join_bucketed_colocated",
-    "join_cross",
-    "join_full_outer",
-    "join_inner",
-    "join_left_outer",
-    "join_range",
-    "join_right_outer",
-    "join_semi",
-    "knn_cosine_bruteforce",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "project_expr",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_intersect_all",
-    "set_union_all",
-    "set_union_distinct",
-    # -- latest driver green: round 2 (first 14 of 42, name order) --
-    "decontaminate_ngram",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "embedding_label_centroid_dist",
-    "events_hourly",
-    "knn_cosine_ivf",
-    "knn_cosine_lsh",
-    "mix_weighted_sources",
-    "multimodal_decode",
-    "pii_redact",
-    "quality_gate",
-    "sample_hash_split",
-    "sort_multi_limit",
-    "sort_nulls_order",
+    # -- latest driver green: round 2 (remaining 28 of 42, name order) --
+    "text_lang_id",
+    "text_lang_stats",
+    "text_quality",
+    "text_repetition",
+    "text_tfidf",
+    "text_token_freq",
+    "tpch_q10_returns",
+    "tpch_q12_ship_delay",
+    "tpch_q13_cust_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q22_idle_rich",
+    "tpch_q3_shipping",
+    "tpch_q4_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "udtf_tokens",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_rank",
+    "window_running",
+    "window_session_batch",
+    "window_sliding_batch",
+    "window_topk_per_group",
+    # -- latest driver green: round 3 (first 22, name order) --
+    "anomaly_rolling_z",
+    "compact_small_files",
+    "cooccur_pmi",
+    "corr_matrix",
+    "dedup_edit_distance",
+    "dedup_incremental_batch",
+    "dedup_segments",
+    "events_funnel",
+    "events_retention",
+    "graph_bfs_hops",
+    "graph_pagerank",
+    "inverted_index",
+    "join_asof_tolerance",
+    "join_null_safe",
+    "join_salted_skew",
+    "keyword_search",
+    "kmeans_embeddings",
+    "knn_cosine_blocked",
+    "pack_sequences",
+    "quantiles_exact",
+    "reference_loader_parity",
+    "regr_by_group",
 )
 
 
