@@ -721,17 +721,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.size("g") > 0)
     ex = th.select("doc_id", F.explode("g").alias("gram"))
     # md5+conv is ~3x the cost of xxhash64, so hash each DISTINCT gram
-    # once and broadcast the dictionary back over the (doc, gram) pairs
-    # instead of hashing every pair.  On a bounded vocabulary (any
-    # natural-language corpus: gram types grow ~O(sqrt(tokens))) the
-    # dictionary stays broadcastable far past this fixture's scale; if
-    # it ever didn't, drop the dictionary and hash inline — CPU cost,
-    # zero memory risk — without touching the rest of the plan.
+    # once and join the dictionary back over the (doc, gram) pairs
+    # instead of hashing every occurrence.  NO broadcast hint: unigram
+    # vocabularies obey Heaps' law (~O(sqrt(tokens))), but 3-word shingle
+    # TYPES grow near-linearly on web corpora, so an unconditional
+    # broadcast of the dictionary is a 100 TB OOM.  The distinct() above
+    # gives AQE an exact runtime size, so it picks broadcast when the
+    # dictionary fits (this fixture, and any bounded vocabulary) and a
+    # shuffle join — memory-safe, never an OOM — when it doesn't.  If
+    # the shuffle ever dominates, the documented fallback is to drop the
+    # dictionary and hash inline per occurrence: pure map-side CPU,
+    # zero memory risk, same hv values.
     gh = ex.select("gram").distinct().select(
         "gram",
         F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("hv"),
     )
-    ex = ex.join(F.broadcast(gh), "gram").select("doc_id", "hv")
+    ex = ex.join(gh, "gram").select("doc_id", "hv")
     # explode + one hash aggregate with 60 conditional sums: one pass over
     # (doc, shingle) pairs with map-side partial aggregation -- much faster
     # than 60 sequential array folds (measured ~20s -> ~2s at sf0.1), and

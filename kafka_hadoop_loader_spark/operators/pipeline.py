@@ -850,7 +850,13 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("contam", F.lit(True))
     )
-    flags = flags.join(F.broadcast(contam), "doc_id", "left").withColumn(
+    # The bench gram broadcast above is BOUNDED (the benchmark slice) and
+    # safe at any corpus size.  `contam` is NOT: it is the set of
+    # contaminated corpus doc_ids and grows with the corpus (even 1% of
+    # 100 TB of doc_ids blows the broadcast ceiling), so — exactly as in
+    # pipeline_corpus_build — the join strategy is left to AQE, which
+    # picks broadcast vs shuffle from the measured size.
+    flags = flags.join(contam, "doc_id", "left").withColumn(
         "clean", F.col("canon") & F.col("contam").isNull()
     )
 
