@@ -560,8 +560,11 @@ _CORPUS_INDEX_SCHEMA = (
     " sig array<bigint>, bands array<struct<band:int,bkey:bigint>>,"
     " ingest_batch bigint"
 )
-_CORPUS_ND_EST_T = 0.5  # signature-agreement threshold ~ the batch
-# cascade's exact-Jaccard 0.5 verify (operators/dedup.py:_minhash_pairs)
+_CORPUS_ND_EST_T = 0.5  # signature-agreement threshold for the
+# VS-CORPUS verify (state holds signatures, not shingle sets) ~ the
+# batch cascade's exact-Jaccard 0.5 (operators/dedup.py:_minhash_pairs)
+_CORPUS_ND_EXACT_T = 0.5  # exact-Jaccard threshold for the WITHIN-BATCH
+# verify — identical to the batch cascade's, by construction
 
 
 def _bands_from_sig(sig_col):
@@ -613,14 +616,18 @@ def corpus_apply_ingest_batch(
       dedup_incremental_batch shape, never corpus x corpus;
     - near-dup: batch survivors get the cascade's 64 minhashes and 16
       band keys; candidates come from band-bucket joins against the
-      corpus index AND a within-batch band self-join, then verify by
-      SIGNATURE AGREEMENT (fraction of equal minhash positions >=
-      0.5).  The batch cascade verifies with exact shingle Jaccard;
-      storing shingle sets in corpus state would make state text-sized,
-      so the streaming form trades the verify step to the unbiased
-      signature estimate and keeps state at 64 longs/doc — the standard
-      streaming-LSH compromise, documented here because it is the ONE
-      deliberate divergence from the batch funnel;
+      corpus index AND a within-batch band self-join.  WITHIN-BATCH
+      candidates verify by EXACT shingle Jaccard >= 0.5 — the batch's
+      shingle sets are already computed in this job, so these pairs get
+      pipeline_corpus_build's exact verdict.  VS-CORPUS candidates
+      verify by SIGNATURE AGREEMENT (fraction of equal minhash
+      positions >= 0.5): storing shingle sets in corpus state would
+      make state text-sized, so that path trades the verify step to
+      the unbiased signature estimate and keeps state at 64 longs/doc
+      — the standard streaming-LSH compromise, documented here because
+      it is the ONE deliberate divergence from the batch funnel, and
+      it is now confined to pairs that straddle the stream/corpus
+      boundary;
     - decontamination: any word 3-gram in ``bench_grams`` (the BOUNDED
       benchmark set — safe to inline as a literal predicate);
     - accepted survivors land in the index log.
@@ -641,8 +648,10 @@ def corpus_apply_ingest_batch(
     (band keys are PRECOMPUTED at index-write time by the same
     ``_bands_from_sig`` code path, so the read side never re-hashes the
     corpus).  Those scans are O(corpus) I/O that a real deployment
-    amortizes with compaction and bucketing on ``h`` (a transactional
-    table MERGE replaces the directory layout in production); the
+    amortizes with compaction and bucketing on ``h`` —
+    ``corpus_compact_index`` below is that maintenance job for this
+    directory layout (a transactional table MERGE replaces it in
+    production); the
     SHUFFLES stay O(batch + band matches) because AQE broadcasts the
     batch-sized side of every join.  The gate plan is persisted across
     the two commit actions so the cascade is computed once per batch.
@@ -743,99 +752,131 @@ def corpus_apply_ingest_batch(
     surv = base.where(
         F.col("pass_q") & ~F.col("dup_within_batch") & ~F.col("dup_vs_corpus")
     )
+    # batch-sized; the shingle sets feed the signature pass AND the
+    # exact-Jaccard verify of within-batch candidates below
     sh = surv.select(
         "doc_id", _shingle_hashes(F.col("text")).alias("s")
-    ).where(F.size("s") > 0)
-    mh = _minhash_signatures(sh).select(
-        "doc_id",
-        F.array(*[F.col(f"mh{k}") for k in range(N_HASHES)]).alias("sig"),
-    )
+    ).where(F.size("s") > 0).persist()
     # batch-sized; reused by the band joins AND the accepted-rows
-    # commit below — persist so the 64-min signature pass runs once
-    mh = mh.persist()
-    sig_agree = lambda a, b: (  # noqa: E731 — fraction of equal positions
-        F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ).cast("double")
-        / F.lit(N_HASHES).cast("double")
-    )
-    bands = mh.select(
-        "doc_id", "sig", F.explode(_bands_from_sig(F.col("sig"))).alias("bk")
-    ).select("doc_id", "sig", "bk.band", "bk.bkey")
-
-    nd_parts = []
-    if idx is not None:
-        # stored band keys (precomputed at index-write time; empty for
-        # docs with no 64-hash signature) — no per-batch re-hash of
-        # the corpus
-        corpus_bands = idx.select(
-            F.col("doc_id").alias("c_doc_id"),
-            F.col("sig").alias("c_sig"),
-            F.explode("bands").alias("bk"),
-        ).select("c_doc_id", "c_sig", "bk.band", "bk.bkey")
-        nd_corpus = (
-            bands.join(corpus_bands, ["band", "bkey"])
-            .select("doc_id", "sig", "c_doc_id", "c_sig")
-            .distinct()
-            .where(sig_agree(F.col("sig"), F.col("c_sig")) >= _CORPUS_ND_EST_T)
-            .groupBy("doc_id")
-            .agg(F.min("c_doc_id").alias("near_match_id"))
-        )
-        nd_parts.append(nd_corpus)
-    a, b = bands.alias("a"), bands.alias("b")
-    nd_within = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("b.doc_id").alias("doc_id"),
-            F.col("a.doc_id").alias("near_match_id"),
-            F.col("a.sig").alias("sa"),
-            F.col("b.sig").alias("sb"),
-        )
-        .distinct()
-        .where(sig_agree(F.col("sa"), F.col("sb")) >= _CORPUS_ND_EST_T)
-        .groupBy("doc_id")
-        .agg(F.min("near_match_id").alias("near_match_id"))
-    )
-    nd_parts.append(nd_within)
-    nd = nd_parts[0]
-    for p in nd_parts[1:]:
-        nd = nd.unionByName(p)
-    nd = nd.groupBy("doc_id").agg(F.min("near_match_id").alias("near_match_id"))
-    base = base.join(nd, "doc_id", "left").withColumn(
-        "near_dup", F.col("near_match_id").isNotNull()
-    )
-
-    # -- decontamination vs the bounded benchmark gram set --
-    if bench_grams:
-        contam = F.exists(
-            _shingle_grams(F.col("text")), lambda g: g.isin(*bench_grams)
-        )
-    else:
-        contam = F.lit(False)
-    base = base.withColumn("contaminated", contam)
-
-    decided = base.withColumn(
-        "accept",
-        F.col("pass_q")
-        & ~F.col("dup_within_batch")
-        & ~F.col("dup_vs_corpus")
-        & ~F.col("near_dup")
-        & ~F.col("contaminated"),
-    )
-
-    # -- commit: audit rows + accepted index rows, per-batch overwrite.
-    # decided is persisted across the two actions so the whole gate
-    # cascade (index scans, window, signature pass, band joins) runs
-    # once per batch, not once per sink. --
-    decided = decided.persist()
+    # commit below — persist so the 64-min signature pass runs once.
+    # Everything from the first persist onward sits inside ONE
+    # try/finally: a failed batch (e.g. an AnalysisException while
+    # building the band joins) must not leak cached blocks — in a
+    # long-running stream repeatedly failing batches would otherwise
+    # accumulate them.
+    mh = decided = None
     try:
+        mh = _minhash_signatures(sh).select(
+            "doc_id",
+            F.array(*[F.col(f"mh{k}") for k in range(N_HASHES)]).alias("sig"),
+        ).persist()
+        sig_agree = lambda a, b: (  # noqa: E731 — fraction of equal positions
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            / F.lit(N_HASHES).cast("double")
+        )
+        bands = mh.select(
+            "doc_id", "sig", F.explode(_bands_from_sig(F.col("sig"))).alias("bk")
+        ).select("doc_id", "sig", "bk.band", "bk.bkey")
+
+        nd_parts = []
+        if idx is not None:
+            # stored band keys (precomputed at index-write time; empty for
+            # docs with no 64-hash signature) — no per-batch re-hash of
+            # the corpus.  vs-corpus candidates verify by SIGNATURE
+            # AGREEMENT: the corpus state holds 64 longs/doc, not shingle
+            # sets (the one documented divergence from the batch cascade).
+            corpus_bands = idx.select(
+                F.col("doc_id").alias("c_doc_id"),
+                F.col("sig").alias("c_sig"),
+                F.explode("bands").alias("bk"),
+            ).select("c_doc_id", "c_sig", "bk.band", "bk.bkey")
+            nd_corpus = (
+                bands.join(corpus_bands, ["band", "bkey"])
+                .select("doc_id", "sig", "c_doc_id", "c_sig")
+                .distinct()
+                .where(sig_agree(F.col("sig"), F.col("c_sig")) >= _CORPUS_ND_EST_T)
+                .groupBy("doc_id")
+                .agg(F.min("c_doc_id").alias("near_match_id"))
+            )
+            nd_parts.append(nd_corpus)
+        # within-batch candidates verify by EXACT shingle Jaccard: the
+        # batch's shingle sets (sh) are already computed in this job, so
+        # the state-size argument that forces the signature estimate on
+        # the vs-corpus path does not apply here — same
+        # array_intersect/array_union verify and 0.5 threshold as the
+        # batch cascade (operators/dedup.py:_minhash_pairs), so a
+        # borderline within-batch pair gets pipeline_corpus_build's
+        # verdict, not an estimate of it.
+        a, b = bands.alias("a"), bands.alias("b")
+        cand_within = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("b.doc_id").alias("nd_b"),
+                F.col("a.doc_id").alias("nd_a"),
+            )
+            .distinct()
+        )
+        jac = (
+            F.size(F.array_intersect("sa", "sb")).cast("double")
+            / F.size(F.array_union("sa", "sb")).cast("double")
+        )
+        nd_within = (
+            cand_within.join(
+                sh.select(F.col("doc_id").alias("nd_a"), F.col("s").alias("sa")),
+                "nd_a",
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("nd_b"), F.col("s").alias("sb")),
+                "nd_b",
+            )
+            .where(jac >= _CORPUS_ND_EXACT_T)
+            .select(
+                F.col("nd_b").alias("doc_id"),
+                F.col("nd_a").alias("near_match_id"),
+            )
+            .groupBy("doc_id")
+            .agg(F.min("near_match_id").alias("near_match_id"))
+        )
+        nd_parts.append(nd_within)
+        nd = nd_parts[0]
+        for p in nd_parts[1:]:
+            nd = nd.unionByName(p)
+        nd = nd.groupBy("doc_id").agg(F.min("near_match_id").alias("near_match_id"))
+        base = base.join(nd, "doc_id", "left").withColumn(
+            "near_dup", F.col("near_match_id").isNotNull()
+        )
+
+        # -- decontamination vs the bounded benchmark gram set --
+        if bench_grams:
+            contam = F.exists(
+                _shingle_grams(F.col("text")), lambda g: g.isin(*bench_grams)
+            )
+        else:
+            contam = F.lit(False)
+        base = base.withColumn("contaminated", contam)
+
+        # -- commit: audit rows + accepted index rows, per-batch
+        # overwrite.  decided is persisted across the two actions so the
+        # whole gate cascade (index scans, window, signature pass, band
+        # joins, exact-Jaccard verify) runs once per batch, not once per
+        # sink. --
+        decided = base.withColumn(
+            "accept",
+            F.col("pass_q")
+            & ~F.col("dup_within_batch")
+            & ~F.col("dup_vs_corpus")
+            & ~F.col("near_dup")
+            & ~F.col("contaminated"),
+        ).persist()
         decided.select(
             "doc_id",
             "source",
@@ -880,12 +921,17 @@ def corpus_apply_ingest_batch(
             index_root + f"/ingest_batch={batch_id}"
         )
     finally:
-        decided.unpersist()
-        mh.unpersist()
+        for cached in (decided, mh):
+            if cached is not None:
+                cached.unpersist()
+        sh.unpersist()
 
 
 def corpus_maintain_foreach_batch(
-    docs: DataFrame, corpus_dir: str, bench_grams: tuple[str, ...] = ()
+    docs: DataFrame,
+    corpus_dir: str,
+    bench_grams: tuple[str, ...] = (),
+    checkpoint_dir: str | None = None,
 ):
     """Streaming corpus maintenance: run pipeline_corpus_build's ingest
     gate incrementally over a document stream under ``availableNow``
@@ -893,11 +939,185 @@ def corpus_maintain_foreach_batch(
     (quality -> exact dedup -> near-dup -> decontamination), with
     checkpointed progress and idempotent per-batch commits.  See
     ``corpus_apply_ingest_batch`` for stage semantics, state layout,
-    and the one documented divergence from the batch cascade."""
+    and the one documented divergence from the batch cascade.
+
+    ``checkpointLocation`` is set HERE (default
+    ``{corpus_dir}/_checkpoint``) rather than left to the caller: the
+    per-batch overwrite doctrine is only idempotent if ``batch_id``
+    numbering is continuous across restarts.  A temp checkpoint (what
+    Spark falls back to when none is set) restarts from batch 0 with
+    potentially different batch boundaries, leaving stale
+    ``ingest_batch=N`` partitions from the prior run in the index log —
+    docs double-counted, dedup state corrupted.  Callers may still
+    override via ``.option("checkpointLocation", ...)`` on the returned
+    writer (last set wins); what they can no longer do is accidentally
+    run without one."""
+    if checkpoint_dir is None:
+        checkpoint_dir = corpus_dir.rstrip("/") + "/_checkpoint"
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         corpus_apply_ingest_batch(batch, batch_id, corpus_dir, bench_grams)
 
-    return docs.writeStream.foreachBatch(apply_batch).trigger(
-        availableNow=True
+    return (
+        docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
     )
+
+
+def corpus_compact_index(
+    spark,
+    corpus_dir: str,
+    upto_batch: int | None = None,
+    target_files: int | None = None,
+) -> dict:
+    """Compact the streaming corpus index log: merge the per-batch
+    partitions ``ingest_batch=0..upto_batch`` (plus any existing base)
+    into ONE base partition ``ingest_batch=-1`` — the maintenance job
+    the ingest gate's own scale accounting calls for (its per-batch
+    index scans are O(corpus) in FILE COUNT as much as bytes; after N
+    ingest batches an uncompacted log plans N listing calls and N
+    footer reads per scan).  ``-1`` sorts below every real batch id, so
+    the gate's ``ingest_batch < batch_id`` state filter picks the base
+    up unchanged — no reader-side changes.
+
+    Safety doctrine (this is a directory-layout approximation of the
+    transactional MERGE a production deployment would use — Iceberg /
+    Delta compaction):
+
+    - only batches STRICTLY BELOW the newest committed batch may be
+      compacted (default ``upto_batch = newest - 1``): foreachBatch is
+      at-least-once, and the newest batch is the only one a restarted
+      stream can redeliver — its per-batch overwrite must keep owning
+      its own partition.  Asking for the newest (or higher) raises.
+    - every step prefers DUPLICATES over loss, because the gate's
+      reads tolerate duplicates exactly (hash index = min(doc_id) per
+      h; band candidates are distinct-then-min) while a lost row
+      silently re-admits a dup document.  The merged rows are staged
+      under ``_compact_tmp`` (underscore prefix: invisible to Spark's
+      file index), then MOVED file-by-file into the base partition
+      (per-file rename = the atomic unit), and only then are the old
+      base files and source partitions deleted.  A crash at any point
+      leaves every row visible at least once; re-running the job
+      converges (the merge reads whatever is visible and dedupes on
+      doc_id — copies of a row are byte-identical by construction).
+    - output file count is sized from the LISTED byte total
+      (ceil(bytes / spark.sql.files.maxPartitionBytes)), not guessed,
+      unless ``target_files`` overrides it.
+
+    Per-row arrival provenance (which batch a doc landed in) is NOT
+    kept in the compacted base — ``{corpus_dir}/decisions`` is the
+    audit log and keeps it forever; the index is dedup state.
+
+    Returns a report: compacted batch ids, rows in the new base, and
+    file counts before/after over the compacted region.
+    """
+    import math
+    import re
+
+    index_root = corpus_dir.rstrip("/") + "/index"
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(index_root).getFileSystem(spark._jsc.hadoopConfiguration())
+    root = jvm_path(index_root)
+    if not fs.exists(root):
+        return {"compacted_batches": [], "base_rows": 0,
+                "files_before": 0, "files_after": 0}
+
+    part_ids: dict[int, object] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("ingest_batch="):
+            part_ids[int(name.split("=", 1)[1])] = st.getPath()
+    real = sorted(i for i in part_ids if i >= 0)
+    if not real:
+        return {"compacted_batches": [], "base_rows": 0,
+                "files_before": 0, "files_after": 0}
+    newest = real[-1]
+    if upto_batch is None:
+        upto_batch = newest - 1
+    if upto_batch >= newest:
+        raise ValueError(
+            f"cannot compact ingest_batch={newest}: the newest committed "
+            "batch is the one a restarted stream can redeliver and must "
+            f"keep owning its partition (upto_batch={upto_batch})"
+        )
+    todo = [i for i in real if i <= upto_batch]
+    has_base = -1 in part_ids
+    if not todo:
+        return {"compacted_batches": [], "base_rows": 0,
+                "files_before": 0, "files_after": 0}
+
+    # listed byte total + file census over the region being rewritten
+    src_paths = [part_ids[i] for i in todo] + ([part_ids[-1]] if has_base else [])
+    old_files = []  # data files to delete after the swap
+    total_bytes = 0
+    for p in src_paths:
+        for st in fs.listStatus(p):
+            n = st.getPath().getName()
+            if n.startswith("_") or n.startswith("."):
+                continue
+            old_files.append(st.getPath())
+            total_bytes += st.getLen()
+    files_before = len(old_files)
+
+    if target_files is None:
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        ).strip().lower()
+        # Spark renders byte confs as "134217728b" but accepts "128m"
+        # etc. — parse the size-suffix forms rather than assume one
+        m = re.fullmatch(r"(\d+)\s*(b|k|kb|m|mb|g|gb)?", raw)
+        mult = {None: 1, "b": 1, "k": 1024, "kb": 1024,
+                "m": 1024**2, "mb": 1024**2, "g": 1024**3, "gb": 1024**3}
+        max_pb = int(m.group(1)) * mult[m.group(2)] if m else 128 * 1024**2
+        target_files = max(1, math.ceil(total_bytes / max_pb))
+
+    merged = (
+        spark.read.schema(_CORPUS_INDEX_SCHEMA)
+        .option("basePath", index_root)
+        .parquet(*[p.toString() for p in src_paths])
+        # crash-tolerant re-runs may see a row twice (see doctrine);
+        # copies are identical, so any representative is correct
+        .dropDuplicates(["doc_id"])
+        .drop("ingest_batch")
+        .repartition(target_files)
+    )
+    tmp = index_root + "/_compact_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+
+    base_dir = jvm_path(index_root + "/ingest_batch=-1")
+    fs.mkdirs(base_dir)
+    moved = 0
+    for st in fs.listStatus(jvm_path(tmp)):
+        n = st.getPath().getName()
+        if n.startswith("_") or n.startswith("."):
+            continue
+        if not fs.rename(st.getPath(), jvm_path(base_dir.toString() + "/" + n)):
+            raise IOError(f"rename failed: {st.getPath()} -> {base_dir}")
+        moved += 1
+    # new base files are all visible from here on; everything below
+    # only removes now-redundant copies
+    for p in old_files:
+        fs.delete(p, False)
+    for i in todo:
+        fs.delete(part_ids[i], True)
+    fs.delete(jvm_path(tmp), True)
+    # Spark writers invalidate the session's file-listing cache for the
+    # paths they write; the raw FileSystem renames/deletes above do NOT,
+    # so a same-session reader (the next ingest batch) could plan against
+    # stale listings — deleted part files or a missed base.  Invalidate
+    # explicitly.
+    spark.catalog.refreshByPath(index_root)
+
+    base_rows = (
+        spark.read.schema(_CORPUS_INDEX_SCHEMA)
+        .option("basePath", index_root)
+        .parquet(base_dir.toString())
+        .count()
+    )
+    return {
+        "compacted_batches": todo,
+        "base_rows": base_rows,
+        "files_before": files_before,
+        "files_after": moved,
+    }

@@ -319,3 +319,204 @@ def test_corpus_gate_survives_all_rejected_first_batch(spark, tmp_path):
     assert dec[3]["accept"] is True and dec[3]["dup_vs_corpus"] is False
     idx = spark.read.parquet(os.path.join(corpus_dir, "index"))
     assert {r["doc_id"] for r in idx.collect()} == {3}
+
+# Borderline near-dup pair for the within-batch EXACT-Jaccard verify:
+# B shares A's first 17 words (15 of 29 distinct 3-grams, exact
+# Jaccard 0.5172 >= 0.5) and was searched (over fresh-tail variants)
+# so that its 64-minhash signature agrees with A's in only 28/64
+# positions (0.4375 < 0.5) while still colliding in exactly one LSH
+# band.  The retired signature-agreement verify called this pair NOT
+# a near-dup; pipeline_corpus_build's exact verify — which the
+# within-batch path now shares — says it is.
+_TEXT_B_BORDERLINE = " ".join(_WORDS_A[:17] + [f"t33q{j:02d}" for j in range(7)])
+
+
+def test_corpus_within_batch_near_dup_verifies_exact_jaccard(spark, tmp_path):
+    """Within-batch candidates must get the batch cascade's exact
+    shingle-Jaccard verdict, not the signature estimate (that estimate
+    is reserved for the vs-corpus path, where state is 64 longs/doc)."""
+    corpus_dir = str(tmp_path / "corpus")
+    batch = spark.createDataFrame(
+        [(1, "web", _TEXT_A), (2, "web", _TEXT_B_BORDERLINE)],
+        "doc_id bigint, source string, text string",
+    )
+    jobs.corpus_apply_ingest_batch(batch, 0, corpus_dir, _BENCH)
+    dec = _decisions(spark, corpus_dir)
+    assert dec[1]["accept"] is True
+    assert dec[2]["near_dup"] is True and dec[2]["near_match_id"] == 1
+    assert dec[2]["accept"] is False
+    idx = spark.read.parquet(os.path.join(corpus_dir, "index"))
+    assert {r["doc_id"] for r in idx.collect()} == {1}
+
+
+def test_corpus_maintain_sets_default_checkpoint(spark, tmp_path):
+    """corpus_maintain_foreach_batch must supply a checkpointLocation
+    itself (default {corpus_dir}/_checkpoint): with only a temp
+    checkpoint, a restarted stream replays from batch_id 0 with
+    potentially different batch boundaries and the per-batch overwrite
+    doctrine corrupts the index log.  Run two availableNow passes with
+    NO caller-set checkpoint and assert batch numbering continued."""
+    corpus_dir = str(tmp_path / "corpus")
+    _write_docs(
+        str(tmp_path / "in" / "b1.jsonl"),
+        [{"doc_id": 1, "source": "web", "text": _TEXT_A}],
+    )
+    q = jobs.corpus_maintain_foreach_batch(
+        _doc_stream(spark, str(tmp_path / "in")), corpus_dir, _BENCH
+    ).start()
+    q.awaitTermination(120)
+    assert os.path.isdir(os.path.join(corpus_dir, "_checkpoint"))
+
+    _write_docs(
+        str(tmp_path / "in" / "b2.jsonl"),
+        [{"doc_id": 10, "source": "web", "text": _TEXT_A}],
+    )
+    q = jobs.corpus_maintain_foreach_batch(
+        _doc_stream(spark, str(tmp_path / "in")), corpus_dir, _BENCH
+    ).start()
+    q.awaitTermination(120)
+
+    dec = _decisions(spark, corpus_dir)
+    # continuity: the second run resumed past batch 0, saw doc 1 in the
+    # corpus state, and flagged the redelivered text as a corpus dup —
+    # with a fresh temp checkpoint it would have re-run batch 0 and
+    # doc 10 would have landed in doc 1's own partition instead
+    assert dec[1]["accept"] is True
+    assert dec[10]["dup_vs_corpus"] is True and dec[10]["corpus_match_id"] == 1
+    dec_batches = {
+        r["ingest_batch"]
+        for r in spark.read.parquet(
+            os.path.join(corpus_dir, "decisions")
+        ).select("ingest_batch").distinct().collect()
+    }
+    assert dec_batches == {0, 1}
+
+
+def _index_partitions(corpus_dir: str) -> set[str]:
+    root = os.path.join(corpus_dir, "index")
+    return {p for p in os.listdir(root) if p.startswith("ingest_batch=")}
+
+
+def test_corpus_compact_index(spark, tmp_path):
+    """Compaction merges the per-batch index partitions (plus any prior
+    base) into the single ingest_batch=-1 base, preserves every gate
+    behavior against the compacted state (exact dup, near-dup via the
+    stored band keys, keep-first provenance), never touches decisions/,
+    and refuses to absorb the newest (replayable) batch."""
+    import pytest
+
+    corpus_dir = str(tmp_path / "corpus")
+    texts = {
+        0: _TEXT_A,     # batch 0: accepted
+        1: _TEXT_H,     # batch 1: accepted (disjoint vocab)
+        2: " ".join(f"other{i:02d}" for i in range(24)),  # batch 2: accepted
+    }
+    for b, t in texts.items():
+        batch = spark.createDataFrame(
+            [(b * 10 + 1, "web", t)], "doc_id bigint, source string, text string"
+        )
+        jobs.corpus_apply_ingest_batch(batch, b, corpus_dir, _BENCH)
+    assert _index_partitions(corpus_dir) == {
+        "ingest_batch=0", "ingest_batch=1", "ingest_batch=2"
+    }
+
+    # newest committed batch (2) is replayable: compacting it must raise
+    with pytest.raises(ValueError):
+        jobs.corpus_compact_index(spark, corpus_dir, upto_batch=2)
+
+    rep = jobs.corpus_compact_index(spark, corpus_dir)  # default: upto 1
+    assert rep["compacted_batches"] == [0, 1]
+    assert rep["base_rows"] == 2
+    assert rep["files_after"] >= 1
+    assert _index_partitions(corpus_dir) == {"ingest_batch=-1", "ingest_batch=2"}
+    # staging dir cleaned up
+    assert not os.path.exists(os.path.join(corpus_dir, "index", "_compact_tmp"))
+
+    # the gate against compacted state: exact dup of the batch-0 doc,
+    # near-dup of the batch-0 doc (stored band keys must survive the
+    # rewrite), and a genuinely new doc
+    batch3 = spark.createDataFrame(
+        [
+            (100, "web", _TEXT_A),
+            (101, "web", _TEXT_C),
+            (102, "web", " ".join(f"novel{i:02d}" for i in range(24))),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    jobs.corpus_apply_ingest_batch(batch3, 3, corpus_dir, _BENCH)
+    dec = _decisions(spark, corpus_dir)
+    assert dec[100]["dup_vs_corpus"] is True and dec[100]["corpus_match_id"] == 1
+    assert dec[101]["near_dup"] is True and dec[101]["near_match_id"] == 1
+    assert dec[102]["accept"] is True
+    # decisions audit log keeps the full per-batch provenance
+    dec_batches = {
+        r["ingest_batch"]
+        for r in spark.read.parquet(os.path.join(corpus_dir, "decisions"))
+        .select("ingest_batch").distinct().collect()
+    }
+    assert dec_batches == {0, 1, 2, 3}
+
+    # second compaction: base + batches 2..3 -> base, newest (3) kept;
+    # re-reading the whole index shows each doc exactly once
+    rep2 = jobs.corpus_compact_index(spark, corpus_dir)
+    assert rep2["compacted_batches"] == [2]
+    assert _index_partitions(corpus_dir) == {"ingest_batch=-1", "ingest_batch=3"}
+    idx = spark.read.parquet(os.path.join(corpus_dir, "index"))
+    ids = [r["doc_id"] for r in idx.collect()]
+    assert sorted(ids) == [1, 11, 21, 102]
+    assert len(ids) == len(set(ids))  # no duplicate rows after rewrites
+    # base rows read back with ingest_batch=-1 from the directory name
+    assert idx.where("ingest_batch = -1").count() == 3
+
+    # nothing left to compact below the newest batch: clean no-op
+    rep3 = jobs.corpus_compact_index(spark, corpus_dir)
+    assert rep3["compacted_batches"] == []
+
+
+def test_corpus_compact_index_tolerates_duplicate_rows(spark, tmp_path):
+    """Doctrine check: a crashed prior compaction can leave a row
+    visible twice (new base file moved in, old copy not yet deleted).
+    The gate must still work, and the next compaction must dedupe."""
+    corpus_dir = str(tmp_path / "corpus")
+    for b, (doc_id, t) in enumerate([(1, _TEXT_A), (2, _TEXT_H), (3, " ".join(f"zz{i:02d}" for i in range(24)))]):
+        batch = spark.createDataFrame(
+            [(doc_id, "web", t)], "doc_id bigint, source string, text string"
+        )
+        jobs.corpus_apply_ingest_batch(batch, b, corpus_dir, _BENCH)
+    # simulate the crash window: copy batch 0's accepted row into an
+    # extra file inside batch 1's partition (same bytes, twice visible)
+    import shutil
+    root = os.path.join(corpus_dir, "index")
+    # pick the part file that actually holds the row (the write can
+    # leave an empty sibling part file; listdir order is arbitrary)
+    src = max(
+        (
+            f for f in os.listdir(os.path.join(root, "ingest_batch=0"))
+            if f.endswith(".parquet")
+        ),
+        key=lambda f: os.path.getsize(os.path.join(root, "ingest_batch=0", f)),
+    )
+    shutil.copy(
+        os.path.join(root, "ingest_batch=0", src),
+        os.path.join(root, "ingest_batch=1", "dup-" + src),
+    )
+    # a real crash recovery starts a fresh session (empty listing
+    # cache); this session already listed the path, so drop the cache
+    spark.catalog.refreshByPath(root)
+    idx = spark.read.parquet(root)
+    assert idx.where("doc_id = 1").count() == 2  # duplicate is visible
+
+    # gate still correct against duplicated state
+    batch = spark.createDataFrame(
+        [(50, "web", _TEXT_A)], "doc_id bigint, source string, text string"
+    )
+    jobs.corpus_apply_ingest_batch(batch, 3, corpus_dir, _BENCH)
+    dec = _decisions(spark, corpus_dir)
+    assert dec[50]["dup_vs_corpus"] is True and dec[50]["corpus_match_id"] == 1
+
+    # compaction dedupes on doc_id (doc 50 was rejected as a corpus
+    # dup above, so the index holds exactly the three accepted docs)
+    jobs.corpus_compact_index(spark, corpus_dir)
+    idx = spark.read.parquet(root)
+    assert idx.where("doc_id = 1").count() == 1
+    assert sorted(r["doc_id"] for r in idx.collect()) == [1, 2, 3]

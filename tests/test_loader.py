@@ -238,6 +238,20 @@ def test_kafka_source_options_contract():
     }
 
 
+def _kafka_connector_present(spark) -> bool:
+    """Environment probe, independent of the code under test: is the
+    spark-sql-kafka connector class on the session JVM's classpath?
+    Uses the context classloader — the one Spark's own DataSource
+    lookup consults — so the answer matches what load() will see."""
+    try:
+        spark._jvm.Thread.currentThread().getContextClassLoader().loadClass(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def test_validate_config_dry_run_green(spark, tmp_path):
     """A well-formed kafka config passes the dry run end-to-end: every
     Python-side domain check, the DDL parse, the full transform-plan
@@ -261,10 +275,13 @@ def test_validate_config_dry_run_green(spark, tmp_path):
     assert rep["partition_cols"] == ["d", "h"]
     assert rep["output_schema"] is not None and "event_ts:timestamp" in rep["output_schema"]
     # The dry run must REPORT connector availability (an environment
-    # fact) rather than fail: False in this no-jar container, True on a
-    # host that ships spark-sql-kafka.  Asserting a specific value
-    # would couple the test to one environment.
-    assert rep["connector_available"] in (True, False)
+    # fact) rather than fail — but the report must agree with the
+    # environment: detect the connector class on the JVM classpath
+    # independently and assert THAT value (a bare `in (True, False)`
+    # would also pass if a genuine option error were misclassified as
+    # jar absence).  False in this no-jar container, True on a host
+    # that ships spark-sql-kafka; the test follows the host.
+    assert rep["connector_available"] is _kafka_connector_present(spark)
 
 
 def test_validate_config_reports_every_error_at_once(spark):
@@ -440,3 +457,36 @@ def test_missing_datasource_detection_covers_spark4_wordings():
         "Cannot resolve option startingOffsets value 'sometimes'",
     ):
         assert not _is_missing_datasource_error(msg), msg
+
+
+def test_validate_config_option_error_not_misclassified(spark, tmp_path, monkeypatch):
+    """Companion to the dry-run-green probe: when the connector IS on
+    the classpath, a genuine kafka option error must land in
+    rep['errors'] with connector_available=True — a regression that
+    routed option errors into the jar-absence branch would swallow
+    them.  Skips (doesn't pass vacuously) where the jar is absent,
+    since the connector's own option validation cannot run there."""
+    from kafka_hadoop_loader_spark.streaming import loader as loader_mod
+
+    if not _kafka_connector_present(spark):
+        pytest.skip("spark-sql-kafka connector not on classpath")
+
+    cfg = LoaderConfig(
+        source="kafka",
+        kafka_bootstrap="broker1:9092",
+        topics="events",
+        target_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    real_opts = loader_mod.kafka_source_options
+
+    def conflicting(c):
+        # subscribe + assign together: rejected by the connector's
+        # validateStreamOptions, no broker round-trip needed
+        return {**real_opts(c), "assign": '{"events":[0]}'}
+
+    monkeypatch.setattr(loader_mod, "kafka_source_options", conflicting)
+    rep = loader_mod.validate_config(spark, cfg)
+    assert rep["connector_available"] is True
+    assert not rep["ok"]
+    assert any("kafka reader rejected options" in e for e in rep["errors"])
