@@ -41,6 +41,22 @@ from kafka_hadoop_loader_spark.registry import register
 N_HASHES = 64
 N_BANDS = 16
 ROWS_PER_BAND = 4
+# Near-dup verify threshold on exact 3-gram shingle Jaccard.  Shared by
+# the batch cascade (_minhash_pairs) and the streaming ingest gate's
+# within-batch verify (streaming/jobs.py) — ONE constant so the two can
+# never drift.
+ND_JACCARD_T = 0.5
+
+
+def exact_jaccard(a, b):
+    """Exact set Jaccard of two shingle-hash array columns — THE verify
+    expression of the near-dup cascade, shared (like _bands_from_sig's
+    band keys) by every caller so batch and streaming verdicts are
+    identical by construction, not by parallel maintenance."""
+    return (
+        F.size(F.array_intersect(a, b)).cast("double")
+        / F.size(F.array_union(a, b)).cast("double")
+    )
 
 
 def _shingle_hashes(text_col):
@@ -293,15 +309,11 @@ def _minhash_pairs(d: DataFrame, sf_dir: str) -> DataFrame:
 
     sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb"))
-    jac = (
-        F.size(F.array_intersect("sa", "sb")).cast("double")
-        / F.size(F.array_union("sa", "sb")).cast("double")
-    )
     return (
         cand.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
-        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= 0.5)
+        .select("doc_id_a", "doc_id_b", exact_jaccard("sa", "sb").alias("jaccard"))
+        .where(F.col("jaccard") >= ND_JACCARD_T)
     )
 
 

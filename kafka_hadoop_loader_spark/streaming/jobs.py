@@ -562,9 +562,9 @@ _CORPUS_INDEX_SCHEMA = (
 )
 _CORPUS_ND_EST_T = 0.5  # signature-agreement threshold for the
 # VS-CORPUS verify (state holds signatures, not shingle sets) ~ the
-# batch cascade's exact-Jaccard 0.5 (operators/dedup.py:_minhash_pairs)
-_CORPUS_ND_EXACT_T = 0.5  # exact-Jaccard threshold for the WITHIN-BATCH
-# verify — identical to the batch cascade's, by construction
+# batch cascade's exact-Jaccard ND_JACCARD_T (operators/dedup.py).
+# The WITHIN-BATCH verify imports the cascade's own exact_jaccard
+# expression and ND_JACCARD_T — shared code path, no second copy.
 
 
 def _bands_from_sig(sig_col):
@@ -660,9 +660,11 @@ def corpus_apply_ingest_batch(
 
     from kafka_hadoop_loader_spark.operators.dedup import (
         N_HASHES,
+        ND_JACCARD_T,
         _minhash_signatures,
         _shingle_grams,
         _shingle_hashes,
+        exact_jaccard,
     )
     from kafka_hadoop_loader_spark.operators.pipeline import (
         _QG_MAX_AVG_LEN,
@@ -825,10 +827,6 @@ def corpus_apply_ingest_batch(
             )
             .distinct()
         )
-        jac = (
-            F.size(F.array_intersect("sa", "sb")).cast("double")
-            / F.size(F.array_union("sa", "sb")).cast("double")
-        )
         nd_within = (
             cand_within.join(
                 sh.select(F.col("doc_id").alias("nd_a"), F.col("s").alias("sa")),
@@ -838,7 +836,7 @@ def corpus_apply_ingest_batch(
                 sh.select(F.col("doc_id").alias("nd_b"), F.col("s").alias("sb")),
                 "nd_b",
             )
-            .where(jac >= _CORPUS_ND_EXACT_T)
+            .where(exact_jaccard("sa", "sb") >= ND_JACCARD_T)
             .select(
                 F.col("nd_b").alias("doc_id"),
                 F.col("nd_a").alias("near_match_id"),
@@ -994,16 +992,27 @@ def corpus_compact_index(
       reads tolerate duplicates exactly (hash index = min(doc_id) per
       h; band candidates are distinct-then-min) while a lost row
       silently re-admits a dup document.  The merged rows are staged
-      under ``_compact_tmp`` (underscore prefix: invisible to Spark's
-      file index), then MOVED file-by-file into the base partition
-      (per-file rename = the atomic unit), and only then are the old
-      base files and source partitions deleted.  A crash at any point
-      leaves every row visible at least once; re-running the job
-      converges (the merge reads whatever is visible and dedupes on
-      doc_id — copies of a row are byte-identical by construction).
+      under a run-unique ``_compact_tmp-*`` dir (underscore prefix:
+      invisible to Spark's file index), then MOVED file-by-file into
+      the base partition (per-file rename = the atomic unit), and only
+      then are the old base files and source partitions deleted.  A
+      crash at any point leaves every row visible at least once;
+      re-running the job converges (the merge reads whatever is
+      visible and dedupes on (doc_id, h) — copies of a ROW are
+      byte-identical by construction, but a doc_id REUSED across
+      batches with different text is two distinct index entries whose
+      hashes must both survive, so doc_id alone is not the dedupe key).
     - output file count is sized from the LISTED byte total
       (ceil(bytes / spark.sql.files.maxPartitionBytes)), not guessed,
       unless ``target_files`` overrides it.
+    - SINGLE-FLIGHT, quiesced ingest: run at most one compaction at a
+      time, and not while an ingest batch is executing in a DIFFERENT
+      session (that session's already-planned scan would hit deleted
+      part files; the refresh below can only fix THIS session's
+      listing cache).  The availableNow trigger makes the quiesce
+      natural — compact between drains.  Stale ``_compact_tmp-*``
+      leftovers from a crashed run are deleted on entry under the same
+      single-flight assumption.
 
     Per-row arrival provenance (which batch a doc landed in) is NOT
     kept in the compacted base — ``{corpus_dir}/decisions`` is the
@@ -1013,7 +1022,7 @@ def corpus_compact_index(
     file counts before/after over the compacted region.
     """
     import math
-    import re
+    import uuid
 
     index_root = corpus_dir.rstrip("/") + "/index"
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
@@ -1026,7 +1035,12 @@ def corpus_compact_index(
     part_ids: dict[int, object] = {}
     for st in fs.listStatus(root):
         name = st.getPath().getName()
-        if name.startswith("ingest_batch="):
+        if name.startswith("_compact_tmp"):
+            # crashed prior run's staging dir: every row it holds is
+            # still visible in the source partitions (tmp is only
+            # deleted AFTER its files move), so this is pure garbage
+            fs.delete(st.getPath(), True)
+        elif name.startswith("ingest_batch="):
             part_ids[int(name.split("=", 1)[1])] = st.getPath()
     real = sorted(i for i in part_ids if i >= 0)
     if not real:
@@ -1061,28 +1075,30 @@ def corpus_compact_index(
     files_before = len(old_files)
 
     if target_files is None:
-        raw = spark.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728"
-        ).strip().lower()
-        # Spark renders byte confs as "134217728b" but accepts "128m"
-        # etc. — parse the size-suffix forms rather than assume one
-        m = re.fullmatch(r"(\d+)\s*(b|k|kb|m|mb|g|gb)?", raw)
-        mult = {None: 1, "b": 1, "k": 1024, "kb": 1024,
-                "m": 1024**2, "mb": 1024**2, "g": 1024**3, "gb": 1024**3}
-        max_pb = int(m.group(1)) * mult[m.group(2)] if m else 128 * 1024**2
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        # Spark renders byte confs as "134217728b" but accepts every
+        # JavaUtils size form ("128m", "1g", "1t", ...) — parse with
+        # Spark's own parser rather than a hand-rolled suffix subset
+        max_pb = int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(raw)
+        )
         target_files = max(1, math.ceil(total_bytes / max_pb))
 
     merged = (
         spark.read.schema(_CORPUS_INDEX_SCHEMA)
         .option("basePath", index_root)
         .parquet(*[p.toString() for p in src_paths])
-        # crash-tolerant re-runs may see a row twice (see doctrine);
-        # copies are identical, so any representative is correct
-        .dropDuplicates(["doc_id"])
+        # crash-tolerant re-runs may see a ROW twice; copies of a row
+        # are identical, so any representative is correct.  Key on
+        # (doc_id, h), NOT doc_id alone: nothing in the gate forbids a
+        # doc_id reappearing in a later batch with different text, and
+        # both hash entries are live dedup state
+        .dropDuplicates(["doc_id", "h"])
         .drop("ingest_batch")
         .repartition(target_files)
     )
-    tmp = index_root + "/_compact_tmp"
+    tmp = index_root + "/_compact_tmp-" + uuid.uuid4().hex
     merged.write.mode("overwrite").parquet(tmp)
 
     base_dir = jvm_path(index_root + "/ingest_batch=-1")

@@ -429,8 +429,11 @@ def test_corpus_compact_index(spark, tmp_path):
     assert rep["base_rows"] == 2
     assert rep["files_after"] >= 1
     assert _index_partitions(corpus_dir) == {"ingest_batch=-1", "ingest_batch=2"}
-    # staging dir cleaned up
-    assert not os.path.exists(os.path.join(corpus_dir, "index", "_compact_tmp"))
+    # staging dir cleaned up (run-unique _compact_tmp-*)
+    assert not [
+        d for d in os.listdir(os.path.join(corpus_dir, "index"))
+        if d.startswith("_compact_tmp")
+    ]
 
     # the gate against compacted state: exact dup of the batch-0 doc,
     # near-dup of the batch-0 doc (stored band keys must survive the
@@ -520,3 +523,41 @@ def test_corpus_compact_index_tolerates_duplicate_rows(spark, tmp_path):
     idx = spark.read.parquet(root)
     assert idx.where("doc_id = 1").count() == 1
     assert sorted(r["doc_id"] for r in idx.collect()) == [1, 2, 3]
+
+
+def test_corpus_compact_index_keeps_reused_doc_id_entries(spark, tmp_path):
+    """Nothing in the gate forbids a doc_id reappearing in a later batch
+    with DIFFERENT text; both index entries are live dedup state, so
+    compaction must key its crash-duplicate dedupe on (doc_id, h), not
+    doc_id alone — keying on doc_id would drop one hash entry and
+    silently re-admit that text on redelivery."""
+    corpus_dir = str(tmp_path / "corpus")
+    reused_texts = [_TEXT_A, _TEXT_H]  # disjoint vocab, both accepted
+    for b, t in enumerate(reused_texts):
+        batch = spark.createDataFrame(
+            [(7, "web", t)], "doc_id bigint, source string, text string"
+        )
+        jobs.corpus_apply_ingest_batch(batch, b, corpus_dir, _BENCH)
+    # third batch so the two reused-id batches are both compactable
+    jobs.corpus_apply_ingest_batch(
+        spark.createDataFrame(
+            [(8, "web", " ".join(f"pad{i:02d}" for i in range(24)))],
+            "doc_id bigint, source string, text string",
+        ),
+        2,
+        corpus_dir,
+        _BENCH,
+    )
+    rep = jobs.corpus_compact_index(spark, corpus_dir)
+    assert rep["compacted_batches"] == [0, 1]
+    assert rep["base_rows"] == 2  # BOTH hash entries for doc_id 7 survive
+
+    # redeliveries of each text must still be flagged vs the compacted base
+    batch = spark.createDataFrame(
+        [(100, "web", reused_texts[0]), (101, "web", reused_texts[1])],
+        "doc_id bigint, source string, text string",
+    )
+    jobs.corpus_apply_ingest_batch(batch, 3, corpus_dir, _BENCH)
+    dec = _decisions(spark, corpus_dir)
+    assert dec[100]["dup_vs_corpus"] is True
+    assert dec[101]["dup_vs_corpus"] is True
