@@ -212,10 +212,14 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand
         ORDER BY p_brand
     """,
-    doc="""Explicit broadcast-hash join: part is a dimension (20k rows at
-    sf0.1, ~2M at sf100) — broadcast() pins the zero-shuffle plan so the
-    600M-row fact side never moves.  tests/test_plans.py asserts
-    BroadcastHashJoin in the physical plan.""",
+    doc="""Explicit broadcast-hash join — the operator demo for the one
+    case a forced hint is right: a side the CALLER knows is bounded.
+    broadcast() pins the zero-shuffle plan so the fact side never moves.
+    Everywhere else in this engine an SF-proportional side (customer,
+    supplier, part, per-key aggregates) carries NO hint — AQE picks
+    broadcast from the measured size whenever the side actually fits,
+    and falls back to shuffle when it doesn't, which a pinned hint
+    cannot.  tests/test_plans.py asserts BroadcastHashJoin here.""",
 )
 def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")

@@ -412,7 +412,7 @@ def regr_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     obs = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(
             F.col("l_returnflag").alias("returnflag"),
             F.col("l_quantity").cast("long").alias("q"),
@@ -1074,9 +1074,9 @@ def _lr_fit(spark: SparkSession, sf_dir: str):
         "o_custkey", "o_totalprice", "o_orderpriority"
     )
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    base = o.join(
-        F.broadcast(c), o.o_custkey == c.c_custkey
-    ).select(
+    # customer is SF-proportional; the join strategy is AQE's by
+    # measured size (it picks broadcast whenever the dim actually fits).
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         (F.col("o_totalprice") / F.lit(100000.0)).alias("x"),
         F.when(
@@ -1269,7 +1269,7 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 4
     )
-    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         "o_orderkey",
         F.col("o_totalprice").alias("y"),
@@ -1425,7 +1425,7 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_totalprice", "o_orderpriority"
     )
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         scaled_long(F.col("o_totalprice"), 100).alias("score_q"),
         F.when(
@@ -1832,7 +1832,7 @@ def ml_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     obs = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(
             F.col("l_returnflag").alias("returnflag"),
             F.col("l_quantity").cast("long").alias("q"),
@@ -1943,7 +1943,7 @@ def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
-    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         F.expr(f"CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV {_PR_BAND}").alias(
             "band"

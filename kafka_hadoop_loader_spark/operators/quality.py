@@ -146,17 +146,19 @@ def _fk_one_sql(ft: str, fk: str, pt: str, pk: str) -> str:
     snapshot.
 
     Plan: each edge is a left join against the DISTINCT PK projection —
-    the dimension side reduces to its key column and broadcasts; the
-    orphan test is then a map-side null check, so the audit costs one
-    broadcast-join pass per edge over the fact's key column only
-    (column pruning leaves a single-column scan).  All counts exact.""",
+    the parent side reduces to its key column, and the join strategy is
+    AQE's by the measured size of that projection (a parent table is
+    SF-proportional, so a forced broadcast would cap the audit's scale);
+    the orphan test is then a map-side null check, one join pass per
+    edge over the fact's key column only (column pruning leaves a
+    single-column scan).  All counts exact.""",
 )
 def fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for ft, fk, pt, pk in _FK_EDGES:
         f = table(spark, sf_dir, ft).select(fk)
         p = table(spark, sf_dir, pt).select(pk).distinct()
-        joined = f.join(F.broadcast(p), f[fk] == p[pk], "left")
+        joined = f.join(p, f[fk] == p[pk], "left")
         outs.append(
             joined.agg(
                 F.count("*").alias("n_fact_rows"),

@@ -412,10 +412,10 @@ def doc_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        dots.join(F.broadcast(norms.withColumnRenamed("doc_id", "doc_a")
-                  .withColumnRenamed("ss", "ss_a")), "doc_a")
-        .join(F.broadcast(norms.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("ss", "ss_b")), "doc_b")
+        dots.join(norms.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("ss", "ss_a"), "doc_a")
+        .join(norms.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("ss", "ss_b"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -458,8 +458,9 @@ _PHASH_DUCK = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
     bit positions.
 
     Spark plan: two broadcast hash joins against the 64-row bloom table
-    + one broadcast semi-join for ground truth; a single final global
-    aggregate row.  Nothing driver-side.""",
+    + one ground-truth join whose strategy is AQE's (the true-match key
+    set is orders-proportional, so it must not carry a broadcast hint);
+    a single final global aggregate row.  Nothing driver-side.""",
 )
 def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
@@ -493,7 +494,7 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" AND (word2 & (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INT))) != 0"
             ),
         )
-        .join(F.broadcast(matches), "l_orderkey", "left")
+        .join(matches, "l_orderkey", "left")
         .withColumn("is_match", F.coalesce("is_match", F.lit(False)))
     )
     return tested.agg(
@@ -972,7 +973,7 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     rev = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("s_nationkey", "l_suppkey")
         .agg(
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
@@ -1798,7 +1799,8 @@ def events_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one orderkey-grain aggregate over lineitem (map-side
     combine to the outcome bit), one shuffle join to orders (both
     sides partitioned by orderkey — colocatable via bucketing), a
-    broadcast customer dim, then a hash aggregate down to ~100 cells.
+    customer join whose strategy AQE picks by measured size (customer
+    is SF-proportional), then a hash aggregate down to ~100 cells.
     State is O(cells), never O(units); the coarsening grid is the
     bias/variance knob exactly as in the CEM literature.""",
 )
@@ -1816,7 +1818,7 @@ def causal_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     units = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(returned, o.o_orderkey == returned.l_orderkey, "left")
         .select(
             F.col("c_mktsegment").alias("segment"),

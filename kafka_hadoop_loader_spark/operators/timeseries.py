@@ -1038,18 +1038,20 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     accrues to that cohort's month, and a running sum per cohort gives
     the cumulative-LTV curve finance projects from (events_retention
     is this matrix's count-form twin).  The first-order stamp is a
-    MIN-aggregate broadcast back to the fact (no window over the raw
-    orders); revenues stay scaled BIGINTs through the running sum, so
-    every cell of the matrix is exact.  Shape: two aggregates + one
-    broadcast join + a cohort-partitioned window over the tiny monthly
-    matrix — the fact table is scanned twice and shuffled once.""",
+    MIN-aggregate joined back to the fact (no window over the raw
+    orders; the per-customer aggregate is SF-proportional, so the join
+    strategy is AQE's, not a forced broadcast); revenues stay scaled
+    BIGINTs through the running sum, so every cell of the matrix is
+    exact.  Shape: two aggregates + one key join + a cohort-partitioned
+    window over the tiny monthly matrix — the fact table is scanned
+    twice.""",
 )
 def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     firsts = o.groupBy("o_custkey").agg(
         F.min(F.date_format("o_orderdate", "yyyy-MM")).alias("cohort")
     )
-    tagged = o.join(F.broadcast(firsts), "o_custkey").select(
+    tagged = o.join(firsts, "o_custkey").select(
         "cohort",
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
         "o_totalprice",
@@ -1309,12 +1311,13 @@ def events_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="""New vs returning daily actives — the growth-accounting split
     (every DAU is either acquired today or retained from before).
-    First-seen day per user is one MIN aggregate broadcast back onto
-    the distinct (user, day) presence grid; the split is conditional
-    sums and one exact share division.  Composes with events_dau_wau_mau
-    (same presence grid) and events_retention (the cohort view of the
-    same fact).  Day ids are exact integers; one presence shuffle +
-    one broadcast join.""",
+    First-seen day per user is one MIN aggregate joined back onto the
+    distinct (user, day) presence grid (per-user state is
+    SF-proportional, so the join strategy is AQE's, never a forced
+    broadcast); the split is conditional sums and one exact share
+    division.  Composes with events_dau_wau_mau (same presence grid)
+    and events_retention (the cohort view of the same fact).  Day ids
+    are exact integers; one presence shuffle + one key join.""",
 )
 def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
@@ -1323,7 +1326,7 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.select("user_id", day.alias("day_id")).distinct()
     is_new = F.col("day_id") == F.col("first_day")
     return (
-        daily.join(F.broadcast(firsts), "user_id")
+        daily.join(firsts, "user_id")
         .groupBy("day_id")
         .agg(
             F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint").alias("new_users"),

@@ -83,8 +83,10 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC, n_name
     """,
     doc="""TPC-H Q5 (local supplier volume): 6-way join with the
-    customer-nation == supplier-nation locality predicate.  region/nation/
-    supplier broadcast; orders/lineitem shuffle on their keys.""",
+    customer-nation == supplier-nation locality predicate.  region and
+    nation are bounded dims the planner broadcasts on its own; supplier
+    is SF-proportional, so its join strategy is AQE's by measured size;
+    orders/lineitem shuffle on their keys.""",
 )
 def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region")
@@ -107,7 +109,9 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            # supplier is SF-proportional (1B rows at 100 TB): the join
+            # strategy is AQE's by measured size, never a forced hint.
+            s,
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .groupBy("n_name")
@@ -247,9 +251,10 @@ def tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="""TPC-H Q16 (parts/supplier relationship) adapted — lineitem
     stands in for partsupp (the fixtures carry no partsupp table).
     NOT IN subquery over a key with no NULLs == LEFT ANTI join (Catalyst
-    plans NOT IN as null-aware anti join; the blacklist side is 6 rows,
-    so it broadcasts).  COUNT(DISTINCT) expands to a two-phase
-    aggregate.""",
+    plans NOT IN as null-aware anti join; the blacklist side is
+    supplier-proportional, so its strategy is AQE's by measured size —
+    at small SF the planner still broadcasts it).  COUNT(DISTINCT)
+    expands to a two-phase aggregate.""",
 )
 def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -257,7 +262,7 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .join(p.where(F.col("p_brand") != "Brand#1"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))

@@ -70,7 +70,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -114,8 +114,10 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     STANDARD-part volume sold into ASIA, by order year.  The share is a
     ratio of two scaled-BIGINT sums over the same rows (CASE pivot in
     the numerator), so one aggregate pass computes both and the final
-    double division is bit-deterministic.  Five dims broadcast; only
-    the three fact joins shuffle.""",
+    double division is bit-deterministic.  The bounded dims (nation x2,
+    region) broadcast; part and supplier are SF-proportional, so their
+    join strategies are AQE's by measured size; the three fact joins
+    shuffle.""",
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
@@ -133,8 +135,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     vol_s = scaled_long(rev, 10000)
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -184,8 +186,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -296,7 +298,8 @@ def tpch_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from PROMO-type parts — the fixtures' p_type domain has a literal
     'PROMO' value, so this is the real Q14 predicate.  CASE-pivot
     numerator and denominator in a single aggregate over scaled BIGINTs;
-    part broadcasts into the one-month lineitem slice.""",
+    part joins the one-month lineitem slice under AQE's strategy (part
+    is SF-proportional, so no forced broadcast).""",
 )
 def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -307,7 +310,7 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 100.0
@@ -359,7 +362,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(top))
         .where(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -447,7 +450,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & sz.between(20, 50) & q.between(20, 50))
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
         .agg(
             exact_sum(rev, 10000).alias("revenue"),

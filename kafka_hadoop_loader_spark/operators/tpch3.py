@@ -75,7 +75,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
     )
     eu = (
-        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        ps.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
               F.col("n_regionkey") == F.col("r_regionkey"))
@@ -127,7 +127,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = n.where(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
     v = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     base = (
-        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("l_partkey", v.alias("v"))
     )
@@ -163,10 +163,11 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="""TPC-H Q20 (promotion-part suppliers), availability adapted:
     keep NATION_1 suppliers for whom some PROMO part ships more than
     half its all-time quantity after 1999 (recent-heavy supply).  The
-    nested IN subqueries become: broadcast-semi-join lineitem against
-    PROMO part keys, aggregate on (supplier, part) with a conditional
-    integer sum, then LEFT SEMI into the supplier dim — no distinct
-    needed, the semi join dedups.""",
+    nested IN subqueries become: semi-join lineitem against PROMO part
+    keys (part-proportional, so the strategy is AQE's by measured
+    size), aggregate on (supplier, part) with a conditional integer
+    sum, then LEFT SEMI into the supplier dim — no distinct needed,
+    the semi join dedups.""",
 )
 def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -179,7 +180,7 @@ def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp_ntz"), qty
     ).otherwise(F.lit(0).cast("long"))
     heavy = (
-        li.join(F.broadcast(promo_keys),
+        li.join(promo_keys,
                 F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(recent).alias("recent_qty"), F.sum(qty).alias("total_qty"))
@@ -235,13 +236,13 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
+    # One nation's suppliers is still supplier/|nations| — SF-
+    # proportional, so the join strategy is AQE's by measured size.
     l1 = late.join(
-        F.broadcast(
-            s.join(
-                F.broadcast(n.where(F.col("n_name") == "NATION_2")),
-                F.col("s_nationkey") == F.col("n_nationkey"),
-            ).select("s_suppkey", "s_name")
-        ),
+        s.join(
+            F.broadcast(n.where(F.col("n_name") == "NATION_2")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name"),
         F.col("l_suppkey") == F.col("s_suppkey"),
     )
     others = li.select(

@@ -129,9 +129,11 @@ def test_salted_agg_two_exchanges(spark):
     assert "salt" in plan
 
 
-# TPC-H composites that join at least one true dimension table
-# (region / nation / supplier / part): the dimension side must arrive
-# via broadcast, never a shuffle of the fact side against a dim.
+# TPC-H composites that join at least one bounded dimension table
+# (region / nation) or a small aggregate: at least one join must plan
+# as broadcast at this SF.  SF-proportional sides (supplier, part,
+# customer) carry no hints — the planner/AQE picks broadcast here
+# because they measure small, and would shuffle them at 100 TB.
 _TPCH_DIM_JOINERS = (
     "tpch_q2_min_cost_supplier",
     "tpch_q5_local_supplier",
