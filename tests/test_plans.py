@@ -129,11 +129,15 @@ def test_salted_agg_two_exchanges(spark):
     assert "salt" in plan
 
 
-# TPC-H composites that join at least one bounded dimension table
-# (region / nation) or a small aggregate: at least one join must plan
-# as broadcast at this SF.  SF-proportional sides (supplier, part,
-# customer) carry no hints — the planner/AQE picks broadcast here
-# because they measure small, and would shuffle them at 100 TB.
+# TPC-H composites where at least one join must plan as broadcast at
+# this SF.  SF-proportional sides (supplier, part, customer) carry no
+# hints — the planner/AQE picks broadcast here because they measure
+# small, and would shuffle them at 100 TB.  For most entries a bounded
+# dim (region/nation) or small aggregate guarantees the broadcast at
+# any threshold; q14 and q19 join ONLY lineitem x part, so their
+# asserted broadcast comes purely from part's size estimate — if the
+# fixture SF or autoBroadcastJoinThreshold changes, those two entries
+# flip to sort-merge by design (update the list, don't re-add hints).
 _TPCH_DIM_JOINERS = (
     "tpch_q2_min_cost_supplier",
     "tpch_q5_local_supplier",
