@@ -7,8 +7,11 @@ Catalyst picks the physical strategy (broadcast-hash for small dims,
 sort-merge otherwise, AQE switching at runtime).
 
 Scale notes per query in the docstrings; the general posture:
-- dimensions (region/nation/part/supplier) are broadcast — zero shuffle
-  of the fact side;
+- bounded dims (region/nation) broadcast — zero shuffle of the fact
+  side; SF-proportional sides (customer/supplier/part) carry NO hint,
+  so AQE broadcasts them only while they measure under the threshold
+  and shuffles them once they don't (tests/test_broadcast_hints.py
+  enforces the no-hint rule);
 - fact-fact joins shuffle on the join key; AQE handles skew;
 - the as-of join deliberately avoids a range join: it's a union +
   last-non-null window, one shuffle + one sort, linear at any scale.
@@ -40,8 +43,10 @@ from kafka_hadoop_loader_spark.registry import register
         ORDER BY o_orderkey
     """,
     doc="""Inner equi-join fact->dim. customer is small relative to
-    orders: Catalyst/AQE picks broadcast-hash below the 10MB threshold;
-    at 100 TB, customer stays broadcastable far longer than orders.""",
+    orders: Catalyst/AQE picks broadcast-hash while customer measures
+    under the threshold and falls back to sort-merge once it doesn't —
+    at 100 TB customer is TB-scale and both sides shuffle on the key.
+    No hint either way; the strategy is the planner's by size.""",
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, c = table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer")
