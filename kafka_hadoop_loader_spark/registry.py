@@ -71,9 +71,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # and therefore always sorts to the front — the round-1..7 "new ops
 # first" behavior falls out as a special case.
 #
-# The tuple below is the round-9 window: the 50 stalest names — the
-# remaining 28 round-2 names plus the first 22 round-3 names (latest
-# driver-green round ascending, name ascending; 5-6 rounds of code
+# The tuple below is the round-10 window: the 50 stalest names — the
+# remaining 24 round-3 names plus the first 26 round-4 names (latest
+# driver-green round ascending, name ascending; 6-7 rounds of code
 # drift since their last driver check).
 # tests/test_driver_window.py recomputes this ordering from the
 # committed CORRECTNESS_r*.json artifacts and fails if the tuple
@@ -81,58 +81,58 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # round's artifact.  Pure presentation order — names, fns, and oracles
 # are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- latest driver green: round 2 (remaining 28 of 42, name order) --
-    "text_lang_id",
-    "text_lang_stats",
-    "text_quality",
-    "text_repetition",
-    "text_tfidf",
-    "text_token_freq",
-    "tpch_q10_returns",
-    "tpch_q12_ship_delay",
-    "tpch_q13_cust_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_quantity",
-    "tpch_q22_idle_rich",
-    "tpch_q3_shipping",
-    "tpch_q4_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "udtf_tokens",
-    "window_lag_lead",
-    "window_moving_avg",
-    "window_rank",
-    "window_running",
-    "window_session_batch",
-    "window_sliding_batch",
-    "window_topk_per_group",
-    # -- latest driver green: round 3 (first 22, name order) --
-    "anomaly_rolling_z",
-    "compact_small_files",
-    "cooccur_pmi",
-    "corr_matrix",
-    "dedup_edit_distance",
-    "dedup_incremental_batch",
-    "dedup_segments",
-    "events_funnel",
-    "events_retention",
-    "graph_bfs_hops",
-    "graph_pagerank",
-    "inverted_index",
-    "join_asof_tolerance",
-    "join_null_safe",
-    "join_salted_skew",
-    "keyword_search",
-    "kmeans_embeddings",
-    "knn_cosine_blocked",
-    "pack_sequences",
-    "quantiles_exact",
-    "reference_loader_parity",
-    "regr_by_group",
+    # -- latest driver green: round 3 (24 names, name order) --
+    "resample_ffill",
+    "rollup_incremental",
+    "sample_stratified",
+    "scan_csv",
+    "scan_json",
+    "scan_orc",
+    "scan_python_datasource",
+    "scan_text_lines",
+    "scd2_history",
+    "sink_partitioned",
+    "snapshot_diff",
+    "text_normalize",
+    "text_token_count_bpe",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "udaf_grouped_agg",
+    "udf_grouped_map",
+    "udf_scalar_pandas",
+    "window_distribution",
+    # -- latest driver green: round 4 (26 names, name order) --
+    "bloom_filter_probe",
+    "bm25_rank",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
+    "chunk_documents",
+    "dedup_containment",
+    "dedup_substring_spans",
+    "events_attribution_touch",
+    "events_pattern_regex",
+    "events_watermark_lag",
+    "feature_quantile_bins",
+    "fk_orphan_check",
+    "fn_collation_ci",
+    "fn_explode_outer",
+    "fn_try_safe",
+    "fn_variant",
+    "frequent_sequences",
+    "graph_triangles",
+    "insert_overwrite_day",
+    "join_dpp_partitioned",
+    "join_lateral_topn",
+    "join_shuffle_hash",
+    "knn_pq_adc",
+    "mixture_solve_rates",
+    "multimodal_arrow_checksum",
+    "multimodal_audio_energy",
 )
 
 
