@@ -558,13 +558,21 @@ def user_topk_tws(events: DataFrame, k: int = 3) -> DataFrame:
 _CORPUS_INDEX_SCHEMA = (
     "doc_id bigint, source string, n_tok bigint, h string,"
     " sig array<bigint>, bands array<struct<band:int,bkey:bigint>>,"
-    " ingest_batch bigint"
+    " s array<bigint>, ingest_batch bigint"
 )
+# `s` = the doc's distinct shingle hashes, stored ONLY when the doc has
+# at most `shingle_state_budget` of them (else null) — the bounded
+# state that lets vs-corpus candidates get the batch cascade's EXACT
+# Jaccard verdict instead of the signature estimate.  Index partitions
+# written before this column existed read as null (explicit schema
+# above), which safely selects the estimate path.
 _CORPUS_ND_EST_T = 0.5  # signature-agreement threshold for the
-# VS-CORPUS verify (state holds signatures, not shingle sets) ~ the
-# batch cascade's exact-Jaccard ND_JACCARD_T (operators/dedup.py).
-# The WITHIN-BATCH verify imports the cascade's own exact_jaccard
-# expression and ND_JACCARD_T — shared code path, no second copy.
+# vs-corpus FALLBACK verify (partner doc's shingles exceeded the state
+# budget, so state holds only its 64-long signature) ~ the batch
+# cascade's exact-Jaccard ND_JACCARD_T (operators/dedup.py).  Every
+# other candidate class — within-batch pairs, and vs-corpus pairs whose
+# partner stored `s` — verifies by the cascade's own exact_jaccard /
+# ND_JACCARD_T: shared code path, no second copy.
 
 
 def _bands_from_sig(sig_col):
@@ -600,6 +608,7 @@ def corpus_apply_ingest_batch(
     batch_id: int,
     corpus_dir: str,
     bench_grams: tuple[str, ...] = (),
+    shingle_state_budget: int = 512,
 ) -> None:
     """One incremental pass of the corpus-build ingest gate (the
     foreachBatch body of ``corpus_maintain_foreach_batch``; module-level
@@ -619,15 +628,21 @@ def corpus_apply_ingest_batch(
       corpus index AND a within-batch band self-join.  WITHIN-BATCH
       candidates verify by EXACT shingle Jaccard >= 0.5 — the batch's
       shingle sets are already computed in this job, so these pairs get
-      pipeline_corpus_build's exact verdict.  VS-CORPUS candidates
-      verify by SIGNATURE AGREEMENT (fraction of equal minhash
-      positions >= 0.5): storing shingle sets in corpus state would
-      make state text-sized, so that path trades the verify step to
-      the unbiased signature estimate and keeps state at 64 longs/doc
-      — the standard streaming-LSH compromise, documented here because
-      it is the ONE deliberate divergence from the batch funnel, and
-      it is now confined to pairs that straddle the stream/corpus
-      boundary;
+      pipeline_corpus_build's exact verdict.  VS-CORPUS candidates get
+      the SAME exact verdict whenever the corpus partner stored its
+      shingle set: the index keeps a doc's distinct shingle hashes when
+      there are at most ``shingle_state_budget`` of them (default 512
+      longs = 4 KiB/doc ceiling, on top of the 64-long signature), so
+      state stays bounded per doc rather than text-sized.  Only when
+      the partner EXCEEDED the budget (shingles stored as null) does
+      the pair fall back to SIGNATURE AGREEMENT (fraction of equal
+      minhash positions >= 0.5) — the unbiased estimate that is now
+      the one deliberate divergence from the batch funnel, confined to
+      boundary pairs whose corpus side is a long document.  Budget
+      semantics at 100 TB: short/medium docs (the bulk of near-dup
+      traffic) verify exactly; the per-doc state ceiling — not a
+      corpus-proportional total — is the knob, and ``0`` recovers the
+      pure-signature behavior;
     - decontamination: any word 3-gram in ``bench_grams`` (the BOUNDED
       benchmark set — safe to inline as a literal predicate);
     - accepted survivors land in the index log.
@@ -635,7 +650,7 @@ def corpus_apply_ingest_batch(
     State is ONE append-only index log at ``{corpus_dir}/index``,
     hive-partitioned by ``ingest_batch``: batch N overwrites exactly its
     own partition with the rows it accepted (doc_id, source, n_tok, h,
-    sig).  The partition content is a deterministic function of the
+    sig, budget-bounded shingles s).  The partition content is a deterministic function of the
     EARLIER partitions (``ingest_batch < N``) and the batch, so an
     at-least-once redelivery rewrites identical bytes — the
     backfill_overwrite_days idempotence doctrine, and a single store
@@ -788,19 +803,32 @@ def corpus_apply_ingest_batch(
         if idx is not None:
             # stored band keys (precomputed at index-write time; empty for
             # docs with no 64-hash signature) — no per-batch re-hash of
-            # the corpus.  vs-corpus candidates verify by SIGNATURE
-            # AGREEMENT: the corpus state holds 64 longs/doc, not shingle
-            # sets (the one documented divergence from the batch cascade).
+            # the corpus.  vs-corpus candidates verify by the batch
+            # cascade's EXACT shingle Jaccard whenever the partner stored
+            # its (budget-bounded) shingle set `c_s`; only an over-budget
+            # partner (c_s null — long doc, or a pre-budget index
+            # partition) falls back to the signature-agreement estimate.
             corpus_bands = idx.select(
                 F.col("doc_id").alias("c_doc_id"),
                 F.col("sig").alias("c_sig"),
+                F.col("s").alias("c_s"),
                 F.explode("bands").alias("bk"),
-            ).select("c_doc_id", "c_sig", "bk.band", "bk.bkey")
+            ).select("c_doc_id", "c_sig", "c_s", "bk.band", "bk.bkey")
             nd_corpus = (
                 bands.join(corpus_bands, ["band", "bkey"])
-                .select("doc_id", "sig", "c_doc_id", "c_sig")
+                .select("doc_id", "sig", "c_doc_id", "c_sig", "c_s")
                 .distinct()
-                .where(sig_agree(F.col("sig"), F.col("c_sig")) >= _CORPUS_ND_EST_T)
+                # batch side's shingle sets are already in this job
+                .join(sh.select("doc_id", F.col("s").alias("b_s")), "doc_id")
+                .where(
+                    F.when(
+                        F.col("c_s").isNotNull(),
+                        exact_jaccard("b_s", "c_s") >= ND_JACCARD_T,
+                    ).otherwise(
+                        sig_agree(F.col("sig"), F.col("c_sig"))
+                        >= _CORPUS_ND_EST_T
+                    )
+                )
                 .groupBy("doc_id")
                 .agg(F.min("c_doc_id").alias("near_match_id"))
             )
@@ -896,6 +924,7 @@ def corpus_apply_ingest_batch(
         accepted = (
             decided.where("accept")
             .join(mh, "doc_id", "left")
+            .join(sh, "doc_id", "left")
             .select(
                 "doc_id",
                 "source",
@@ -913,6 +942,15 @@ def corpus_apply_ingest_batch(
                 )
                 .otherwise(empty_bands)
                 .alias("bands"),
+                # budget-bounded shingle state: stored only when the doc
+                # has at most shingle_state_budget distinct shingles, so
+                # future batches can verify candidate pairs against this
+                # doc by EXACT Jaccard; null (over budget / no shingles)
+                # selects the signature-estimate fallback
+                F.when(
+                    F.size("s") <= F.lit(int(shingle_state_budget)),
+                    F.col("s"),
+                ).alias("s"),
             )
         )
         accepted.write.mode("overwrite").parquet(
@@ -930,6 +968,7 @@ def corpus_maintain_foreach_batch(
     corpus_dir: str,
     bench_grams: tuple[str, ...] = (),
     checkpoint_dir: str | None = None,
+    shingle_state_budget: int = 512,
 ):
     """Streaming corpus maintenance: run pipeline_corpus_build's ingest
     gate incrementally over a document stream under ``availableNow``
@@ -954,7 +993,10 @@ def corpus_maintain_foreach_batch(
         checkpoint_dir = corpus_dir.rstrip("/") + "/_checkpoint"
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        corpus_apply_ingest_batch(batch, batch_id, corpus_dir, bench_grams)
+        corpus_apply_ingest_batch(
+            batch, batch_id, corpus_dir, bench_grams,
+            shingle_state_budget=shingle_state_budget,
+        )
 
     return (
         docs.writeStream.foreachBatch(apply_batch)
@@ -968,6 +1010,7 @@ def corpus_compact_index(
     corpus_dir: str,
     upto_batch: int | None = None,
     target_files: int | None = None,
+    lock_ttl_sec: float = 3600.0,
 ) -> dict:
     """Compact the streaming corpus index log: merge the per-batch
     partitions ``ingest_batch=0..upto_batch`` (plus any existing base)
@@ -1005,14 +1048,24 @@ def corpus_compact_index(
     - output file count is sized from the LISTED byte total
       (ceil(bytes / spark.sql.files.maxPartitionBytes)), not guessed,
       unless ``target_files`` overrides it.
-    - SINGLE-FLIGHT, quiesced ingest: run at most one compaction at a
-      time, and not while an ingest batch is executing in a DIFFERENT
-      session (that session's already-planned scan would hit deleted
-      part files; the refresh below can only fix THIS session's
-      listing cache).  The availableNow trigger makes the quiesce
-      natural — compact between drains.  Stale ``_compact_tmp-*``
-      leftovers from a crashed run are deleted on entry under the same
-      single-flight assumption.
+    - SINGLE-FLIGHT, quiesced ingest — ENFORCED, not just documented:
+      on entry the job atomically creates a ``_compact_lock`` marker
+      (run id + acquisition time; underscore prefix = invisible to
+      Spark's file index) in the index root via
+      ``FileSystem.create(path, overwrite=False)`` and raises if a
+      FRESH lock already exists (another compaction is running).  A
+      lock older than ``lock_ttl_sec`` is a crashed run's leftover and
+      is reclaimed — the crash-window doctrine above already makes the
+      half-done state safe to re-enter.  The lock is removed in a
+      ``finally``, so even a failed run releases it.  This guards
+      compaction-vs-compaction only; quiescing INGEST remains the
+      caller's job (a different session's already-planned scan would
+      hit deleted part files; the refresh below can only fix THIS
+      session's listing cache).  The availableNow trigger makes the
+      quiesce natural — compact between drains.  Stale
+      ``_compact_tmp-*`` leftovers from a crashed run are deleted
+      after the lock is held (deleting them unlocked could destroy a
+      LIVE run's staging).
 
     Per-row arrival provenance (which batch a doc landed in) is NOT
     kept in the compacted base — ``{corpus_dir}/decisions`` is the
@@ -1021,7 +1074,9 @@ def corpus_compact_index(
     Returns a report: compacted batch ids, rows in the new base, and
     file counts before/after over the compacted region.
     """
+    import json as _json
     import math
+    import time
     import uuid
 
     index_root = corpus_dir.rstrip("/") + "/index"
@@ -1031,6 +1086,66 @@ def corpus_compact_index(
     if not fs.exists(root):
         return {"compacted_batches": [], "base_rows": 0,
                 "files_before": 0, "files_after": 0}
+
+    run_id = uuid.uuid4().hex
+    lock = jvm_path(index_root + "/_compact_lock")
+
+    def _try_acquire() -> bool:
+        # FileSystem.create(path, overwrite=False) is the atomic
+        # create-if-absent primitive on both HDFS and local FS
+        try:
+            out = fs.create(lock, False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(_json.dumps(
+                {"run_id": run_id, "acquired_unix": time.time()}
+            ).encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    if not _try_acquire():
+        # a lock exists: fresh -> a live compaction, refuse; older than
+        # the TTL -> a crashed run's leftover, reclaim (the crash-window
+        # doctrine makes the half-done state safe to re-enter).  The
+        # freshness source is the FS's own mtime, not the (crashed
+        # writer's) payload.  If the holder releases between our failed
+        # create and the stat, just acquire.
+        try:
+            age_sec = (
+                time.time() * 1000.0
+                - fs.getFileStatus(lock).getModificationTime()
+            ) / 1000.0
+        except Exception:
+            age_sec = float("inf")
+        if age_sec <= lock_ttl_sec:
+            raise RuntimeError(
+                f"corpus_compact_index: another compaction holds "
+                f"{index_root}/_compact_lock (age {age_sec:.1f}s <= ttl "
+                f"{lock_ttl_sec:.0f}s); compaction is single-flight — "
+                "wait for it or, if it crashed, let the TTL reclaim"
+            )
+        fs.delete(lock, False)
+        if not _try_acquire():
+            raise RuntimeError(
+                f"corpus_compact_index: lost the race re-acquiring "
+                f"{index_root}/_compact_lock after reclaiming a stale one"
+            )
+    try:
+        return _corpus_compact_index_locked(
+            spark, index_root, upto_batch, target_files, jvm_path, fs, root
+        )
+    finally:
+        fs.delete(lock, False)
+
+
+def _corpus_compact_index_locked(
+    spark, index_root, upto_batch, target_files, jvm_path, fs, root
+) -> dict:
+    """Body of :func:`corpus_compact_index`; caller holds _compact_lock."""
+    import math
+    import uuid
 
     part_ids: dict[int, object] = {}
     for st in fs.listStatus(root):

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -561,3 +562,110 @@ def test_corpus_compact_index_keeps_reused_doc_id_entries(spark, tmp_path):
     dec = _decisions(spark, corpus_dir)
     assert dec[100]["dup_vs_corpus"] is True
     assert dec[101]["dup_vs_corpus"] is True
+
+
+def _ingest_three_batches(spark, corpus_dir):
+    """Three accepted docs in batches 0..2 (disjoint vocab)."""
+    for b, t in enumerate([
+        _TEXT_A, _TEXT_H, " ".join(f"lk{i:02d}" for i in range(24))
+    ]):
+        batch = spark.createDataFrame(
+            [(b * 10 + 1, "web", t)], "doc_id bigint, source string, text string"
+        )
+        jobs.corpus_apply_ingest_batch(batch, b, corpus_dir, _BENCH)
+
+
+def test_corpus_compact_index_single_flight_lock(spark, tmp_path):
+    """The single-flight doctrine is ENFORCED: a fresh _compact_lock in
+    the index root makes a second invocation raise without touching any
+    state; a stale lock (crashed run, mtime past the TTL) is reclaimed;
+    and the lock is released even when the job raises."""
+    import pytest
+
+    corpus_dir = str(tmp_path / "corpus")
+    _ingest_three_batches(spark, corpus_dir)
+    root = os.path.join(corpus_dir, "index")
+    lock = os.path.join(root, "_compact_lock")
+
+    # 1. fresh lock (a live concurrent compaction) -> refuse, state intact
+    with open(lock, "w") as f:
+        f.write('{"run_id": "other-live-run"}')
+    before = _index_partitions(corpus_dir)
+    with pytest.raises(RuntimeError, match="single-flight"):
+        jobs.corpus_compact_index(spark, corpus_dir)
+    assert os.path.exists(lock), "the holder's lock must not be touched"
+    assert _index_partitions(corpus_dir) == before, "no partition touched"
+
+    # 2. stale lock (crashed run): mtime older than the TTL -> reclaimed,
+    #    compaction proceeds, lock gone afterwards
+    stale = time.time() - 7200.0
+    os.utime(lock, (stale, stale))
+    rep = jobs.corpus_compact_index(spark, corpus_dir)
+    assert rep["compacted_batches"] == [0, 1]
+    assert not os.path.exists(lock), "lock must be released in finally"
+    assert "ingest_batch=-1" in _index_partitions(corpus_dir)
+
+    # 3. a raising run (newest batch requested) still releases the lock
+    with pytest.raises(ValueError):
+        jobs.corpus_compact_index(spark, corpus_dir, upto_batch=2)
+    assert not os.path.exists(lock)
+    # and the next legitimate run acquires normally (no-op: nothing
+    # below the newest batch remains, base already absorbed 0-1)
+    rep = jobs.corpus_compact_index(spark, corpus_dir)
+    assert rep["compacted_batches"] == []
+    assert not os.path.exists(lock)
+
+
+def test_corpus_vs_corpus_near_dup_verifies_exact_within_budget(spark, tmp_path):
+    """VS-CORPUS candidates must ALSO get the batch cascade's exact
+    shingle-Jaccard verdict when the corpus partner stored its
+    budget-bounded shingle set — the r9 boundary divergence, closed for
+    every partner doc at or under shingle_state_budget.  Uses the same
+    searched borderline pair as the within-batch test: exact Jaccard
+    0.5172 >= 0.5 but signature agreement 28/64 = 0.4375 < 0.5, so the
+    retired estimate-only verify accepted the near-dup."""
+    corpus_dir = str(tmp_path / "corpus")
+    a = spark.createDataFrame(
+        [(1, "web", _TEXT_A)], "doc_id bigint, source string, text string"
+    )
+    jobs.corpus_apply_ingest_batch(a, 0, corpus_dir, _BENCH)
+    # doc 1 is short (29 distinct shingles << 512): shingles stored
+    idx = spark.read.parquet(os.path.join(corpus_dir, "index"))
+    srow = idx.where("doc_id = 1").select("s").first()
+    assert srow["s"] is not None and len(srow["s"]) > 0
+
+    b = spark.createDataFrame(
+        [(2, "web", _TEXT_B_BORDERLINE)],
+        "doc_id bigint, source string, text string",
+    )
+    jobs.corpus_apply_ingest_batch(b, 1, corpus_dir, _BENCH)
+    dec = _decisions(spark, corpus_dir)
+    assert dec[2]["near_dup"] is True and dec[2]["near_match_id"] == 1
+    assert dec[2]["accept"] is False
+    # verdict matches pipeline_corpus_build's cascade on the same pair:
+    # the within-batch test pinned exactly that, so batch and boundary
+    # agree wherever the budget holds
+
+
+def test_corpus_vs_corpus_falls_back_to_estimate_over_budget(spark, tmp_path):
+    """A partner doc OVER the shingle-state budget stores s=null, and
+    the same borderline pair then gets the signature-agreement estimate
+    (0.4375 < 0.5 -> not a near-dup): the documented fallback, selected
+    per-doc by the budget, with budget=0 recovering the pure-signature
+    behavior."""
+    corpus_dir = str(tmp_path / "corpus")
+    a = spark.createDataFrame(
+        [(1, "web", _TEXT_A)], "doc_id bigint, source string, text string"
+    )
+    jobs.corpus_apply_ingest_batch(a, 0, corpus_dir, _BENCH,
+                                   shingle_state_budget=0)
+    idx = spark.read.parquet(os.path.join(corpus_dir, "index"))
+    assert idx.where("doc_id = 1").select("s").first()["s"] is None
+
+    b = spark.createDataFrame(
+        [(2, "web", _TEXT_B_BORDERLINE)],
+        "doc_id bigint, source string, text string",
+    )
+    jobs.corpus_apply_ingest_batch(b, 1, corpus_dir, _BENCH)
+    dec = _decisions(spark, corpus_dir)
+    assert dec[2]["near_dup"] is False and dec[2]["accept"] is True
