@@ -67,7 +67,23 @@ def main() -> None:
             ).save()
             dt = round(time.time() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
-    print(json.dumps(times))
+    # protocol stamped so update_baseline.py can refuse/label these
+    # numbers: targeted min-of-3 reads systematically QUIETER than the
+    # same query inside a full bench.py suite pass (less GC/scheduler
+    # interference — the round-9 lesson), so BASELINE.md rows must come
+    # from full-suite passes unless explicitly labeled
+    print(json.dumps({
+        "protocol": "targeted-min3",
+        "sf": _sf_of(sf_dir),
+        "queries": times,
+    }))
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    return float(m.group(1)) if m else -1.0
 
 
 if __name__ == "__main__":
