@@ -11,11 +11,15 @@ size whenever the side actually fits (the round-8/9 doctrine —
 pipeline_corpus_build, pipeline_funnel, dedup_simhash, and the round-9
 sweep over the TPC-H / ml / graph / stats / timeseries operators).
 
-This test inventories every hint by (file, argument token) and compares
-against the reviewed allowlist below.  Adding a new `F.broadcast` makes
-it fail until the new site is reviewed for boundedness and added here;
-removing one requires pruning the entry — either way the diff shows up
-in review next to the code that changed.
+This test inventories every hint by (file, enclosing function,
+argument token) and compares against the reviewed allowlist below.
+Adding a new `F.broadcast` makes it fail until the new site is reviewed
+for boundedness and added here; removing one requires pruning the
+entry — either way the diff shows up in review next to the code that
+changed.  Keying on the enclosing FUNCTION (innermost def, by AST line
+ranges) means swapping an allowlisted bounded frame for a new unbounded
+one that reuses the same variable name elsewhere in the file now fails
+the inventory instead of slipping through.
 
 The one deliberate proportional-looking entry: operators/joins.py `p`
 (join_broadcast) is the explicit-hint OPERATOR DEMO — its docstring
@@ -32,53 +36,224 @@ from collections import Counter
 PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "kafka_hadoop_loader_spark")
 
-# (relative path under the package) -> {argument token: count}
-# Tokens are the first identifier inside F.broadcast( — enough to key a
-# review because hint sites name their frames.
+# (relative path under the package) -> {"<enclosing def>.<argument
+# token>": count}.  The token is the first identifier inside
+# F.broadcast(; the qualifier is the innermost enclosing function
+# ("<module>" for module level).
 ALLOWED = {
-    "operators/aggregates.py": {"best": 1},            # 1-row max
-    "operators/dedup.py": {"b": 1, "cert": 1},         # per-source aggs; 1-row certificate
-    "operators/graph.py": {"cert": 2, "exp": 1, "imp": 1, "n_nodes": 1},  # |nations| rollups; 1-row certs
-    "operators/joins.py": {"bands": 1, "days": 1, "p": 1},  # literal bands; calendar days; OPERATOR DEMO (see module doc)
-    "operators/layout.py": {"g": 1},                   # 1-row min/max
+    # 1-row max
+    "operators/aggregates.py": {
+        "agg_share_reused_exchange.best": 1,
+    },
+    # per-source aggs; 1-row certificate
+    "operators/dedup.py": {
+        "_star_cluster_labels.cert": 1,
+        "dedup_source_contamination.b": 1,
+    },
+    # |nations| rollups; 1-row certs
+    "operators/graph.py": {
+        "graph_assortativity.n_nodes": 1,
+        "graph_connected_components.cert": 1,
+        "graph_kcore.cert": 1,
+        "nation_trade_balance.exp": 1,
+        "nation_trade_balance.imp": 1,
+    },
+    # literal bands; calendar days; OPERATOR DEMO (see module doc)
+    "operators/joins.py": {
+        "join_broadcast.p": 1,
+        "join_dpp_partitioned.days": 1,
+        "join_range.bands": 1,
+    },
+    # 1-row min/max
+    "operators/layout.py": {
+        "shard_plan_balanced.g": 1,
+    },
+    # per-segment/per-bin/per-class model state; 1-row domains
     "operators/ml.py": {
-        "betas": 4, "cent": 1, "dom": 1, "g": 1, "iso": 2, "ivl": 1,
-        "l1": 1, "l2": 1, "l3": 1, "m": 1, "model": 2, "p": 1, "pk": 1,
-        "pm": 1, "prev": 1, "q": 1, "seg": 1, "tot": 1,
-    },  # per-segment/per-bin/per-class model state; 1-row domains
-    "operators/pipeline.py": {"bands": 1, "bench": 3, "target": 1, "tot": 3},
+        "_lr_step.betas": 1,
+        "conformal_interval_coverage.model": 2,
+        "conformal_interval_coverage.q": 1,
+        "feature_target_encoding.g": 1,
+        "feature_target_encoding.seg": 1,
+        "kmeans_embeddings.cent": 1,
+        "ml_calibration_ece.betas": 1,
+        "ml_calibration_ece.tot": 1,
+        "ml_isotonic_calibration.betas": 1,
+        "ml_isotonic_calibration.iso": 2,
+        "ml_isotonic_calibration.ivl": 1,
+        "ml_isotonic_calibration.pk": 1,
+        "ml_isotonic_calibration.pm": 1,
+        "ml_isotonic_calibration.prev": 1,
+        "ml_logreg_rational.betas": 1,
+        "ml_naive_bayes.dom": 1,
+        "ml_naive_bayes.l1": 1,
+        "ml_naive_bayes.l2": 1,
+        "ml_naive_bayes.l3": 1,
+        "ml_naive_bayes.p": 1,
+        "pca_power_component.m": 1,
+    },
     # bench = benchmark-slice doctrine (bounded in production); rest 1-row / per-band
-    "operators/profile.py": {"tot": 1},
-    "operators/quality.py": {"bounds": 2, "census": 1, "mode": 1, "n": 1, "tot": 3},
+    "operators/pipeline.py": {
+        "decontaminate_ngram.bench": 1,
+        "mixture_solve_rates.tot": 1,
+        "pipeline_corpus_build.bench": 1,
+        "pipeline_funnel.bench": 1,
+        "sample_importance_reweight.target": 1,
+        "sample_importance_reweight.tot": 1,
+        "t_closeness_audit.bands": 1,
+        "t_closeness_audit.tot": 1,
+    },
+    "operators/profile.py": {
+        "skew_profile.tot": 1,
+    },
+    "operators/quality.py": {
+        "drift_category_chi2.bounds": 1,
+        "drift_category_chi2.tot": 1,
+        "drift_numeric_ks.bounds": 1,
+        "drift_numeric_ks.tot": 1,
+        "props_key_profile.n": 1,
+        "quality_benford_audit.census": 1,
+        "quality_benford_audit.tot": 1,
+        "table_profile.mode": 1,
+    },
+    # unigram-vocabulary Heaps-law sides; 1-row totals; query-set doctrine
     "operators/search.py": {
-        "a": 1, "b": 1, "df": 2, "dfs": 1, "n_docs": 2, "nd": 2,
-        "qterms": 1, "tot": 1,
-    },  # unigram-vocabulary Heaps-law sides; 1-row totals; query-set doctrine
+        "bm25_rank.dfs": 1,
+        "bm25_rank.nd": 1,
+        "cooccur_pmi.a": 1,
+        "cooccur_pmi.b": 1,
+        "cooccur_pmi.tot": 1,
+        "doc_sparse_cosine.df": 1,
+        "doc_sparse_cosine.n_docs": 1,
+        "keyword_search.df": 1,
+        "keyword_search.n_docs": 1,
+        "retrieval_mrr_audit.nd": 1,
+        "retrieval_mrr_audit.qterms": 1,
+    },
+    # bounded query sides (vec_id < N_QUERIES), codebooks, literal grids
     "operators/similarity.py": {
-        "cent": 3, "ctab": 1, "hits": 1, "nps": 1, "nv": 1, "q": 5,
-        "qd": 1, "shards": 1, "shortlist": 1,
-    },  # bounded query sides (vec_id < N_QUERIES), codebooks, literal grids
-    "operators/sketch.py": {"cms": 1, "env": 1, "ex": 1, "sb": 1, "su": 1, "truth": 1},
-    "operators/spatial.py": {"c1": 1, "cent": 1, "cert": 1, "ci": 1,
-                             "d": 1, "d2": 1, "rect_cells": 1},
+        "_ivf_assign.cent": 1,
+        "ann_ivf_probe_frontier.hits": 1,
+        "ann_ivf_probe_frontier.nps": 1,
+        "ann_ivf_probe_frontier.nv": 1,
+        "ann_matryoshka_recall.q": 1,
+        "ann_pq_recall_audit.q": 1,
+        "assign.cent": 1,
+        "embedding_label_centroid_dist.cent": 1,
+        "knn_cosine_blocked.q": 1,
+        "knn_cosine_blocked.shards": 1,
+        "knn_cosine_bruteforce.q": 1,
+        "knn_cosine_lsh.ctab": 1,
+        "knn_pq_adc.qd": 1,
+        "knn_pq_adc.shortlist": 1,
+        "sample_hard_negatives.q": 1,
+    },
+    "operators/sketch.py": {
+        "quantiles_tdigest.env": 1,
+        "sketch_cms_heavy_hitters.cms": 1,
+        "sketch_hll_distinct.truth": 1,
+        "sketch_kmv_setops.ex": 1,
+        "sketch_kmv_setops.sb": 1,
+        "sketch_kmv_setops.su": 1,
+    },
+    "operators/spatial.py": {
+        "kmeans_seed_farthest.c1": 1,
+        "kmeans_seed_farthest.cent": 1,
+        "kmeans_seed_farthest.ci": 1,
+        "spatial_dbscan_grid.cert": 1,
+        "spatial_dbscan_grid.d": 1,
+        "spatial_dbscan_grid.d2": 1,
+        "spatial_join_grid.rect_cells": 1,
+    },
+    # 64-word bloom; 1-row medians/anchors; per-bucket counts
     "operators/stats.py": {
-        "anchor": 1, "bloom": 2, "bounds": 2, "cuts": 1, "facs": 1,
-        "med": 1, "medn": 1, "medr": 1, "mx": 1, "n": 1, "n_orders": 1,
-        "sa": 1, "sb": 1, "sorted_ms": 1, "tot": 2,
-    },  # 64-word bloom; 1-row medians/anchors; per-bucket counts
-    "operators/textstats.py": {"btot": 1, "cnt": 1, "cont": 1, "n": 1, "n_total": 1},
+        "basket_part_affinity.n_orders": 1,
+        "basket_part_affinity.sa": 1,
+        "basket_part_affinity.sb": 1,
+        "bloom_filter_probe.bloom": 2,
+        "events_uplift_did.bounds": 1,
+        "orders_abc_classification.tot": 1,
+        "orders_rfm_segments.anchor": 1,
+        "orders_segment_migration.bounds": 1,
+        "orders_segment_migration.medn": 1,
+        "orders_segment_migration.medr": 1,
+        "orders_survival_km.facs": 1,
+        "orders_survival_km.mx": 1,
+        "orders_survival_km.tot": 1,
+        "stats_bootstrap_ci.sorted_ms": 1,
+        "stats_mad_robust.med": 1,
+        "stats_winsorize.cuts": 1,
+        "supplier_concentration_hhi.n": 1,
+    },
+    "operators/textstats.py": {
+        "text_bigram_kneser_ney.btot": 1,
+        "text_bigram_kneser_ney.cont": 1,
+        "text_perplexity_proxy.cnt": 1,
+        "text_perplexity_proxy.n_total": 1,
+        "text_tfidf.n": 1,
+    },
+    # 1-row bounds/medians; limit(1) query series; 24-row grids
     "operators/timeseries.py": {
-        "bounds": 5, "lags": 1, "mad": 1, "med": 1, "q": 2, "qnorm": 1,
-        "qvec": 1, "seas": 1, "span": 1, "tot": 1,
-    },  # 1-row bounds/medians; limit(1) query series; 24-row grids
-    "operators/tokenizer.py": {"top": 1},              # limit(1)
-    "operators/tpch.py": {"n": 2, "thresh": 1},        # nation; 1-row scalar
-    "operators/tpch2.py": {"n": 1, "n1": 2, "n2": 2, "r": 1, "top": 1},
-    "operators/tpch3.py": {"n": 3, "nat": 1, "r": 1, "total": 1},
-    "plans/ranking.py": {"bnds": 1, "offs": 1},        # quantile bounds; per-bucket offsets
-    "sources/formats.py": {"first": 1, "mind": 1},     # 1-row min partitions
-    "streaming/batch_windows.py": {"g": 1},            # 1-row global max
-    "streaming/jobs.py": {"dim": 1},                   # literal event-type dim
+        "events_changepoint_cusum.bounds": 1,
+        "events_forecast_holt.bounds": 1,
+        "events_markov_transitions.tot": 1,
+        "forecast_backtest_mase.span": 1,
+        "resample_ffill.bounds": 1,
+        "resample_interpolate.bounds": 1,
+        "ts_acf.bounds": 1,
+        "ts_acf.lags": 1,
+        "ts_anomaly_seasonal.mad": 1,
+        "ts_anomaly_seasonal.med": 1,
+        "ts_decompose_classical.seas": 1,
+        "ts_similarity_search.q": 2,
+        "ts_similarity_search.qnorm": 1,
+        "ts_similarity_search.qvec": 1,
+    },
+    # limit(1)
+    "operators/tokenizer.py": {
+        "_learn_merged_vocab.top": 1,
+    },
+    # nation; 1-row scalar
+    "operators/tpch.py": {
+        "tpch_q10_returns.n": 1,
+        "tpch_q22_idle_rich.thresh": 1,
+        "tpch_q5_local_supplier.n": 1,
+    },
+    "operators/tpch2.py": {
+        "tpch_q15_top_supplier.top": 1,
+        "tpch_q7_volume_shipping.n1": 1,
+        "tpch_q7_volume_shipping.n2": 1,
+        "tpch_q8_market_share.n1": 1,
+        "tpch_q8_market_share.n2": 1,
+        "tpch_q8_market_share.r": 1,
+        "tpch_q9_product_profit.n": 1,
+    },
+    "operators/tpch3.py": {
+        "tpch_q11_important_stock.nat": 1,
+        "tpch_q11_important_stock.total": 1,
+        "tpch_q20_promo_suppliers.n": 1,
+        "tpch_q21_waiting_suppliers.n": 1,
+        "tpch_q2_min_cost_supplier.n": 1,
+        "tpch_q2_min_cost_supplier.r": 1,
+    },
+    # quantile bounds; per-bucket offsets
+    "plans/ranking.py": {
+        "two_phase_rank.bnds": 1,
+        "two_phase_rank.offs": 1,
+    },
+    # 1-row min partitions
+    "sources/formats.py": {
+        "sink_partitioned.first": 1,
+        "sink_partitioned.mind": 1,
+    },
+    # 1-row global max
+    "streaming/batch_windows.py": {
+        "events_watermark_lag.g": 1,
+    },
+    # literal event-type dim
+    "streaming/jobs.py": {
+        "enrich_stream_static.dim": 1,
+    },
 }
 
 _RX = re.compile(r"F\.broadcast\(\s*([A-Za-z_]\w*)")
@@ -96,10 +271,31 @@ def _sources():
                 yield rel, fh.read()
 
 
+def _qualified_tokens(src: str) -> list[str]:
+    """"<innermost enclosing def>.<first identifier>" for every
+    F.broadcast( site the tokenizer can key."""
+    import ast
+
+    ranges = [
+        (n.lineno, n.end_lineno, n.name)
+        for n in ast.walk(ast.parse(src))
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    ]
+    out = []
+    for m in _RX.finditer(src):
+        line = src[: m.start()].count("\n") + 1
+        func, span = "<module>", None
+        for s, e, name in ranges:
+            if s <= line <= e and (span is None or e - s < span):
+                func, span = name, e - s
+        out.append(f"{func}.{m.group(1)}")
+    return out
+
+
 def _inventory():
     inv = {}
     for rel, src in _sources():
-        toks = _RX.findall(src)
+        toks = _qualified_tokens(src)
         # Fail CLOSED: every F.broadcast( site must tokenize to an
         # identifier the allowlist can key — a site the tokenizer can't
         # see (comment between paren and argument, parenthesized or

@@ -132,12 +132,9 @@ def test_salted_agg_two_exchanges(spark):
 # TPC-H composites where at least one join must plan as broadcast at
 # this SF.  SF-proportional sides (supplier, part, customer) carry no
 # hints — the planner/AQE picks broadcast here because they measure
-# small, and would shuffle them at 100 TB.  For most entries a bounded
-# dim (region/nation) or small aggregate guarantees the broadcast at
-# any threshold; q14 and q19 join ONLY lineitem x part, so their
-# asserted broadcast comes purely from part's size estimate — if the
-# fixture SF or autoBroadcastJoinThreshold changes, those two entries
-# flip to sort-merge by design (update the list, don't re-add hints).
+# small, and would shuffle them at 100 TB.  Every entry here has a
+# bounded dim (region/nation) or small aggregate guaranteeing the
+# broadcast at any threshold.
 _TPCH_DIM_JOINERS = (
     "tpch_q2_min_cost_supplier",
     "tpch_q5_local_supplier",
@@ -146,13 +143,22 @@ _TPCH_DIM_JOINERS = (
     "tpch_q9_product_profit",
     "tpch_q10_returns",
     "tpch_q11_important_stock",
-    "tpch_q14_promo_share",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt",
     "tpch_q17_small_quantity",
-    "tpch_q19_discounted_revenue",
     "tpch_q20_promo_suppliers",
     "tpch_q21_waiting_suppliers",
+)
+
+# q14 and q19 join ONLY lineitem x part, so their asserted broadcast
+# rests purely on part's SIZE ESTIMATE vs autoBroadcastJoinThreshold —
+# no bounded dim guarantees it.  If the fixture SF or a session config
+# changes and these flip to sort-merge, that is the intended no-hint
+# behavior, not a plan regression: REMOVE the entry from this tuple,
+# don't re-add a broadcast hint (the round-9 doctrine).
+_TPCH_SIZE_ESTIMATE_JOINERS = (
+    "tpch_q14_promo_share",
+    "tpch_q19_discounted_revenue",
 )
 
 
@@ -160,6 +166,19 @@ def test_tpch_dimension_joins_broadcast(spark):
     for name in _TPCH_DIM_JOINERS:
         plan = _plan(spark, name)
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast dim join"
+
+
+def test_tpch_size_estimate_joins_broadcast(spark):
+    for name in _TPCH_SIZE_ESTIMATE_JOINERS:
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, (
+            f"{name}: lineitem x part no longer plans broadcast. This "
+            "assertion rests ONLY on part's size estimate at the fixture "
+            "SF (no bounded dim, no hint by doctrine) — if the fixture or "
+            "session config legitimately changed, remove the name from "
+            "_TPCH_SIZE_ESTIMATE_JOINERS instead of re-adding a hint "
+            "(see the tuple's comment)."
+        )
 
 
 def test_no_cartesian_product_anywhere(spark):

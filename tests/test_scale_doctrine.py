@@ -3,10 +3,12 @@
 Three more patterns the per-round plan audits check by hand are pinned
 here so a regression fails the suite instead of waiting for a reviewer:
 
-1. Driver-side materialization (`.collect()` / `.toPandas()` /
-   `collectAsList`) is banned outside the two documented non-hot-path
-   sites — a collect in an operator is a driver bottleneck that
-   multiplies at 100 TB.
+1. Driver-side materialization (`.collect` / `.toPandas` /
+   `collectAsList` / `.toLocalIterator` / `.take` / `.head` /
+   `.first`) is banned outside the two documented non-hot-path sites —
+   a collect in an operator is a driver bottleneck that multiplies at
+   100 TB.  (`F.first(...)` the AGGREGATE is excluded: it runs on
+   executors.)
 2. `crossJoin` is only legal when one side is bounded: wrapping
    `F.broadcast(<bounded>)` (already reviewed by the broadcast
    allowlist), or one of the reviewed non-broadcast sites below (1-row
@@ -14,11 +16,13 @@ here so a regression fails the suite instead of waiting for a reviewer:
    |region|x|nation| operator demo).
 3. Row-at-a-time Python UDFs are banned: every `F.udf(` call must carry
    `useArrow=True` (ArrowEvalPython), the static twin of the
-   plan-level BatchEvalPython flag in tools/plan_report.py.
+   plan-level BatchEvalPython flag in tools/plan_report.py — checked by
+   AST walk so the keyword must sit in THAT call, not merely nearby.
 """
 
 from __future__ import annotations
 
+import ast
 import re
 from collections import Counter
 
@@ -46,9 +50,14 @@ CROSSJOIN_ALLOWED = {
     # corpus against N_QUERIES rows)
 }
 
-_COLLECT_RX = re.compile(r"\.collect\(\)|\.toPandas\(\)|collectAsList")
+# every driver-materializing DataFrame method, whitespace/args
+# tolerated; the (?<!F) lookbehind excludes the F.first aggregate
+# (executor-side), which would otherwise false-positive
+_COLLECT_RX = re.compile(
+    r"(?<!F)\.(?:collect|toPandas|toLocalIterator|take|head|first)\s*\("
+    r"|collectAsList"
+)
 _CROSS_RX = re.compile(r"\.?crossJoin\(\s*([A-Za-z_][\w.]*)")
-_UDF_RX = re.compile(r"F\.udf\(")
 
 
 def test_no_driver_side_collect_outside_allowlist():
@@ -92,14 +101,23 @@ def test_crossjoin_sides_are_reviewed():
 def test_python_udfs_are_arrow_batched():
     offenders = []
     for rel, src in _sources():
-        code = _code_only(src)
-        for m in _UDF_RX.finditer(code):
-            # the call's argument text up to the matching close paren —
-            # a window is enough: useArrow sits in the call head
-            window = code[m.start(): m.start() + 200]
-            if "useArrow=True" not in window:
-                line = code[: m.start()].count("\n") + 1
-                offenders.append(f"{rel}:{line}")
+        for node in ast.walk(ast.parse(src)):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "udf"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+            ):
+                continue
+            arrow = any(
+                kw.arg == "useArrow"
+                and isinstance(kw.value, ast.Constant)
+                and kw.value.value is True
+                for kw in node.keywords
+            )
+            if not arrow:
+                offenders.append(f"{rel}:{node.lineno}")
     assert not offenders, (
         "F.udf without useArrow=True plans row-wise BatchEvalPython "
         "(the plan auditor's policy violation); use useArrow=True or a "
