@@ -669,3 +669,23 @@ def test_corpus_vs_corpus_falls_back_to_estimate_over_budget(spark, tmp_path):
     jobs.corpus_apply_ingest_batch(b, 1, corpus_dir, _BENCH)
     dec = _decisions(spark, corpus_dir)
     assert dec[2]["near_dup"] is False and dec[2]["accept"] is True
+
+
+def test_corpus_gate_ignores_compact_lock(spark, tmp_path):
+    """A leftover _compact_lock (crashed compaction, not yet reclaimed)
+    must be invisible to the gate's index reads: Spark's file index
+    skips underscore-prefixed files, which is exactly why the lock
+    lives at {index}/_compact_lock.  Pin that assumption."""
+    corpus_dir = str(tmp_path / "corpus")
+    a = spark.createDataFrame(
+        [(1, "web", _TEXT_A)], "doc_id bigint, source string, text string"
+    )
+    jobs.corpus_apply_ingest_batch(a, 0, corpus_dir, _BENCH)
+    with open(os.path.join(corpus_dir, "index", "_compact_lock"), "w") as f:
+        f.write('{"run_id": "crashed"}')
+    dup = spark.createDataFrame(
+        [(2, "web", _TEXT_A)], "doc_id bigint, source string, text string"
+    )
+    jobs.corpus_apply_ingest_batch(dup, 1, corpus_dir, _BENCH)
+    dec = _decisions(spark, corpus_dir)
+    assert dec[2]["dup_vs_corpus"] is True and dec[2]["corpus_match_id"] == 1
