@@ -650,7 +650,8 @@ def corpus_apply_ingest_batch(
     State is ONE append-only index log at ``{corpus_dir}/index``,
     hive-partitioned by ``ingest_batch``: batch N overwrites exactly its
     own partition with the rows it accepted (doc_id, source, n_tok, h,
-    sig, budget-bounded shingles s).  The partition content is a deterministic function of the
+    sig, budget-bounded shingles s).  The partition content is a
+    deterministic function of the
     EARLIER partitions (``ingest_batch < N``) and the batch, so an
     at-least-once redelivery rewrites identical bytes — the
     backfill_overwrite_days idempotence doctrine, and a single store

@@ -9,12 +9,14 @@ rounds.  Every other row was recorded from full-suite passes; this tool
 now refuses to mix protocols unless the mixing is labeled in the row.
 
 Usage:
-    python bench.py > /tmp/bench.json
-    python tools/update_baseline.py /tmp/bench.json [--note "..."]
+    python bench.py            # refreshes BENCH_FULL.json (all queries;
+                               # the stdout line keeps headline rows only
+                               # and will be refused by the coverage check)
+    python tools/update_baseline.py BENCH_FULL.json [--note "..."]
 
     # re-record only named rows (e.g. after a deliberate plan change),
     # still from a FULL-SUITE pass:
-    python tools/update_baseline.py /tmp/bench.json --rows q1,q2
+    python tools/update_baseline.py BENCH_FULL.json --rows q1,q2
 
     # targeted-protocol source (bench_targeted.py): refused unless
     # --allow-targeted, which forces a protocol label into the note:
@@ -61,9 +63,13 @@ def _registered_names() -> set[str]:
 def _load_bench(path: str) -> tuple[dict[str, float], float, str]:
     """Returns (queries, sf, protocol); protocol is 'full-suite' for
     bench.py payloads, else the stamped/assumed targeted protocol."""
-    payload = json.loads(
-        pathlib.Path(path).read_text().strip().splitlines()[-1]
-    )
+    text = pathlib.Path(path).read_text().strip()
+    try:
+        # pretty-printed files (BENCH_FULL.json)
+        payload = json.loads(text)
+    except json.JSONDecodeError:
+        # captured stdout: the JSON line is the last line
+        payload = json.loads(text.splitlines()[-1])
     if "queries" not in payload:
         # legacy bench_targeted shape: a bare {name: sec} dict
         return dict(payload), -1.0, "targeted-min3"
