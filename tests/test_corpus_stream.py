@@ -689,3 +689,86 @@ def test_corpus_gate_ignores_compact_lock(spark, tmp_path):
     jobs.corpus_apply_ingest_batch(dup, 1, corpus_dir, _BENCH)
     dec = _decisions(spark, corpus_dir)
     assert dec[2]["dup_vs_corpus"] is True and dec[2]["corpus_match_id"] == 1
+
+
+def test_corpus_shingle_budget_boundary(spark, tmp_path):
+    """Off-by-one pin on the budget comparison: a doc with EXACTLY
+    shingle_state_budget distinct shingles stores its set (<=, not <);
+    one more shingle stores null.  n distinct words -> n-2 distinct
+    3-gram shingles, so 24 words = 22 shingles, 25 words = 23."""
+    corpus_dir = str(tmp_path / "corpus")
+    at_budget = " ".join(f"aa{i:04d}" for i in range(24))      # 22 shingles
+    over_budget = " ".join(f"bb{i:04d}" for i in range(25))    # 23 shingles
+    batch = spark.createDataFrame(
+        [(1, "web", at_budget), (2, "web", over_budget)],
+        "doc_id bigint, source string, text string",
+    )
+    jobs.corpus_apply_ingest_batch(batch, 0, corpus_dir, _BENCH,
+                                   shingle_state_budget=22)
+    rows = {
+        r["doc_id"]: r["s"]
+        for r in spark.read.parquet(
+            os.path.join(corpus_dir, "index")
+        ).select("doc_id", "s").collect()
+    }
+    assert rows[1] is not None and len(rows[1]) == 22
+    assert rows[2] is None
+
+
+def test_corpus_near_dup_verdicts_are_sound_over_random_batches(spark, tmp_path):
+    """Soundness fuzz for the round-10 exact-verify class: drive random
+    multi-batch ingest where docs share sliding word-ranges of a common
+    vocabulary (so cross- and within-batch pairs span the whole Jaccard
+    spectrum), keep every doc under the shingle budget, and assert that
+    EVERY near_dup flag names a partner whose word-3-gram Jaccard with
+    the flagged doc is >= ND_JACCARD_T — the batch cascade's exact rule.
+    With every partner within budget there is no estimate path, so a
+    single sub-threshold flagged pair means the vs-corpus (or
+    within-batch) verify diverged from the cascade.  Seeded, two seeds:
+    deterministic."""
+    import random
+
+    from kafka_hadoop_loader_spark.operators.dedup import ND_JACCARD_T
+
+    def shingles(text: str) -> set[tuple[str, str, str]]:
+        w = text.split(" ")
+        return {tuple(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    def jac(a: str, b: str) -> float:
+        sa, sb = shingles(a), shingles(b)
+        return len(sa & sb) / len(sa | sb)
+
+    vocab = [f"v{i:04d}" for i in range(60)]
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        corpus_dir = str(tmp_path / f"corpus_{seed}")
+        texts: dict[int, str] = {}
+        next_id = 1
+        for batch_id in range(3):
+            docs = []
+            for _ in range(rng.randint(6, 9)):
+                start = rng.randint(0, len(vocab) - 24)
+                base = vocab[start:start + 24]
+                # swap a random suffix for fresh words so overlaps vary
+                cut = rng.randint(0, 12)
+                tail = [f"f{next_id:03d}{j:02d}" for j in range(cut)]
+                text = " ".join(base[: 24 - cut] + tail)
+                docs.append((next_id, "web", text))
+                texts[next_id] = text
+                next_id += 1
+            batch = spark.createDataFrame(
+                docs, "doc_id bigint, source string, text string"
+            )
+            jobs.corpus_apply_ingest_batch(batch, batch_id, corpus_dir, _BENCH)
+
+        dec = _decisions(spark, corpus_dir)
+        flagged = [
+            (d, r["near_match_id"]) for d, r in dec.items() if r["near_dup"]
+        ]
+        assert flagged, "fuzz corpus produced no near-dup flags; widen overlaps"
+        for d, m in flagged:
+            j = jac(texts[d], texts[m])
+            assert j >= ND_JACCARD_T, (
+                f"seed {seed}: doc {d} flagged near-dup of {m} but exact "
+                f"3-gram Jaccard is {j:.3f} < {ND_JACCARD_T}"
+            )
