@@ -663,7 +663,15 @@ def corpus_apply_ingest_batch(
     for the hash-index aggregate, once for the stored-band explode
     (band keys are PRECOMPUTED at index-write time by the same
     ``_bands_from_sig`` code path, so the read side never re-hashes the
-    corpus).  Those scans are O(corpus) I/O that a real deployment
+    corpus).  The exact-verify upgrade widens the band-explode scan:
+    it now also reads ``s`` (up to ``shingle_state_budget`` longs/doc
+    on top of the 64-long signature) for EVERY corpus doc, because a
+    join-back for candidates only would still column-scan all of ``s``
+    (no pushdown through a join) while paying a second pass — inline
+    is the cheaper of the two shapes.  That width is the deliberate,
+    budget-capped I/O price of exact verdicts; ``budget=0`` recovers
+    the 64-long scan.  Those scans are O(corpus) I/O that a real
+    deployment
     amortizes with compaction and bucketing on ``h`` —
     ``corpus_compact_index`` below is that maintenance job for this
     directory layout (a transactional table MERGE replaces it in
