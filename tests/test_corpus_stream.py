@@ -772,3 +772,37 @@ def test_corpus_near_dup_verdicts_are_sound_over_random_batches(spark, tmp_path)
                 f"seed {seed}: doc {d} flagged near-dup of {m} but exact "
                 f"3-gram Jaccard is {j:.3f} < {ND_JACCARD_T}"
             )
+
+
+def test_corpus_compaction_preserves_shingle_state(spark, tmp_path):
+    """The budget-bounded shingle sets must survive compaction into the
+    ingest_batch=-1 base: verify with the borderline pair, which ONLY
+    the exact path flags (sig-agree 0.4375 < 0.5) — if compaction
+    dropped or nulled `s`, the gate would silently fall back to the
+    estimate and accept the near-dup, and every other compaction test
+    would still pass (their pairs are strong overlaps both verifies
+    catch)."""
+    corpus_dir = str(tmp_path / "corpus")
+    texts = {1: _TEXT_A, 11: _TEXT_H,
+             21: " ".join(f"cp{i:02d}" for i in range(24))}
+    for b, (doc_id, t) in enumerate(texts.items()):
+        batch = spark.createDataFrame(
+            [(doc_id, "web", t)], "doc_id bigint, source string, text string"
+        )
+        jobs.corpus_apply_ingest_batch(batch, b, corpus_dir, _BENCH)
+    rep = jobs.corpus_compact_index(spark, corpus_dir)  # absorbs 0-1
+    assert rep["compacted_batches"] == [0, 1]
+    base = spark.read.parquet(
+        os.path.join(corpus_dir, "index", "ingest_batch=-1")
+    )
+    srow = {r["doc_id"]: r["s"] for r in base.select("doc_id", "s").collect()}
+    assert srow[1] is not None and len(srow[1]) > 0
+
+    b = spark.createDataFrame(
+        [(2, "web", _TEXT_B_BORDERLINE)],
+        "doc_id bigint, source string, text string",
+    )
+    jobs.corpus_apply_ingest_batch(b, 3, corpus_dir, _BENCH)
+    dec = _decisions(spark, corpus_dir)
+    assert dec[2]["near_dup"] is True and dec[2]["near_match_id"] == 1
+    assert dec[2]["accept"] is False
