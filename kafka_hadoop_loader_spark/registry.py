@@ -71,68 +71,67 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # and therefore always sorts to the front — the round-1..7 "new ops
 # first" behavior falls out as a special case.
 #
-# The tuple below is the round-10 window: the 50 stalest names — the
-# remaining 24 round-3 names plus the first 26 round-4 names (latest
-# driver-green round ascending, name ascending; 6-7 rounds of code
-# drift since their last driver check).
+# The tuple below is the round-11 window: the 50 stalest names —
+# the 21 round-4 names plus 29 round-5 names
+# (latest driver-green round ascending, name ascending).
 # tests/test_driver_window.py recomputes this ordering from the
 # committed CORRECTNESS_r*.json artifacts and fails if the tuple
 # drifts from it; rotate in the SAME commit that git-tracks the new
 # round's artifact.  Pure presentation order — names, fns, and oracles
 # are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- latest driver green: round 3 (24 names, name order) --
-    "resample_ffill",
-    "rollup_incremental",
-    "sample_stratified",
-    "scan_csv",
-    "scan_json",
-    "scan_orc",
-    "scan_python_datasource",
-    "scan_text_lines",
-    "scd2_history",
-    "sink_partitioned",
-    "snapshot_diff",
-    "text_normalize",
-    "text_token_count_bpe",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q2_min_cost_supplier",
-    "udaf_grouped_agg",
-    "udf_grouped_map",
-    "udf_scalar_pandas",
-    "window_distribution",
-    # -- latest driver green: round 4 (26 names, name order) --
-    "bloom_filter_probe",
-    "bm25_rank",
-    "bpe_encode_corpus",
-    "bpe_train_merges",
-    "chunk_documents",
-    "dedup_containment",
-    "dedup_substring_spans",
-    "events_attribution_touch",
-    "events_pattern_regex",
-    "events_watermark_lag",
-    "feature_quantile_bins",
-    "fk_orphan_check",
-    "fn_collation_ci",
-    "fn_explode_outer",
-    "fn_try_safe",
-    "fn_variant",
-    "frequent_sequences",
-    "graph_triangles",
-    "insert_overwrite_day",
-    "join_dpp_partitioned",
-    "join_lateral_topn",
-    "join_shuffle_hash",
-    "knn_pq_adc",
-    "mixture_solve_rates",
-    "multimodal_arrow_checksum",
-    "multimodal_audio_energy",
+    # -- latest driver green: round 4 (21 names, name order) --
+    "multimodal_image_pool",
+    "multimodal_shot_boundaries",
+    "pca_power_component",
+    "props_key_profile",
+    "quantiles_approx_envelope",
+    "sample_temperature",
+    "scan_corrupt_records",
+    "schema_evolution_union",
+    "shard_plan_balanced",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_distinct",
+    "sketch_hll_merge_partitioned",
+    "spatial_join_grid",
+    "sql_ctas_insert",
+    "sql_recursive_reach",
+    "table_profile",
+    "text_code_detect",
+    "udtf_python_api",
+    "url_canonicalize",
+    "zone_map_pruning",
+    "zorder_layout",
+    # -- latest driver green: round 5 (29 names, name order) --
+    "ann_recall_audit",
+    "basket_part_affinity",
+    "cumulative_distinct_users",
+    "curriculum_order",
+    "dedup_semantic_prune",
+    "doc_sparse_cosine",
+    "embedding_quantize_int8",
+    "events_activity_islands",
+    "events_bot_regularity",
+    "events_peak_concurrency",
+    "events_pipeline_report",
+    "events_user_lifetime",
+    "fn_array_setops",
+    "fn_struct_bitwise",
+    "graph_label_propagation",
+    "interval_overlap_join",
+    "nation_trade_balance",
+    "observe_metrics_audit",
+    "orders_rfm_segments",
+    "pack_padding_waste",
+    "phrase_search",
+    "pipeline_funnel",
+    "quantiles_interpolated",
+    "quantiles_tdigest",
+    "regr_normal_equations",
+    "sample_hard_negatives",
+    "sample_reservoir_group",
+    "sample_weighted_priority",
+    "scan_xml",
 )
 
 
