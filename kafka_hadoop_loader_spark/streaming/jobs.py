@@ -1065,8 +1065,19 @@ def corpus_compact_index(
       FRESH lock already exists (another compaction is running).  A
       lock older than ``lock_ttl_sec`` is a crashed run's leftover and
       is reclaimed — the crash-window doctrine above already makes the
-      half-done state safe to re-enter.  The lock is removed in a
-      ``finally``, so even a failed run releases it.  This guards
+      half-done state safe to re-enter.  ``lock_ttl_sec`` must
+      therefore exceed the deployment's worst-case compaction
+      wall-clock (the job is O(corpus) — size the TTL from a measured
+      full-corpus run, not the default): a LIVE run that outlives the
+      TTL can have its lock reclaimed and a second compaction started
+      beside it.  The release is OWNERSHIP-CHECKED to keep even that
+      misconfiguration single-failure: the ``finally`` re-reads the
+      lock payload and deletes it only if it still carries THIS run's
+      id, so an outlived first run cannot delete the reclaimer's lock
+      and admit a third.  Even a failed run releases its own lock; a
+      payload write that fails mid-acquire deletes the half-created
+      lock before re-raising rather than leaving an ownerless blocker
+      behind.  This guards
       compaction-vs-compaction only; quiescing INGEST remains the
       caller's job (a different session's already-planned scan would
       hit deleted part files; the refresh below can only fix THIS
@@ -1110,9 +1121,46 @@ def corpus_compact_index(
             out.write(bytearray(_json.dumps(
                 {"run_id": run_id, "acquired_unix": time.time()}
             ).encode("utf-8")))
-        finally:
             out.close()
+        except Exception:
+            # the create succeeded but the payload didn't land: an
+            # ownerless lock left behind here would block every
+            # compaction until the TTL expired.  Release it before
+            # re-raising (best-effort close first — some FS streams
+            # hold the lease until closed).
+            try:
+                out.close()
+            except Exception:
+                pass
+            fs.delete(lock, False)
+            raise
         return True
+
+    def _lock_owner() -> str | None:
+        """run_id recorded in the current lock file, or None if the
+        lock is absent/unreadable (never raises)."""
+        try:
+            stream = fs.open(lock)
+            try:
+                raw = bytes(
+                    spark._jvm.org.apache.commons.io.IOUtils
+                    .toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            return _json.loads(raw.decode("utf-8")).get("run_id")
+        except Exception:
+            return None
+
+    def _release_if_owned() -> None:
+        # Delete only the lock THIS run wrote.  If this run outlived
+        # lock_ttl_sec, a second invocation may have reclaimed the lock
+        # and written its own run_id — deleting that blindly would let
+        # a THIRD compaction start while the second still runs.  An
+        # unreadable or missing lock is left alone for the same reason
+        # (worst case: the TTL reclaims it).
+        if _lock_owner() == run_id:
+            fs.delete(lock, False)
 
     if not _try_acquire():
         # a lock exists: fresh -> a live compaction, refuse; older than
@@ -1146,7 +1194,7 @@ def corpus_compact_index(
             spark, index_root, upto_batch, target_files, jvm_path, fs, root
         )
     finally:
-        fs.delete(lock, False)
+        _release_if_owned()
 
 
 def _corpus_compact_index_locked(

@@ -616,6 +616,78 @@ def test_corpus_compact_index_single_flight_lock(spark, tmp_path):
     assert not os.path.exists(lock)
 
 
+def test_corpus_compact_lock_release_is_ownership_checked(
+    spark, tmp_path, monkeypatch
+):
+    """A run that outlives lock_ttl_sec can have its lock RECLAIMED by
+    a second invocation; when the first run finally finishes, its
+    release must NOT delete the second run's lock (that would admit a
+    third concurrent compaction).  Simulate the reclaim by swapping the
+    lock payload mid-run: the finally must leave the foreign lock in
+    place."""
+    corpus_dir = str(tmp_path / "corpus")
+    _ingest_three_batches(spark, corpus_dir)
+    lock = os.path.join(corpus_dir, "index", "_compact_lock")
+
+    real_body = jobs._corpus_compact_index_locked
+
+    def reclaiming_body(*args, **kwargs):
+        # the TTL fired and another invocation re-acquired the lock
+        # while we were still compacting
+        with open(lock, "w") as f:
+            f.write('{"run_id": "reclaimer-run"}')
+        return real_body(*args, **kwargs)
+
+    monkeypatch.setattr(
+        jobs, "_corpus_compact_index_locked", reclaiming_body
+    )
+    rep = jobs.corpus_compact_index(spark, corpus_dir)
+    assert rep["compacted_batches"] == [0, 1]
+    assert os.path.exists(lock), "the reclaimer's lock must survive"
+    with open(lock) as f:
+        assert json.load(f)["run_id"] == "reclaimer-run"
+
+    # the reclaimer (still live by mtime) now blocks a third run
+    monkeypatch.setattr(jobs, "_corpus_compact_index_locked", real_body)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="single-flight"):
+        jobs.corpus_compact_index(spark, corpus_dir)
+    os.remove(lock)  # release the fake reclaimer for later tests
+
+
+def test_corpus_compact_lock_acquire_write_failure_releases(
+    spark, tmp_path, monkeypatch
+):
+    """If the lock PAYLOAD write fails after the atomic create
+    succeeded, the half-created lock must be deleted before the error
+    propagates — an ownerless lock here would block every compaction
+    until the TTL expired."""
+    import pytest
+
+    corpus_dir = str(tmp_path / "corpus")
+    _ingest_three_batches(spark, corpus_dir)
+    lock = os.path.join(corpus_dir, "index", "_compact_lock")
+
+    real_dumps = json.dumps
+
+    def failing_dumps(obj, *a, **kw):
+        if isinstance(obj, dict) and "run_id" in obj:
+            raise OSError("simulated payload write failure")
+        return real_dumps(obj, *a, **kw)
+
+    monkeypatch.setattr(json, "dumps", failing_dumps)
+    with pytest.raises(OSError, match="simulated payload"):
+        jobs.corpus_compact_index(spark, corpus_dir)
+    assert not os.path.exists(lock), "half-created lock must be cleaned"
+
+    # the very next run acquires immediately (no TTL wait)
+    monkeypatch.setattr(json, "dumps", real_dumps)
+    rep = jobs.corpus_compact_index(spark, corpus_dir)
+    assert rep["compacted_batches"] == [0, 1]
+    assert not os.path.exists(lock)
+
+
 def test_corpus_vs_corpus_near_dup_verifies_exact_within_budget(spark, tmp_path):
     """VS-CORPUS candidates must ALSO get the batch cascade's exact
     shingle-Jaccard verdict when the corpus partner stored its
