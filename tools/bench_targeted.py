@@ -22,6 +22,16 @@ def main() -> None:
         raise SystemExit("usage: bench_targeted.py name [name...]")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = _sf_of(sf_dir)
+    if sf < 0:
+        # fail BEFORE spinning Spark: an unparseable dir would emit an
+        # sf=-1 stamp that update_baseline.py rejects anyway, and
+        # re-running this tool would reproduce the same -1
+        raise SystemExit(
+            f"cannot parse a scale factor from SPARK_GRAFT_SF_DIR="
+            f"{sf_dir!r} (expected a path ending in sfN.NN): rename the "
+            "data dir or point at one of /root/testdata/sf*"
+        )
 
     from kafka_hadoop_loader_spark import registry
     from kafka_hadoop_loader_spark.session import get_spark
@@ -74,7 +84,7 @@ def main() -> None:
     # from full-suite passes unless explicitly labeled
     print(json.dumps({
         "protocol": "targeted-min3",
-        "sf": _sf_of(sf_dir),
+        "sf": sf,
         "queries": times,
     }))
 

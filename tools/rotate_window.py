@@ -88,7 +88,17 @@ def main() -> None:
 
     src = open(REGISTRY_PY).read()
     start = src.index("_DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (")
-    end = src.index(")\n", start) + 1
+    # match the tuple's closing paren STRUCTURALLY (a line that is
+    # exactly ")"), not the first line that merely ends in ")" — a
+    # hand-edited entry ending in ')' inside the tuple must not
+    # silently truncate the rewrite
+    close = re.search(r"^\)$", src[start:], re.M)
+    if close is None:
+        sys.exit(
+            "could not find the tuple's closing paren (a bare ')' line) "
+            "in registry.py — update it by hand"
+        )
+    end = start + close.end()
     src = src[:start] + new_block + src[end:]
 
     groups = " plus ".join(

@@ -76,7 +76,22 @@ def _load_bench(path: str) -> tuple[dict[str, float], float, str]:
     protocol = payload.get(
         "protocol", "full-suite" if "metric" in payload else "targeted-min3"
     )
-    return dict(payload["queries"]), float(payload.get("sf", 0.1)), protocol
+    if "sf" not in payload:
+        # refuse, mirroring the legacy-shape refusal below: assuming
+        # sf=0.1 would record rows at a scale the run never measured
+        sys.exit(
+            "source JSON has a 'queries' stamp but no 'sf' stamp: "
+            "refusing to assume sf=0.1 — re-run bench.py or "
+            "tools/bench_targeted.py, both of which stamp sf"
+        )
+    sf = float(payload["sf"])
+    if sf <= 0:
+        sys.exit(
+            f"source JSON carries a non-positive sf stamp ({sf}): the "
+            "bench run could not determine its scale factor — fix the "
+            "data-dir name (.../sfN.NN) and re-run the bench"
+        )
+    return dict(payload["queries"]), sf, protocol
 
 
 def main() -> None:
