@@ -657,7 +657,11 @@ def corpus_apply_ingest_batch(
     backfill_overwrite_days idempotence doctrine, and a single store
     means no multi-directory commit hazard.  A per-doc audit row
     (every gate's verdict + provenance) lands in
-    ``{corpus_dir}/decisions`` under the same per-batch overwrite.
+    ``{corpus_dir}/decisions`` under the same per-batch overwrite —
+    one partition per batch, unbounded until
+    ``corpus_decisions_retain`` expires the old ones (the gate itself
+    never re-reads a decision row, so the growth is file count, not
+    state).
 
     Scale: per batch the index log is scanned map-side twice — once
     for the hash-index aggregate, once for the stored-band explode
@@ -1014,6 +1018,125 @@ def corpus_maintain_foreach_batch(
     )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _maintenance_lock(spark, index_root: str, lock_ttl_sec: float, job: str):
+    """Single-flight lock shared by ALL corpus maintenance jobs
+    (``corpus_compact_index``, ``corpus_decisions_retain``): one
+    ``{index_root}/_compact_lock`` marker serializes them against each
+    other, so a retention sweep can never run beside a compaction.
+
+    Doctrine (hoisted verbatim from the compaction job that grew it):
+    atomic create-if-absent via ``FileSystem.create(path, False)``;
+    a FRESH existing lock -> raise (another maintenance job is live);
+    a lock older than ``lock_ttl_sec`` -> a crashed run's leftover,
+    reclaimed.  ``lock_ttl_sec`` must exceed the deployment's
+    worst-case maintenance wall-clock: a LIVE run that outlives the
+    TTL can have its lock reclaimed, and the OWNERSHIP-CHECKED release
+    below is what keeps that a single failure — the ``finally``
+    re-reads the lock payload and deletes it only if it still carries
+    THIS run's id, so an outlived first run cannot delete the
+    reclaimer's lock and admit a third job.  A payload write that
+    fails mid-acquire deletes the half-created lock before re-raising
+    rather than leaving an ownerless blocker behind.
+    """
+    import json as _json
+    import time
+    import uuid
+
+    run_id = uuid.uuid4().hex
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    lock = jvm_path(index_root + "/_compact_lock")
+    fs = lock.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _try_acquire() -> bool:
+        # FileSystem.create(path, overwrite=False) is the atomic
+        # create-if-absent primitive on both HDFS and local FS
+        try:
+            out = fs.create(lock, False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(_json.dumps(
+                {"run_id": run_id, "job": job, "acquired_unix": time.time()}
+            ).encode("utf-8")))
+            out.close()
+        except Exception:
+            # the create succeeded but the payload didn't land: an
+            # ownerless lock left behind here would block every
+            # maintenance job until the TTL expired.  Release it before
+            # re-raising (best-effort close first — some FS streams
+            # hold the lease until closed).
+            try:
+                out.close()
+            except Exception:
+                pass
+            fs.delete(lock, False)
+            raise
+        return True
+
+    def _lock_owner() -> str | None:
+        """run_id recorded in the current lock file, or None if the
+        lock is absent/unreadable (never raises)."""
+        try:
+            stream = fs.open(lock)
+            try:
+                raw = bytes(
+                    spark._jvm.org.apache.commons.io.IOUtils
+                    .toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            return _json.loads(raw.decode("utf-8")).get("run_id")
+        except Exception:
+            return None
+
+    def _release_if_owned() -> None:
+        # Delete only the lock THIS run wrote.  If this run outlived
+        # lock_ttl_sec, a second invocation may have reclaimed the lock
+        # and written its own run_id — deleting that blindly would let
+        # a THIRD maintenance job start while the second still runs.
+        # An unreadable or missing lock is left alone for the same
+        # reason (worst case: the TTL reclaims it).
+        if _lock_owner() == run_id:
+            fs.delete(lock, False)
+
+    if not _try_acquire():
+        # a lock exists: fresh -> a live maintenance job, refuse; older
+        # than the TTL -> a crashed run's leftover, reclaim (the
+        # crash-window doctrine makes the half-done state safe to
+        # re-enter).  The freshness source is the FS's own mtime, not
+        # the (crashed writer's) payload.  If the holder releases
+        # between our failed create and the stat, just acquire.
+        try:
+            age_sec = (
+                time.time() * 1000.0
+                - fs.getFileStatus(lock).getModificationTime()
+            ) / 1000.0
+        except Exception:
+            age_sec = float("inf")
+        if age_sec <= lock_ttl_sec:
+            raise RuntimeError(
+                f"{job}: another maintenance job holds "
+                f"{index_root}/_compact_lock (age {age_sec:.1f}s <= ttl "
+                f"{lock_ttl_sec:.0f}s); corpus maintenance is "
+                "single-flight — wait for it or, if it crashed, let "
+                "the TTL reclaim"
+            )
+        fs.delete(lock, False)
+        if not _try_acquire():
+            raise RuntimeError(
+                f"{job}: lost the race re-acquiring "
+                f"{index_root}/_compact_lock after reclaiming a stale one"
+            )
+    try:
+        yield
+    finally:
+        _release_if_owned()
+
+
 def corpus_compact_index(
     spark,
     corpus_dir: str,
@@ -1058,47 +1181,29 @@ def corpus_compact_index(
       (ceil(bytes / spark.sql.files.maxPartitionBytes)), not guessed,
       unless ``target_files`` overrides it.
     - SINGLE-FLIGHT, quiesced ingest — ENFORCED, not just documented:
-      on entry the job atomically creates a ``_compact_lock`` marker
-      (run id + acquisition time; underscore prefix = invisible to
-      Spark's file index) in the index root via
-      ``FileSystem.create(path, overwrite=False)`` and raises if a
-      FRESH lock already exists (another compaction is running).  A
-      lock older than ``lock_ttl_sec`` is a crashed run's leftover and
-      is reclaimed — the crash-window doctrine above already makes the
-      half-done state safe to re-enter.  ``lock_ttl_sec`` must
-      therefore exceed the deployment's worst-case compaction
-      wall-clock (the job is O(corpus) — size the TTL from a measured
-      full-corpus run, not the default): a LIVE run that outlives the
-      TTL can have its lock reclaimed and a second compaction started
-      beside it.  The release is OWNERSHIP-CHECKED to keep even that
-      misconfiguration single-failure: the ``finally`` re-reads the
-      lock payload and deletes it only if it still carries THIS run's
-      id, so an outlived first run cannot delete the reclaimer's lock
-      and admit a third.  Even a failed run releases its own lock; a
-      payload write that fails mid-acquire deletes the half-created
-      lock before re-raising rather than leaving an ownerless blocker
-      behind.  This guards
-      compaction-vs-compaction only; quiescing INGEST remains the
-      caller's job (a different session's already-planned scan would
-      hit deleted part files; the refresh below can only fix THIS
-      session's listing cache).  The availableNow trigger makes the
-      quiesce natural — compact between drains.  Stale
-      ``_compact_tmp-*`` leftovers from a crashed run are deleted
-      after the lock is held (deleting them unlocked could destroy a
-      LIVE run's staging).
+      the job runs under :func:`_maintenance_lock` (atomic
+      create-if-absent of ``{index}/_compact_lock``, TTL reclaim of
+      crashed runs, ownership-checked release — full doctrine on the
+      lock itself, including why ``lock_ttl_sec`` must exceed
+      worst-case compaction wall-clock).  The lock is SHARED with
+      ``corpus_decisions_retain``, so maintenance jobs also serialize
+      against each other.  It guards maintenance-vs-maintenance only;
+      quiescing INGEST remains the caller's job (a different session's
+      already-planned scan would hit deleted part files; the refresh
+      below can only fix THIS session's listing cache).  The
+      availableNow trigger makes the quiesce natural — compact between
+      drains.  Stale ``_compact_tmp-*`` leftovers from a crashed run
+      are deleted after the lock is held (deleting them unlocked could
+      destroy a LIVE run's staging).
 
     Per-row arrival provenance (which batch a doc landed in) is NOT
     kept in the compacted base — ``{corpus_dir}/decisions`` is the
-    audit log and keeps it forever; the index is dedup state.
+    audit log and keeps it until ``corpus_decisions_retain`` expires
+    it; the index is dedup state.
 
     Returns a report: compacted batch ids, rows in the new base, and
     file counts before/after over the compacted region.
     """
-    import json as _json
-    import math
-    import time
-    import uuid
-
     index_root = corpus_dir.rstrip("/") + "/index"
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(index_root).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -1107,94 +1212,29 @@ def corpus_compact_index(
         return {"compacted_batches": [], "base_rows": 0,
                 "files_before": 0, "files_after": 0}
 
-    run_id = uuid.uuid4().hex
-    lock = jvm_path(index_root + "/_compact_lock")
-
-    def _try_acquire() -> bool:
-        # FileSystem.create(path, overwrite=False) is the atomic
-        # create-if-absent primitive on both HDFS and local FS
-        try:
-            out = fs.create(lock, False)
-        except Exception:
-            return False
-        try:
-            out.write(bytearray(_json.dumps(
-                {"run_id": run_id, "acquired_unix": time.time()}
-            ).encode("utf-8")))
-            out.close()
-        except Exception:
-            # the create succeeded but the payload didn't land: an
-            # ownerless lock left behind here would block every
-            # compaction until the TTL expired.  Release it before
-            # re-raising (best-effort close first — some FS streams
-            # hold the lease until closed).
-            try:
-                out.close()
-            except Exception:
-                pass
-            fs.delete(lock, False)
-            raise
-        return True
-
-    def _lock_owner() -> str | None:
-        """run_id recorded in the current lock file, or None if the
-        lock is absent/unreadable (never raises)."""
-        try:
-            stream = fs.open(lock)
-            try:
-                raw = bytes(
-                    spark._jvm.org.apache.commons.io.IOUtils
-                    .toByteArray(stream)
-                )
-            finally:
-                stream.close()
-            return _json.loads(raw.decode("utf-8")).get("run_id")
-        except Exception:
-            return None
-
-    def _release_if_owned() -> None:
-        # Delete only the lock THIS run wrote.  If this run outlived
-        # lock_ttl_sec, a second invocation may have reclaimed the lock
-        # and written its own run_id — deleting that blindly would let
-        # a THIRD compaction start while the second still runs.  An
-        # unreadable or missing lock is left alone for the same reason
-        # (worst case: the TTL reclaims it).
-        if _lock_owner() == run_id:
-            fs.delete(lock, False)
-
-    if not _try_acquire():
-        # a lock exists: fresh -> a live compaction, refuse; older than
-        # the TTL -> a crashed run's leftover, reclaim (the crash-window
-        # doctrine makes the half-done state safe to re-enter).  The
-        # freshness source is the FS's own mtime, not the (crashed
-        # writer's) payload.  If the holder releases between our failed
-        # create and the stat, just acquire.
-        try:
-            age_sec = (
-                time.time() * 1000.0
-                - fs.getFileStatus(lock).getModificationTime()
-            ) / 1000.0
-        except Exception:
-            age_sec = float("inf")
-        if age_sec <= lock_ttl_sec:
-            raise RuntimeError(
-                f"corpus_compact_index: another compaction holds "
-                f"{index_root}/_compact_lock (age {age_sec:.1f}s <= ttl "
-                f"{lock_ttl_sec:.0f}s); compaction is single-flight — "
-                "wait for it or, if it crashed, let the TTL reclaim"
-            )
-        fs.delete(lock, False)
-        if not _try_acquire():
-            raise RuntimeError(
-                f"corpus_compact_index: lost the race re-acquiring "
-                f"{index_root}/_compact_lock after reclaiming a stale one"
-            )
-    try:
+    with _maintenance_lock(
+        spark, index_root, lock_ttl_sec, "corpus_compact_index"
+    ):
         return _corpus_compact_index_locked(
             spark, index_root, upto_batch, target_files, jvm_path, fs, root
         )
-    finally:
-        _release_if_owned()
+
+
+def _compact_swap_files(fs, jvm_path, tmp, base_dir) -> int:
+    """Move the staged merge files into the base partition (per-file
+    rename = the atomic unit).  Module-level so tests can interleave an
+    ingest batch at the staging->swap seam — the crash-window doctrine's
+    "duplicates visible, never loss" claim is pinned there, not just
+    stated."""
+    moved = 0
+    for st in fs.listStatus(jvm_path(tmp)):
+        n = st.getPath().getName()
+        if n.startswith("_") or n.startswith("."):
+            continue
+        if not fs.rename(st.getPath(), jvm_path(base_dir.toString() + "/" + n)):
+            raise IOError(f"rename failed: {st.getPath()} -> {base_dir}")
+        moved += 1
+    return moved
 
 
 def _corpus_compact_index_locked(
@@ -1275,14 +1315,7 @@ def _corpus_compact_index_locked(
 
     base_dir = jvm_path(index_root + "/ingest_batch=-1")
     fs.mkdirs(base_dir)
-    moved = 0
-    for st in fs.listStatus(jvm_path(tmp)):
-        n = st.getPath().getName()
-        if n.startswith("_") or n.startswith("."):
-            continue
-        if not fs.rename(st.getPath(), jvm_path(base_dir.toString() + "/" + n)):
-            raise IOError(f"rename failed: {st.getPath()} -> {base_dir}")
-        moved += 1
+    moved = _compact_swap_files(fs, jvm_path, tmp, base_dir)
     # new base files are all visible from here on; everything below
     # only removes now-redundant copies
     for p in old_files:
@@ -1309,3 +1342,105 @@ def _corpus_compact_index_locked(
         "files_before": files_before,
         "files_after": moved,
     }
+
+
+def corpus_decisions_retain(
+    spark,
+    corpus_dir: str,
+    keep_batches: int,
+    lock_ttl_sec: float = 3600.0,
+    dry_run: bool = False,
+) -> dict:
+    """Retention sweep for the per-batch audit log
+    ``{corpus_dir}/decisions``: keep the NEWEST ``keep_batches``
+    partitions (by batch id), delete the rest.
+
+    Why it exists: the ingest gate appends one
+    ``decisions/ingest_batch=N`` partition per micro-batch with no
+    bound.  That is deliberately NOT dedup state — nothing in the gate
+    ever re-reads a decision row, so the growth costs auditor listing
+    time and namenode/object-store file count, never correctness.  At
+    100 TB / years of batches the file count still needs a policy;
+    this sweeper is the directory-layout stand-in for the retention
+    VACUUM a transactional table format provides (a production
+    deployment would archive expired partitions to cold storage before
+    deleting — this models only the expiry decision).
+
+    Safety doctrine:
+
+    - ``keep_batches >= 1`` enforced: the newest batch is the only one
+      an at-least-once restart can redeliver, and its redelivery
+      re-OVERWRITES its own audit partition — expiring it would turn a
+      redelivery into a resurrection of just-deleted audit rows, so
+      the newest partition is never eligible.
+    - runs under the SAME single-flight lock as
+      ``corpus_compact_index`` (:func:`_maintenance_lock` on
+      ``{index}/_compact_lock``), so retention never races compaction
+      or a second retention sweep.
+    - expiry is oldest-first, one recursive partition delete per batch
+      id; a crash mid-sweep leaves a suffix of the expired partitions
+      behind and a re-run converges (idempotent — the retention set is
+      recomputed from what exists).
+    - ``dry_run=True`` only LISTS what would expire, takes no lock and
+      deletes nothing (a read-only probe must not block or be blocked
+      by live maintenance).
+
+    Scale: O(partitions) driver-side listing — bounded by batch count,
+    not data size; no Spark job is launched at all.
+
+    Returns ``{"kept_batches": [...], "deleted_batches": [...],
+    "files_deleted": n, "dry_run": bool}`` (``files_deleted`` counts
+    the expired partitions' visible data files; on a dry run, the
+    count that WOULD be deleted).
+    """
+    if int(keep_batches) < 1:
+        raise ValueError(
+            f"keep_batches must be >= 1 (got {keep_batches}): the newest "
+            "batch's audit partition can be rewritten by an at-least-once "
+            "redelivery and is never eligible for expiry"
+        )
+    decisions_root = corpus_dir.rstrip("/") + "/decisions"
+    index_root = corpus_dir.rstrip("/") + "/index"
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    droot = jvm_path(decisions_root)
+    fs = droot.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(droot):
+        return {"kept_batches": [], "deleted_batches": [],
+                "files_deleted": 0, "dry_run": bool(dry_run)}
+
+    def _sweep() -> dict:
+        parts: dict[int, object] = {}
+        for st in fs.listStatus(droot):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("ingest_batch="):
+                parts[int(name.split("=", 1)[1])] = st.getPath()
+        ids = sorted(parts)
+        kept = ids[-int(keep_batches):]
+        expired = ids[: -int(keep_batches)]
+        files = 0
+        for i in expired:
+            files += sum(
+                1
+                for s in fs.listStatus(parts[i])
+                if not s.getPath().getName().startswith(("_", "."))
+            )
+            if not dry_run:
+                fs.delete(parts[i], True)
+        if expired and not dry_run:
+            # raw FileSystem deletes bypass the session's file-listing
+            # cache (same hazard as compaction's renames) — invalidate
+            # so a same-session auditor replans
+            spark.catalog.refreshByPath(decisions_root)
+        return {
+            "kept_batches": kept,
+            "deleted_batches": expired,
+            "files_deleted": files,
+            "dry_run": bool(dry_run),
+        }
+
+    if dry_run:
+        return _sweep()
+    with _maintenance_lock(
+        spark, index_root, lock_ttl_sec, "corpus_decisions_retain"
+    ):
+        return _sweep()

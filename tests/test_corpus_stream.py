@@ -688,6 +688,120 @@ def test_corpus_compact_lock_acquire_write_failure_releases(
     assert not os.path.exists(lock)
 
 
+def test_corpus_ingest_mid_compaction_never_loses_state(
+    spark, tmp_path, monkeypatch
+):
+    """Quiescing ingest during compaction is the caller's job, but the
+    crash-window doctrine claims a batch that lands mid-compaction is
+    still SAFE: before the swap the old partitions are fully visible;
+    after the swap (before the deletes) rows are visible TWICE, and the
+    gate's reads tolerate duplicates (min(doc_id) per hash, distinct
+    band candidates).  Pin both halves by interleaving one ingest batch
+    at each side of the staging->swap seam: a duplicate document must
+    be detected at both points, and post-compaction state converges."""
+    corpus_dir = str(tmp_path / "corpus")
+    _ingest_three_batches(spark, corpus_dir)
+    schema = "doc_id bigint, source string, text string"
+
+    real_swap = jobs._compact_swap_files
+
+    def interleaving_swap(fs, jvm_path, tmp, base_dir):
+        # BEFORE the swap: staging is underscore-hidden, sources intact
+        jobs.corpus_apply_ingest_batch(
+            spark.createDataFrame([(31, "web", _TEXT_A)], schema),
+            3, corpus_dir, _BENCH,
+        )
+        moved = real_swap(fs, jvm_path, tmp, base_dir)
+        # AFTER the swap, BEFORE the source deletes: base + old
+        # partitions both visible — every compacted row appears twice
+        jobs.corpus_apply_ingest_batch(
+            spark.createDataFrame([(41, "web", _TEXT_A)], schema),
+            4, corpus_dir, _BENCH,
+        )
+        return moved
+
+    monkeypatch.setattr(jobs, "_compact_swap_files", interleaving_swap)
+    rep = jobs.corpus_compact_index(spark, corpus_dir)
+    assert rep["compacted_batches"] == [0, 1]
+
+    dec = _decisions(spark, corpus_dir)
+    assert dec[31]["dup_vs_corpus"] is True and dec[31]["corpus_match_id"] == 1
+    assert dec[41]["dup_vs_corpus"] is True and dec[41]["corpus_match_id"] == 1
+
+    # converged state: a post-compaction arrival still dedups against
+    # the doc that now lives only in the base partition
+    monkeypatch.setattr(jobs, "_compact_swap_files", real_swap)
+    jobs.corpus_apply_ingest_batch(
+        spark.createDataFrame([(51, "web", _TEXT_A)], schema),
+        5, corpus_dir, _BENCH,
+    )
+    dec = _decisions(spark, corpus_dir)
+    assert dec[51]["dup_vs_corpus"] is True and dec[51]["corpus_match_id"] == 1
+
+
+def test_corpus_decisions_retain(spark, tmp_path):
+    """The audit log's retention sweeper: keep the newest N batch
+    partitions, expire the rest; newest-batch protection, dry-run
+    probe, single-flight lock sharing, idempotence, and independence
+    from the dedup index (retention never weakens dedup)."""
+    import pytest
+
+    corpus_dir = str(tmp_path / "corpus")
+    _ingest_three_batches(spark, corpus_dir)
+    droot = os.path.join(corpus_dir, "decisions")
+    lock = os.path.join(corpus_dir, "index", "_compact_lock")
+    schema = "doc_id bigint, source string, text string"
+
+    # keep_batches < 1 would expire the redeliverable newest batch
+    with pytest.raises(ValueError, match="keep_batches"):
+        jobs.corpus_decisions_retain(spark, corpus_dir, 0)
+
+    # dry run: reports what would expire, deletes nothing, takes no lock
+    rep = jobs.corpus_decisions_retain(spark, corpus_dir, 2, dry_run=True)
+    assert rep["deleted_batches"] == [0]
+    assert rep["kept_batches"] == [1, 2]
+    assert rep["dry_run"] is True and rep["files_deleted"] > 0
+    assert os.path.isdir(os.path.join(droot, "ingest_batch=0"))
+
+    # a live maintenance lock blocks the sweep but not the dry probe
+    with open(lock, "w") as f:
+        f.write('{"run_id": "live-compaction"}')
+    assert jobs.corpus_decisions_retain(
+        spark, corpus_dir, 2, dry_run=True
+    )["deleted_batches"] == [0]
+    with pytest.raises(RuntimeError, match="single-flight"):
+        jobs.corpus_decisions_retain(spark, corpus_dir, 2)
+    os.remove(lock)
+
+    # the real sweep: batch 0 expired, lock released, audit readable
+    rep = jobs.corpus_decisions_retain(spark, corpus_dir, 2)
+    assert rep["deleted_batches"] == [0] and rep["dry_run"] is False
+    assert not os.path.exists(os.path.join(droot, "ingest_batch=0"))
+    assert not os.path.exists(lock)
+    assert set(_decisions(spark, corpus_dir)) == {11, 21}
+
+    # idempotent: nothing left to expire at the same keep level
+    rep = jobs.corpus_decisions_retain(spark, corpus_dir, 2)
+    assert rep["deleted_batches"] == [] and rep["kept_batches"] == [1, 2]
+    # keep_batches beyond the partition count keeps everything
+    rep = jobs.corpus_decisions_retain(spark, corpus_dir, 100)
+    assert rep["deleted_batches"] == [] and rep["kept_batches"] == [1, 2]
+
+    # retention touches ONLY the audit log: the batch-0 doc's index
+    # state survives, so its duplicate is still rejected
+    jobs.corpus_apply_ingest_batch(
+        spark.createDataFrame([(99, "web", _TEXT_A)], schema),
+        3, corpus_dir, _BENCH,
+    )
+    dec = _decisions(spark, corpus_dir)
+    assert dec[99]["dup_vs_corpus"] is True and dec[99]["corpus_match_id"] == 1
+
+    # absent decisions dir: a clean empty report
+    rep = jobs.corpus_decisions_retain(spark, str(tmp_path / "nope"), 1)
+    assert rep == {"kept_batches": [], "deleted_batches": [],
+                   "files_deleted": 0, "dry_run": False}
+
+
 def test_corpus_vs_corpus_near_dup_verifies_exact_within_budget(spark, tmp_path):
     """VS-CORPUS candidates must ALSO get the batch cascade's exact
     shingle-Jaccard verdict when the corpus partner stored its
