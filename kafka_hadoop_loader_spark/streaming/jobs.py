@@ -1419,11 +1419,19 @@ def corpus_decisions_retain(
         expired = ids[: -int(keep_batches)]
         files = 0
         for i in expired:
-            files += sum(
-                1
-                for s in fs.listStatus(parts[i])
-                if not s.getPath().getName().startswith(("_", "."))
-            )
+            try:
+                files += sum(
+                    1
+                    for s in fs.listStatus(parts[i])
+                    if not s.getPath().getName().startswith(("_", "."))
+                )
+            except Exception:
+                if dry_run:
+                    # the lock-free probe can race a LIVE locked sweep:
+                    # a partition expiring under its feet is the sweep
+                    # doing its job, not a probe error
+                    continue
+                raise
             if not dry_run:
                 fs.delete(parts[i], True)
         if expired and not dry_run:
