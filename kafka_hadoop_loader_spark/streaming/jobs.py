@@ -9,6 +9,8 @@ source-agnostic DataFrames so the Kafka path is the same plan.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1016,9 +1018,6 @@ def corpus_maintain_foreach_batch(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
-
-
-import contextlib
 
 
 @contextlib.contextmanager
