@@ -802,6 +802,57 @@ def test_corpus_decisions_retain(spark, tmp_path):
                    "files_deleted": 0, "dry_run": False}
 
 
+def test_corpus_maintenance_jobs_compose(spark, tmp_path):
+    """The maintenance trio (ingest gate, index compaction, audit
+    retention) must interoperate on one corpus in any sensible order:
+    compaction never touches the audit log, retention never touches
+    the index, and the gate keeps rejecting duplicates across both.
+    Sequence: ingest 0-2 -> compact -> retain -> ingest a dup ->
+    compact again -> retain again."""
+    corpus_dir = str(tmp_path / "corpus")
+    schema = "doc_id bigint, source string, text string"
+    _ingest_three_batches(spark, corpus_dir)
+
+    # compact 0-1 into the base; audit partitions untouched (still 0-2)
+    rep = jobs.corpus_compact_index(spark, corpus_dir)
+    assert rep["compacted_batches"] == [0, 1]
+    assert set(_decisions(spark, corpus_dir)) == {1, 11, 21}
+
+    # retain newest 1: audit keeps only batch 2; index base unaffected
+    rep = jobs.corpus_decisions_retain(spark, corpus_dir, 1)
+    assert rep["deleted_batches"] == [0, 1] and rep["kept_batches"] == [2]
+    assert set(_decisions(spark, corpus_dir)) == {21}
+
+    # a dup of the batch-0 doc (now base-only in the index, expired
+    # from the audit log) is still rejected — retention never weakens
+    # dedup state
+    jobs.corpus_apply_ingest_batch(
+        spark.createDataFrame([(31, "web", _TEXT_A)], schema),
+        3, corpus_dir, _BENCH,
+    )
+    dec = _decisions(spark, corpus_dir)
+    assert dec[31]["dup_vs_corpus"] is True and dec[31]["corpus_match_id"] == 1
+
+    # second compaction absorbs batch 2 (and the empty batch 3 stays,
+    # being newest); the base still answers for every accepted doc
+    rep = jobs.corpus_compact_index(spark, corpus_dir)
+    assert rep["compacted_batches"] == [2]
+    jobs.corpus_apply_ingest_batch(
+        spark.createDataFrame([(41, "web", _TEXT_H)], schema),
+        4, corpus_dir, _BENCH,
+    )
+    dec = _decisions(spark, corpus_dir)
+    assert dec[41]["dup_vs_corpus"] is True and dec[41]["corpus_match_id"] == 11
+
+    # retention after the second compaction: only audit batches expire,
+    # ids keep ascending past the compacted region
+    rep = jobs.corpus_decisions_retain(spark, corpus_dir, 2)
+    assert rep["deleted_batches"] == [2] and rep["kept_batches"] == [3, 4]
+    assert not os.path.exists(
+        os.path.join(corpus_dir, "index", "_compact_lock")
+    )
+
+
 def test_corpus_vs_corpus_near_dup_verifies_exact_within_budget(spark, tmp_path):
     """VS-CORPUS candidates must ALSO get the batch cascade's exact
     shingle-Jaccard verdict when the corpus partner stored its
