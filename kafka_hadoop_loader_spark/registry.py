@@ -71,8 +71,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # and therefore always sorts to the front — the round-1..7 "new ops
 # first" behavior falls out as a special case.
 #
-# The tuple below is the round-11 window: the 50 stalest names —
-# the 21 round-4 names plus 29 round-5 names
+# The tuple below is the round-12 window: the 50 stalest names —
+# the 14 round-5 names plus 36 round-6 names
 # (latest driver-green round ascending, name ascending).
 # tests/test_driver_window.py recomputes this ordering from the
 # committed CORRECTNESS_r*.json artifacts and fails if the tuple
@@ -80,58 +80,58 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # round's artifact.  Pure presentation order — names, fns, and oracles
 # are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- latest driver green: round 4 (21 names, name order) --
-    "multimodal_image_pool",
-    "multimodal_shot_boundaries",
-    "pca_power_component",
-    "props_key_profile",
-    "quantiles_approx_envelope",
-    "sample_temperature",
-    "scan_corrupt_records",
-    "schema_evolution_union",
-    "shard_plan_balanced",
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_distinct",
-    "sketch_hll_merge_partitioned",
-    "spatial_join_grid",
-    "sql_ctas_insert",
-    "sql_recursive_reach",
-    "table_profile",
-    "text_code_detect",
-    "udtf_python_api",
-    "url_canonicalize",
-    "zone_map_pruning",
-    "zorder_layout",
-    # -- latest driver green: round 5 (29 names, name order) --
-    "ann_recall_audit",
-    "basket_part_affinity",
-    "cumulative_distinct_users",
-    "curriculum_order",
-    "dedup_semantic_prune",
-    "doc_sparse_cosine",
-    "embedding_quantize_int8",
-    "events_activity_islands",
-    "events_bot_regularity",
-    "events_peak_concurrency",
-    "events_pipeline_report",
-    "events_user_lifetime",
-    "fn_array_setops",
-    "fn_struct_bitwise",
-    "graph_label_propagation",
-    "interval_overlap_join",
-    "nation_trade_balance",
-    "observe_metrics_audit",
-    "orders_rfm_segments",
-    "pack_padding_waste",
-    "phrase_search",
-    "pipeline_funnel",
-    "quantiles_interpolated",
-    "quantiles_tdigest",
-    "regr_normal_equations",
-    "sample_hard_negatives",
-    "sample_reservoir_group",
-    "sample_weighted_priority",
-    "scan_xml",
+    # -- latest driver green: round 5 (14 names, name order) --
+    "schema_contract_check",
+    "skew_profile",
+    "sql_pipe_syntax",
+    "stats_mad_robust",
+    "stats_winsorize",
+    "supplier_concentration_hhi",
+    "supplier_lead_time",
+    "text_bigram_kneser_ney",
+    "text_gini_diversity",
+    "text_hapax_ratio",
+    "text_perplexity_proxy",
+    "ts_similarity_search",
+    "udf_arrow_optimized",
+    "window_session_native",
+    # -- latest driver green: round 6 (36 names, name order) --
+    "ann_ivf_probe_frontier",
+    "ann_matryoshka_recall",
+    "causal_cem_att",
+    "conformal_interval_coverage",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_cross_split_leakage",
+    "drift_category_chi2",
+    "drift_numeric_ks",
+    "events_changepoint_cusum",
+    "events_dau_wau_mau",
+    "events_forecast_holt",
+    "events_longest_streak",
+    "events_markov_transitions",
+    "events_new_vs_returning",
+    "events_seasonality_profile",
+    "events_time_weighted_avg",
+    "events_type_diversity",
+    "events_uplift_did",
+    "feature_hashing_vectorizer",
+    "feature_target_encoding",
+    "graph_connected_components",
+    "graph_kcore",
+    "graph_link_prediction",
+    "hilbert_layout",
+    "join_fuzzy_blocked",
+    "k_anonymity_suppress",
+    "kmeans_seed_farthest",
+    "l_diversity_audit",
+    "ml_auc_roc",
+    "ml_calibration_ece",
+    "ml_gini_split",
+    "ml_isotonic_calibration",
+    "ml_logreg_rational",
+    "ml_naive_bayes",
+    "orders_cohort_revenue",
 )
 
 
