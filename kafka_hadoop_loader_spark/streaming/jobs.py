@@ -1020,6 +1020,89 @@ def corpus_maintain_foreach_batch(
     )
 
 
+def _lock_owner_of(spark, fs, lock) -> str | None:
+    """``run_id`` recorded in the lock file at ``lock`` (a Hadoop
+    ``Path``), or ``None`` if the file is absent/unreadable (never
+    raises — an unreadable lock is treated as foreign and left alone)."""
+    import json as _json
+
+    try:
+        stream = fs.open(lock)
+        try:
+            raw = bytes(
+                spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        return _json.loads(raw.decode("utf-8")).get("run_id")
+    except Exception:
+        return None
+
+
+def _reclaim_stale_lock(fs, jvm_path, lock, run_id) -> bool:
+    """Atomically claim an expired maintenance lock for reclamation.
+
+    RENAME the stale lock to a run-unique tombstone — rename is the
+    atomic claim primitive here because it fails once the source is
+    gone, so of N reclaimers that all observed the same expired lock,
+    exactly ONE wins.  (The pre-round-12 delete-then-create form
+    admitted two maintenance jobs: A deletes and re-acquires; B then
+    deletes A's FRESH lock and acquires too.)  The winner's tombstone
+    is deleted immediately; a crash before that leaves an inert,
+    never-re-read file, not a blocker.  Returns True iff THIS run won
+    the rename.
+    """
+    tomb = jvm_path(lock.toString() + ".reclaim." + run_id)
+    try:
+        won = bool(fs.rename(lock, tomb))
+    except Exception:
+        won = False
+    if won:
+        try:
+            fs.delete(tomb, False)
+        except Exception:
+            pass  # unique name, never re-read: an orphan is inert
+    return won
+
+
+def _capture_release_owned(spark, fs, jvm_path, lock, run_id) -> None:
+    """Release the maintenance lock iff it is still THIS run's: RENAME
+    it to a run-unique capture name (atomic — takes whatever file is
+    at the lock path in one step), then verify the CAPTURED payload.
+    Ours -> delete it (released).  Foreign (a reclaimer rewrote the
+    lock between the caller's ownership read and the rename) -> rename
+    it straight back, untouched.  This closes the read-then-delete
+    TOCTOU of a plain ownership-checked delete: a foreign lock can be
+    briefly displaced but never deleted.  Residual window: if a THIRD
+    job acquires during that displacement, the restore fails and the
+    displaced reclaimer runs on without its lock file — strictly
+    narrower than the delete form (needs TWO back-to-back races inside
+    microsecond windows) and bounded, as ever, by the crash-window
+    doctrine (duplicates, never loss).
+    """
+    cap = jvm_path(lock.toString() + ".release." + run_id)
+    try:
+        captured = bool(fs.rename(lock, cap))
+    except Exception:
+        captured = False
+    if not captured:
+        return  # lock already gone or re-claimed: nothing of ours to free
+    if _lock_owner_of(spark, fs, cap) == run_id:
+        fs.delete(cap, False)
+        return
+    try:
+        restored = bool(fs.rename(cap, lock))
+    except Exception:
+        restored = False
+    if not restored:
+        # a third lock landed at the lock path mid-displacement: drop
+        # the orphaned capture (unique name, never re-read)
+        try:
+            fs.delete(cap, False)
+        except Exception:
+            pass
+
+
 @contextlib.contextmanager
 def _maintenance_lock(spark, index_root: str, lock_ttl_sec: float, job: str):
     """Single-flight lock shared by ALL corpus maintenance jobs
@@ -1031,15 +1114,28 @@ def _maintenance_lock(spark, index_root: str, lock_ttl_sec: float, job: str):
     atomic create-if-absent via ``FileSystem.create(path, False)``;
     a FRESH existing lock -> raise (another maintenance job is live);
     a lock older than ``lock_ttl_sec`` -> a crashed run's leftover,
-    reclaimed.  ``lock_ttl_sec`` must exceed the deployment's
+    reclaimed by an atomic RENAME (:func:`_reclaim_stale_lock`), so
+    two jobs that both observe the same expired lock can never both
+    proceed.  ``lock_ttl_sec`` must exceed the deployment's
     worst-case maintenance wall-clock: a LIVE run that outlives the
     TTL can have its lock reclaimed, and the OWNERSHIP-CHECKED release
     below is what keeps that a single failure — the ``finally``
-    re-reads the lock payload and deletes it only if it still carries
-    THIS run's id, so an outlived first run cannot delete the
-    reclaimer's lock and admit a third job.  A payload write that
-    fails mid-acquire deletes the half-created lock before re-raising
-    rather than leaving an ownerless blocker behind.
+    re-reads the lock payload and frees it only if it still carries
+    THIS run's id, via rename-capture-then-verify
+    (:func:`_capture_release_owned`), so an outlived first run cannot
+    delete the reclaimer's lock and admit a third job.  A payload
+    write that fails mid-acquire deletes the half-created lock before
+    re-raising rather than leaving an ownerless blocker behind.
+
+    Clock-skew assumption: staleness compares the DRIVER's
+    ``time.time()`` against the filesystem's own modification time
+    (HDFS namenode / object-store clock).  Driver-vs-store skew
+    therefore shifts the effective TTL by the skew amount — a fresh
+    lock can be misjudged stale (skew ahead) or a crashed one held
+    past the TTL (skew behind).  Size ``lock_ttl_sec`` with headroom
+    for the deployment's worst-case skew on top of the worst-case
+    maintenance wall-clock; NTP-grade skew (sub-second) is noise
+    against the hour-scale default.
     """
     import json as _json
     import time
@@ -1076,31 +1172,17 @@ def _maintenance_lock(spark, index_root: str, lock_ttl_sec: float, job: str):
             raise
         return True
 
-    def _lock_owner() -> str | None:
-        """run_id recorded in the current lock file, or None if the
-        lock is absent/unreadable (never raises)."""
-        try:
-            stream = fs.open(lock)
-            try:
-                raw = bytes(
-                    spark._jvm.org.apache.commons.io.IOUtils
-                    .toByteArray(stream)
-                )
-            finally:
-                stream.close()
-            return _json.loads(raw.decode("utf-8")).get("run_id")
-        except Exception:
-            return None
-
     def _release_if_owned() -> None:
-        # Delete only the lock THIS run wrote.  If this run outlived
+        # Free only the lock THIS run wrote.  If this run outlived
         # lock_ttl_sec, a second invocation may have reclaimed the lock
         # and written its own run_id — deleting that blindly would let
         # a THIRD maintenance job start while the second still runs.
         # An unreadable or missing lock is left alone for the same
-        # reason (worst case: the TTL reclaims it).
-        if _lock_owner() == run_id:
-            fs.delete(lock, False)
+        # reason (worst case: the TTL reclaims it).  The ownership read
+        # here is a cheap pre-filter; the atomic rename-capture inside
+        # _capture_release_owned is what makes the release race-safe.
+        if _lock_owner_of(spark, fs, lock) == run_id:
+            _capture_release_owned(spark, fs, jvm_path, lock, run_id)
 
     if not _try_acquire():
         # a lock exists: fresh -> a live maintenance job, refuse; older
@@ -1124,7 +1206,11 @@ def _maintenance_lock(spark, index_root: str, lock_ttl_sec: float, job: str):
                 "single-flight — wait for it or, if it crashed, let "
                 "the TTL reclaim"
             )
-        fs.delete(lock, False)
+        if not _reclaim_stale_lock(fs, jvm_path, lock, run_id):
+            raise RuntimeError(
+                f"{job}: another maintenance job reclaimed the stale "
+                f"{index_root}/_compact_lock first; single-flight holds"
+            )
         if not _try_acquire():
             raise RuntimeError(
                 f"{job}: lost the race re-acquiring "
@@ -1236,6 +1322,19 @@ def _compact_swap_files(fs, jvm_path, tmp, base_dir) -> int:
     return moved
 
 
+def _ingest_batch_id(name: str) -> int | None:
+    """Batch id from an ``ingest_batch=N`` directory name, or ``None``
+    when the value part is not an integer — a stray hand-made dir or a
+    ``ingest_batch=__HIVE_DEFAULT_PARTITION__`` must be SKIPPED by the
+    maintenance sweeps, not abort them mid-lock with a ``ValueError``
+    (the gate itself only ever writes integer ids, so a non-integer
+    name is by definition foreign and not maintenance's to touch)."""
+    try:
+        return int(name.split("=", 1)[1])
+    except ValueError:
+        return None
+
+
 def _corpus_compact_index_locked(
     spark, index_root, upto_batch, target_files, jvm_path, fs, root
 ) -> dict:
@@ -1252,7 +1351,9 @@ def _corpus_compact_index_locked(
             # deleted AFTER its files move), so this is pure garbage
             fs.delete(st.getPath(), True)
         elif name.startswith("ingest_batch="):
-            part_ids[int(name.split("=", 1)[1])] = st.getPath()
+            bid = _ingest_batch_id(name)
+            if bid is not None:
+                part_ids[bid] = st.getPath()
     real = sorted(i for i in part_ids if i >= 0)
     if not real:
         return {"compacted_batches": [], "base_rows": 0,
@@ -1412,7 +1513,9 @@ def corpus_decisions_retain(
         for st in fs.listStatus(droot):
             name = st.getPath().getName()
             if st.isDirectory() and name.startswith("ingest_batch="):
-                parts[int(name.split("=", 1)[1])] = st.getPath()
+                bid = _ingest_batch_id(name)
+                if bid is not None:
+                    parts[bid] = st.getPath()
         ids = sorted(parts)
         kept = ids[-int(keep_batches):]
         expired = ids[: -int(keep_batches)]

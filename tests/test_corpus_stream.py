@@ -1043,3 +1043,106 @@ def test_corpus_compaction_preserves_shingle_state(spark, tmp_path):
     dec = _decisions(spark, corpus_dir)
     assert dec[2]["near_dup"] is True and dec[2]["near_match_id"] == 1
     assert dec[2]["accept"] is False
+
+
+def test_stale_lock_reclaim_is_rename_atomic(spark, tmp_path):
+    """Two maintenance jobs that both observe the SAME expired lock
+    must never both proceed.  Round 12 made the reclaim claim the
+    stale lock by an atomic RENAME to a run-unique name (rename fails
+    once the source is gone), replacing delete-then-create, which
+    admitted both: A deletes and re-acquires; B then deletes A's FRESH
+    lock and acquires too.  Simulate both racers past the staleness
+    check, then show exactly one rename wins."""
+    root = str(tmp_path / "index")
+    os.makedirs(root)
+    lock_py = os.path.join(root, "_compact_lock")
+    with open(lock_py, "w") as f:
+        f.write('{"run_id": "crashed-run"}')
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    lock = jvm_path(root + "/_compact_lock")
+    fs = lock.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    assert jobs._reclaim_stale_lock(fs, jvm_path, lock, "racer-a") is True
+    # B's rename has no source left -> loses, touches nothing
+    assert jobs._reclaim_stale_lock(fs, jvm_path, lock, "racer-b") is False
+    assert not os.path.exists(lock_py)
+    assert os.listdir(root) == [], "no tombstone litter"
+
+
+def test_maintenance_lock_reclaim_loser_refuses(spark, tmp_path, monkeypatch):
+    """The _maintenance_lock path for a reclaimer that LOSES the rename
+    race: it must raise without entering the context and without
+    touching the winner's progress (the pre-round-12 form would
+    delete-and-recreate its way past the winner here)."""
+    import pytest
+
+    root = str(tmp_path / "index")
+    os.makedirs(root)
+    lock_py = os.path.join(root, "_compact_lock")
+    with open(lock_py, "w") as f:
+        f.write('{"run_id": "crashed-run"}')
+    stale = time.time() - 7200.0
+    os.utime(lock_py, (stale, stale))
+
+    monkeypatch.setattr(jobs, "_reclaim_stale_lock", lambda *a: False)
+    entered = []
+    with pytest.raises(RuntimeError, match="reclaimed the stale"):
+        with jobs._maintenance_lock(spark, root, 3600.0, "test-job"):
+            entered.append(True)
+    assert not entered, "loser must never enter the context"
+    assert os.path.exists(lock_py), "loser must not touch the lock path"
+
+
+def test_release_capture_restores_foreign_lock(spark, tmp_path):
+    """_capture_release_owned is the race-safe core of the release: if
+    the payload turns out FOREIGN after the atomic capture (a reclaimer
+    rewrote the lock between the caller's ownership read and the
+    rename), the lock must be renamed BACK intact — never deleted, the
+    TOCTOU of a read-then-delete release."""
+    root = str(tmp_path / "index")
+    os.makedirs(root)
+    lock_py = os.path.join(root, "_compact_lock")
+    with open(lock_py, "w") as f:
+        f.write('{"run_id": "reclaimer-run"}')
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    lock = jvm_path(root + "/_compact_lock")
+    fs = lock.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    jobs._capture_release_owned(spark, fs, jvm_path, lock, "outlived-run")
+    assert os.path.exists(lock_py), "foreign lock must be restored"
+    with open(lock_py) as f:
+        assert json.load(f)["run_id"] == "reclaimer-run"
+    assert os.listdir(root) == ["_compact_lock"], "no capture litter"
+
+    # with OUR payload the capture deletes it -- the normal release
+    with open(lock_py, "w") as f:
+        f.write('{"run_id": "outlived-run"}')
+    jobs._capture_release_owned(spark, fs, jvm_path, lock, "outlived-run")
+    assert os.listdir(root) == []
+
+
+def test_maintenance_sweeps_skip_foreign_partition_dirs(spark, tmp_path):
+    """A non-integer ingest_batch= dir (a stray hand-made dir or a
+    __HIVE_DEFAULT_PARTITION__) is by definition foreign -- the gate
+    only writes integer ids.  Both maintenance sweeps must SKIP it,
+    not abort mid-lock with a ValueError, and must leave it in place
+    (not maintenance's to delete)."""
+    corpus_dir = str(tmp_path / "corpus")
+    _ingest_three_batches(spark, corpus_dir)
+    foreign = "ingest_batch=__HIVE_DEFAULT_PARTITION__"
+    foreign_dec = os.path.join(corpus_dir, "decisions", foreign)
+    foreign_idx = os.path.join(corpus_dir, "index", foreign)
+    os.makedirs(foreign_dec)
+    os.makedirs(foreign_idx)
+
+    rep = jobs.corpus_decisions_retain(spark, corpus_dir, keep_batches=1)
+    assert rep["deleted_batches"] == [0, 1]
+    assert rep["kept_batches"] == [2]
+    assert os.path.isdir(foreign_dec), "foreign dir must survive retention"
+
+    rep = jobs.corpus_compact_index(spark, corpus_dir)
+    assert rep["compacted_batches"] == [0, 1]
+    assert os.path.isdir(foreign_idx), "foreign dir must survive compaction"
+    assert not os.path.exists(
+        os.path.join(corpus_dir, "index", "_compact_lock")
+    )

@@ -23,14 +23,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = _sf_of(sf_dir)
-    if sf < 0:
-        # fail BEFORE spinning Spark: an unparseable dir would emit an
-        # sf=-1 stamp that update_baseline.py rejects anyway, and
-        # re-running this tool would reproduce the same -1
+    if sf <= 0:
+        # fail BEFORE spinning Spark, with the SAME threshold as
+        # update_baseline.py (<= 0): a dir named .../sf0 would pass a
+        # `< 0` pre-flight, burn a full min-of-3 run, then be refused
+        # at baseline-update time anyway
         raise SystemExit(
-            f"cannot parse a scale factor from SPARK_GRAFT_SF_DIR="
-            f"{sf_dir!r} (expected a path ending in sfN.NN): rename the "
-            "data dir or point at one of /root/testdata/sf*"
+            f"cannot parse a positive scale factor from "
+            f"SPARK_GRAFT_SF_DIR={sf_dir!r} (expected a path ending in "
+            "sfN.NN, N > 0): rename the data dir or point at one of "
+            "/root/testdata/sf*"
         )
 
     from kafka_hadoop_loader_spark import registry
@@ -93,7 +95,14 @@ def _sf_of(sf_dir: str) -> float:
     import re
 
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
-    return float(m.group(1)) if m else -1.0
+    if not m:
+        return -1.0
+    try:
+        return float(m.group(1))
+    except ValueError:
+        # the regex admits digit-free matches like ".../sf." whose
+        # group float() rejects — report "unparseable", don't crash
+        return -1.0
 
 
 if __name__ == "__main__":
