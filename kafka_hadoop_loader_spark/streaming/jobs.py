@@ -1039,30 +1039,67 @@ def _lock_owner_of(spark, fs, lock) -> str | None:
         return None
 
 
-def _reclaim_stale_lock(fs, jvm_path, lock, run_id) -> bool:
+def _reclaim_stale_lock(fs, jvm_path, lock, lock_ttl_sec, run_id) -> bool:
     """Atomically claim an expired maintenance lock for reclamation.
 
-    RENAME the stale lock to a run-unique tombstone — rename is the
-    atomic claim primitive here because it fails once the source is
-    gone, so of N reclaimers that all observed the same expired lock,
-    exactly ONE wins.  (The pre-round-12 delete-then-create form
-    admitted two maintenance jobs: A deletes and re-acquires; B then
-    deletes A's FRESH lock and acquires too.)  The winner's tombstone
-    is deleted immediately; a crash before that leaves an inert,
-    never-re-read file, not a blocker.  Returns True iff THIS run won
-    the rename.
+    RENAME the stale lock to a run-unique tombstone, then VERIFY the
+    captured file's mtime really is past the TTL.  Both halves matter:
+
+    - rename is the atomic claim primitive — it fails once the source
+      is gone, so of N reclaimers that all observed the same expired
+      lock, at most one holds any given file.  (The pre-round-12
+      delete-then-create form admitted two maintenance jobs outright:
+      A deletes and re-acquires; B then deletes A's FRESH lock and
+      acquires too.)
+    - the post-capture mtime check is what makes the claim
+      CONDITIONAL: a loser whose rename lands after the winner's
+      fresh ``create`` captures the winner's NEW lock, not the stale
+      one — rename takes whatever is at the path.  Mtime discriminates
+      exactly (a fresh lock is always a newly created file; nothing
+      rewrites a lock in place), so a captured-fresh lock is renamed
+      straight back and the reclaim reports lost.  Residual: if a
+      third job acquires during that displacement the restore fails
+      and the capture is dropped — the same microsecond-scale,
+      crash-window-bounded residual as the release path.
+
+    The winner's stale tombstone is deleted immediately; a crash
+    before that leaves an inert, never-re-read file, not a blocker.
+    Returns True iff THIS run captured the genuinely stale lock.
     """
+    import time
+
     tomb = jvm_path(lock.toString() + ".reclaim." + run_id)
     try:
         won = bool(fs.rename(lock, tomb))
     except Exception:
         won = False
-    if won:
+    if not won:
+        return False
+    try:
+        age_sec = (
+            time.time() * 1000.0
+            - fs.getFileStatus(tomb).getModificationTime()
+        ) / 1000.0
+    except Exception:
+        age_sec = float("inf")  # unstattable capture: treat as stale
+    if age_sec > lock_ttl_sec:
         try:
             fs.delete(tomb, False)
         except Exception:
             pass  # unique name, never re-read: an orphan is inert
-    return won
+        return True
+    # captured a FRESH lock (a winner re-created between our staleness
+    # stat and our rename): give it back untouched
+    try:
+        restored = bool(fs.rename(tomb, lock))
+    except Exception:
+        restored = False
+    if not restored:
+        try:
+            fs.delete(tomb, False)
+        except Exception:
+            pass
+    return False
 
 
 def _capture_release_owned(spark, fs, jvm_path, lock, run_id) -> None:
@@ -1206,15 +1243,22 @@ def _maintenance_lock(spark, index_root: str, lock_ttl_sec: float, job: str):
                 "single-flight — wait for it or, if it crashed, let "
                 "the TTL reclaim"
             )
-        if not _reclaim_stale_lock(fs, jvm_path, lock, run_id):
-            raise RuntimeError(
-                f"{job}: another maintenance job reclaimed the stale "
-                f"{index_root}/_compact_lock first; single-flight holds"
-            )
+        # Whatever the reclaim outcome, the atomic create below is the
+        # real admission gate: a reclaim LOSS just means someone else
+        # cleared (or kept) the path — if the lock is simply gone (the
+        # holder released between our failed create and the stat, or
+        # the rename winner hasn't re-created yet), the create wins
+        # and exactly one job still proceeds.
+        reclaimed = _reclaim_stale_lock(
+            fs, jvm_path, lock, lock_ttl_sec, run_id
+        )
         if not _try_acquire():
             raise RuntimeError(
-                f"{job}: lost the race re-acquiring "
-                f"{index_root}/_compact_lock after reclaiming a stale one"
+                f"{job}: lost the race on {index_root}/_compact_lock "
+                + ("re-acquiring after reclaiming a stale one"
+                   if reclaimed else
+                   "— another maintenance job reclaimed the stale lock "
+                   "first; single-flight holds")
             )
     try:
         yield

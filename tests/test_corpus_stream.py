@@ -1058,22 +1058,56 @@ def test_stale_lock_reclaim_is_rename_atomic(spark, tmp_path):
     lock_py = os.path.join(root, "_compact_lock")
     with open(lock_py, "w") as f:
         f.write('{"run_id": "crashed-run"}')
+    stale = time.time() - 7200.0
+    os.utime(lock_py, (stale, stale))
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     lock = jvm_path(root + "/_compact_lock")
     fs = lock.getFileSystem(spark._jsc.hadoopConfiguration())
 
-    assert jobs._reclaim_stale_lock(fs, jvm_path, lock, "racer-a") is True
+    assert jobs._reclaim_stale_lock(
+        fs, jvm_path, lock, 3600.0, "racer-a"
+    ) is True
     # B's rename has no source left -> loses, touches nothing
-    assert jobs._reclaim_stale_lock(fs, jvm_path, lock, "racer-b") is False
+    assert jobs._reclaim_stale_lock(
+        fs, jvm_path, lock, 3600.0, "racer-b"
+    ) is False
     assert not os.path.exists(lock_py)
     assert os.listdir(root) == [], "no tombstone litter"
 
 
+def test_stale_lock_reclaim_restores_stolen_fresh_lock(spark, tmp_path):
+    """The reclaim's claim is CONDITIONAL, not just atomic: a loser
+    whose rename lands AFTER the winner already re-created captures
+    the winner's FRESH lock (rename takes whatever is at the path).
+    The post-capture mtime verify must detect that, rename the fresh
+    lock straight back intact, and report the reclaim lost."""
+    root = str(tmp_path / "index")
+    os.makedirs(root)
+    lock_py = os.path.join(root, "_compact_lock")
+    # the winner's freshly created lock (current mtime)
+    with open(lock_py, "w") as f:
+        f.write('{"run_id": "rename-winner"}')
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    lock = jvm_path(root + "/_compact_lock")
+    fs = lock.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    assert jobs._reclaim_stale_lock(
+        fs, jvm_path, lock, 3600.0, "late-loser"
+    ) is False
+    assert os.path.exists(lock_py), "stolen fresh lock must be restored"
+    with open(lock_py) as f:
+        assert json.load(f)["run_id"] == "rename-winner"
+    assert os.listdir(root) == ["_compact_lock"], "no capture litter"
+
+
 def test_maintenance_lock_reclaim_loser_refuses(spark, tmp_path, monkeypatch):
     """The _maintenance_lock path for a reclaimer that LOSES the rename
-    race: it must raise without entering the context and without
-    touching the winner's progress (the pre-round-12 form would
-    delete-and-recreate its way past the winner here)."""
+    race: with the winner's lock on the path it must raise without
+    entering the context and without touching the winner's progress
+    (the pre-round-12 form would delete-and-recreate its way past the
+    winner here).  With the path simply VACANT (the holder released
+    between the failed create and the stat), the atomic create is the
+    real admission gate and the job proceeds."""
     import pytest
 
     root = str(tmp_path / "index")
@@ -1086,11 +1120,28 @@ def test_maintenance_lock_reclaim_loser_refuses(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(jobs, "_reclaim_stale_lock", lambda *a: False)
     entered = []
-    with pytest.raises(RuntimeError, match="reclaimed the stale"):
+    with pytest.raises(RuntimeError, match="reclaimed the stale lock first"):
         with jobs._maintenance_lock(spark, root, 3600.0, "test-job"):
             entered.append(True)
     assert not entered, "loser must never enter the context"
     assert os.path.exists(lock_py), "loser must not touch the lock path"
+
+    # benign vacancy: the reclaim loses but the path is CLEAR (the
+    # rename winner hasn't re-created yet, or the holder released) ->
+    # the atomic create is the admission gate and the job proceeds
+    # (exactly-one still holds: the rename winner's later create
+    # would fail against ours and raise)
+    os.utime(lock_py, (stale, stale))
+
+    def vacating_reclaim(*a):
+        os.remove(lock_py)
+        return False
+
+    monkeypatch.setattr(jobs, "_reclaim_stale_lock", vacating_reclaim)
+    with jobs._maintenance_lock(spark, root, 3600.0, "test-job"):
+        entered.append(True)
+    assert entered == [True]
+    assert not os.path.exists(lock_py), "released on exit"
 
 
 def test_release_capture_restores_foreign_lock(spark, tmp_path):
