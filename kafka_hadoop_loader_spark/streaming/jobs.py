@@ -1064,7 +1064,11 @@ def _reclaim_stale_lock(fs, jvm_path, lock, lock_ttl_sec, run_id) -> bool:
 
     The winner's stale tombstone is deleted immediately; a crash
     before that leaves an inert, never-re-read file, not a blocker.
-    Returns True iff THIS run captured the genuinely stale lock.
+    Assumes rename preserves the file's own mtime (POSIX and HDFS
+    both do); a store that refreshed mtime on rename would only make
+    stale locks look fresh here — refusal and restore, never a double
+    admission, so the failure direction is safe.  Returns True iff
+    THIS run captured the genuinely stale lock.
     """
     import time
 
