@@ -50,3 +50,72 @@ def test_preflight_threshold_matches_update_baseline(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/data/sf.")
     with pytest.raises(SystemExit, match="positive scale factor"):
         bt.main()
+
+
+def test_bench_ratios_parses_correct_columns(tmp_path, monkeypatch, capsys):
+    """bench_ratios must compare against the SECONDS column (3), not
+    the sf column (2) — the exact hand-rolled mistake that motivated
+    the tool — and must classify the 2x / 1.5x tiers and coverage
+    gaps correctly."""
+    import json as _json
+
+    import pytest
+
+    br = _load("bench_ratios")
+    baseline = tmp_path / "BASELINE.md"
+    baseline.write_text(
+        "# BASELINE\n"
+        "| Metric | Value | Config | Source |\n"
+        "|---|---|---|---|\n"
+        "| Reference published benchmark | none exists | — | prose |\n"
+        "\n"
+        "| q_fast | 0.1 | 1.00 | 2026-08-14 | note |\n"
+        "| q_slow | 0.1 | 2.00 | 2026-08-14 | note |\n"
+        "| q_watch | 0.1 | 1.00 | 2026-08-14 | note |\n"
+        "| q_only_base | 0.1 | 1.00 | 2026-08-14 | note |\n"
+    )
+    bench = tmp_path / "bench.json"
+    bench.write_text(_json.dumps({
+        "sf": 0.1,
+        "queries": {
+            "q_fast": 0.5,       # 0.5x
+            "q_slow": 5.0,       # 2.5x -> over_2x
+            "q_watch": 1.8,      # 1.8x -> over_1p5x
+            "q_only_bench": 1.0,
+        },
+    }))
+    monkeypatch.setattr(br, "REPO", str(tmp_path))
+    monkeypatch.setattr("sys.argv", ["bench_ratios.py", str(bench)])
+    with pytest.raises(SystemExit) as e:
+        br.main()
+    assert e.value.code == 1  # over-2x present gates the exit status
+    out = capsys.readouterr().out
+    payload = _json.loads(out.strip().splitlines()[-1])
+    assert payload["n"] == 3
+    assert payload["over_2x"] == {"q_slow": 2.5}
+    assert payload["over_1p5x"] == {"q_watch": 1.8}
+    assert payload["median"] == 1.8
+    assert payload["missing_in_bench"] == ["q_only_base"]
+    assert payload["missing_in_baseline"] == ["q_only_bench"]
+    # the sf column (0.1) must never be the denominator: q_fast at
+    # 0.5 s vs a 1.00 s row is 0.5x, not 5x
+    assert "q_fast" not in payload["over_2x"]
+
+
+def test_bench_ratios_clean_pass_exits_zero(tmp_path, monkeypatch, capsys):
+    import json as _json
+
+    import pytest
+
+    br = _load("bench_ratios")
+    (tmp_path / "BASELINE.md").write_text(
+        "| q1 | 0.1 | 1.00 | 2026-08-14 | note |\n"
+    )
+    bench = tmp_path / "bench.json"
+    bench.write_text(_json.dumps({"queries": {"q1": 0.9}}))
+    monkeypatch.setattr(br, "REPO", str(tmp_path))
+    monkeypatch.setattr("sys.argv", ["bench_ratios.py", str(bench)])
+    with pytest.raises(SystemExit) as e:
+        br.main()
+    assert e.value.code == 0
+    assert "over 2x (0)" in capsys.readouterr().out
