@@ -142,6 +142,14 @@ def two_phase_rank(
             )
         except (TypeError, ValueError):  # e.g. "auto"
             n_buckets = 32
+    # fewer than 2 buckets (a shuffle.partitions=1 session, or a caller
+    # passing 0/negative) would make ``qs`` EMPTY below —
+    # percentile_approx over an empty quantile list returns NULL, every
+    # row's bucket becomes NULL via size(filter(NULL)), and the offsets
+    # equi-join silently drops ALL rows.  Two buckets is the smallest
+    # shape the boundary construction supports; the result is exact at
+    # any bucket count, so clamping only affects balance.
+    n_buckets = max(2, int(n_buckets))
     if checkpoint_input:
         df = df.localCheckpoint(eager=False)
     p = F.col(primary) if isinstance(primary, str) else primary

@@ -149,3 +149,27 @@ def test_bounded_window_key_null_safe(spark):
     df = spark.createDataFrame([(1,), (None,), (3,)], "k int")
     vals = df.select(bounded_window_key("k").alias("b")).distinct().collect()
     assert {r["b"] for r in vals} == {0}
+
+
+@pytest.mark.parametrize("n_buckets", [0, 1, 2])
+def test_degenerate_bucket_counts_never_drop_rows(data, n_buckets):
+    """A bucket count below 2 — a ``spark.sql.shuffle.partitions=1``
+    session resolving the default, or a caller passing 0 — made the
+    Phase-0 quantile list EMPTY: percentile_approx over an empty list
+    returns NULL, size(filter(NULL)) made every row's bucket NULL, and
+    the offsets equi-join silently dropped ALL rows (found by a
+    round-12 ``--shuffle 1`` adversarial sweep: 9 driver queries
+    returned 0 rows).  The helper must clamp to the smallest shape the
+    boundary construction supports and stay bit-identical to the
+    global window."""
+    order = [F.col("v").asc(), F.col("id")]
+    w = Window.orderBy(*order)
+    expected = data.select(
+        "id", F.row_number().over(w).cast("long").alias("rn")
+    )
+    got = two_phase_rank(
+        data, "v", order, row_number_col="rn", n_buckets=n_buckets
+    ).select("id", "rn")
+    j = expected.alias("e").join(got.alias("g"), "id")
+    assert j.count() == 1523, "no row may be dropped at any bucket count"
+    assert j.filter("e.rn != g.rn").count() == 0
