@@ -119,3 +119,27 @@ def test_bench_ratios_clean_pass_exits_zero(tmp_path, monkeypatch, capsys):
         br.main()
     assert e.value.code == 0
     assert "over 2x (0)" in capsys.readouterr().out
+
+
+def test_bench_ratios_reads_driver_wrapper_shape(tmp_path, monkeypatch, capsys):
+    """The driver's BENCH_rN.json nests the bench stdout JSON under
+    'parsed' — the reader must unwrap it."""
+    import json as _json
+
+    import pytest
+
+    br = _load("bench_ratios")
+    (tmp_path / "BASELINE.md").write_text(
+        "| q1 | 0.1 | 1.00 | 2026-08-14 | note |\n"
+    )
+    bench = tmp_path / "BENCH_r99.json"
+    bench.write_text(_json.dumps({
+        "n": 99, "rc": 0, "sf": 0.1,
+        "parsed": {"queries": {"q1": 0.8}, "sf": 0.1},
+    }))
+    monkeypatch.setattr(br, "REPO", str(tmp_path))
+    monkeypatch.setattr("sys.argv", ["bench_ratios.py", str(bench)])
+    with pytest.raises(SystemExit) as e:
+        br.main()
+    assert e.value.code == 0
+    assert '"n": 1' in capsys.readouterr().out

@@ -55,9 +55,16 @@ def baseline_rows(path: str) -> dict[str, float]:
 
 
 def bench_queries(path: str) -> dict[str, float]:
-    """``{query: seconds}`` from a bench JSON — either the stamped
-    ``{"queries": {...}, ...}`` shape or a legacy bare mapping."""
+    """``{query: seconds}`` from a bench JSON: the stamped
+    ``{"queries": {...}, ...}`` shape, the driver's ``BENCH_rN.json``
+    wrapper (bench stdout under ``"parsed"`` — NOTE: stdout carries
+    headline rows only, so coverage gaps vs BASELINE are expected
+    there), or a legacy bare mapping."""
     payload = json.load(open(path, encoding="utf-8"))
+    if isinstance(payload, dict) and "queries" not in payload and isinstance(
+        payload.get("parsed"), dict
+    ):
+        payload = payload["parsed"]
     q = payload.get("queries", payload) if isinstance(payload, dict) else {}
     return {n: float(t) for n, t in q.items() if isinstance(t, (int, float))}
 
