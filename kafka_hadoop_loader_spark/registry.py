@@ -71,8 +71,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # and therefore always sorts to the front — the round-1..7 "new ops
 # first" behavior falls out as a special case.
 #
-# The tuple below is the round-12 window: the 50 stalest names —
-# the 14 round-5 names plus 36 round-6 names
+# The tuple below is the round-13 window: the 50 stalest names —
+# the 14 round-6 names plus 36 round-7 names
 # (latest driver-green round ascending, name ascending).
 # tests/test_driver_window.py recomputes this ordering from the
 # committed CORRECTNESS_r*.json artifacts and fails if the tuple
@@ -80,58 +80,58 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # round's artifact.  Pure presentation order — names, fns, and oracles
 # are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- latest driver green: round 5 (14 names, name order) --
-    "schema_contract_check",
-    "skew_profile",
-    "sql_pipe_syntax",
-    "stats_mad_robust",
-    "stats_winsorize",
-    "supplier_concentration_hhi",
-    "supplier_lead_time",
-    "text_bigram_kneser_ney",
-    "text_gini_diversity",
-    "text_hapax_ratio",
-    "text_perplexity_proxy",
-    "ts_similarity_search",
-    "udf_arrow_optimized",
-    "window_session_native",
-    # -- latest driver green: round 6 (36 names, name order) --
-    "ann_ivf_probe_frontier",
-    "ann_matryoshka_recall",
-    "causal_cem_att",
-    "conformal_interval_coverage",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_cross_split_leakage",
-    "drift_category_chi2",
-    "drift_numeric_ks",
-    "events_changepoint_cusum",
-    "events_dau_wau_mau",
-    "events_forecast_holt",
-    "events_longest_streak",
-    "events_markov_transitions",
-    "events_new_vs_returning",
-    "events_seasonality_profile",
-    "events_time_weighted_avg",
-    "events_type_diversity",
-    "events_uplift_did",
-    "feature_hashing_vectorizer",
-    "feature_target_encoding",
-    "graph_connected_components",
-    "graph_kcore",
-    "graph_link_prediction",
-    "hilbert_layout",
-    "join_fuzzy_blocked",
-    "k_anonymity_suppress",
-    "kmeans_seed_farthest",
-    "l_diversity_audit",
-    "ml_auc_roc",
-    "ml_calibration_ece",
-    "ml_gini_split",
-    "ml_isotonic_calibration",
-    "ml_logreg_rational",
-    "ml_naive_bayes",
-    "orders_cohort_revenue",
+    # -- latest driver green: round 6 (14 names, name order) --
+    "orders_reorder_cycle",
+    "orders_survival_km",
+    "pipeline_dataset_card",
+    "quality_benford_audit",
+    "rank_distributed",
+    "resample_interpolate",
+    "scd_temporal_join",
+    "sketch_kmv_setops",
+    "spatial_dbscan_grid",
+    "spatial_geohash",
+    "stats_bootstrap_ci",
+    "text_readability",
+    "tokenizer_fertility",
+    "ts_acf",
+    # -- latest driver green: round 7 (36 names, name order) --
+    "agg_argminmax",
+    "agg_bitmap_presence",
+    "agg_collect",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_filtered_bool",
+    "agg_grouping_id",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_histogram",
+    "agg_median",
+    "agg_pivot",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_salted_twophase",
+    "agg_share_reused_exchange",
+    "agg_stats_exact",
+    "agg_unpivot",
+    "agg_weighted_median",
+    "ann_pq_recall_audit",
+    "approx_distinct",
+    "dedup_lsh_frontier",
+    "dedup_source_contamination",
+    "drift_embedding_centroid",
+    "forecast_backtest_mase",
+    "graph_assortativity",
+    "merge_upsert",
+    "ml_confusion_matrix",
+    "ml_knn_label_eval",
+    "ml_pr_curve",
+    "ml_ridge_regression",
+    "multimodal_keyframe_select",
+    "multimodal_phash_dedup",
+    "orders_abc_classification",
+    "orders_basket_size_dist",
+    "orders_fulfillment_latency",
 )
 
 
