@@ -1085,7 +1085,14 @@ def _reclaim_stale_lock(fs, jvm_path, lock, lock_ttl_sec, run_id) -> bool:
             - fs.getFileStatus(tomb).getModificationTime()
         ) / 1000.0
     except Exception:
-        age_sec = float("inf")  # unstattable capture: treat as stale
+        # UNSTATTABLE capture: we cannot prove it stale, and deleting
+        # it on faith is the one outcome that fails toward DOUBLE
+        # admission (a transient stat failure on a winner's fresh lock
+        # would kill the live lock).  Fail safe exactly like the
+        # fresh-capture path: rename it back and report the reclaim
+        # lost — worst case the genuinely stale lock survives one more
+        # TTL probe.
+        age_sec = -1.0
     if age_sec > lock_ttl_sec:
         try:
             fs.delete(tomb, False)
@@ -1093,7 +1100,8 @@ def _reclaim_stale_lock(fs, jvm_path, lock, lock_ttl_sec, run_id) -> bool:
             pass  # unique name, never re-read: an orphan is inert
         return True
     # captured a FRESH lock (a winner re-created between our staleness
-    # stat and our rename): give it back untouched
+    # stat and our rename) — or one we could not stat: give it back
+    # untouched
     try:
         restored = bool(fs.rename(tomb, lock))
     except Exception:
@@ -1129,7 +1137,14 @@ def _capture_release_owned(spark, fs, jvm_path, lock, run_id) -> None:
     if not captured:
         return  # lock already gone or re-claimed: nothing of ours to free
     if _lock_owner_of(spark, fs, cap) == run_id:
-        fs.delete(cap, False)
+        # Runs from _maintenance_lock's finally: a transient delete
+        # failure must not mask the context body's real exception.
+        # The orphaned capture sits at a run-unique .release.<run_id>
+        # name nothing re-reads — inert, per the tombstone doctrine.
+        try:
+            fs.delete(cap, False)
+        except Exception:
+            pass
         return
     try:
         restored = bool(fs.rename(cap, lock))

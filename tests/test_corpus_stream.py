@@ -1197,3 +1197,72 @@ def test_maintenance_sweeps_skip_foreign_partition_dirs(spark, tmp_path):
     assert not os.path.exists(
         os.path.join(corpus_dir, "index", "_compact_lock")
     )
+
+
+class _FaultyFS:
+    """Delegating proxy over a real Hadoop FileSystem that raises from
+    one named method — the minimal transient-FS-failure injector for
+    the lock helpers (they take ``fs`` as a plain argument, so no
+    monkeypatching of py4j objects is needed)."""
+
+    def __init__(self, real, fail_method):
+        self._real = real
+        self._fail = fail_method
+
+    def __getattr__(self, name):
+        if name == self._fail:
+            def boom(*a, **k):
+                raise RuntimeError(f"injected transient {name} failure")
+            return boom
+        return getattr(self._real, name)
+
+
+def test_stale_lock_reclaim_unstattable_capture_restores(spark, tmp_path):
+    """A capture whose post-rename stat FAILS must be treated like a
+    captured fresh lock — renamed back, reclaim reported lost — not
+    deleted as 'stale'.  The pre-round-13 form (stat failure => age
+    inf => stale) was the one path that failed toward DOUBLE
+    admission: a transient stat failure on a winner's fresh lock
+    deleted the live lock and admitted a second maintenance job."""
+    root = str(tmp_path / "index")
+    os.makedirs(root)
+    lock_py = os.path.join(root, "_compact_lock")
+    with open(lock_py, "w") as f:
+        f.write('{"run_id": "rename-winner"}')  # a live, FRESH lock
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    lock = jvm_path(root + "/_compact_lock")
+    fs = _FaultyFS(
+        lock.getFileSystem(spark._jsc.hadoopConfiguration()),
+        "getFileStatus",
+    )
+
+    assert jobs._reclaim_stale_lock(
+        fs, jvm_path, lock, 3600.0, "stat-blind"
+    ) is False
+    assert os.path.exists(lock_py), "unstattable capture must be restored"
+    with open(lock_py) as f:
+        assert json.load(f)["run_id"] == "rename-winner"
+    assert os.listdir(root) == ["_compact_lock"], "no capture litter"
+
+
+def test_release_capture_owned_delete_failure_is_swallowed(spark, tmp_path):
+    """_capture_release_owned runs from _maintenance_lock's finally: a
+    transient failure of the owned-path delete must NOT raise (it would
+    mask the context body's real exception).  The orphaned capture sits
+    at a run-unique .release.<run_id> name nothing re-reads — inert."""
+    root = str(tmp_path / "index")
+    os.makedirs(root)
+    lock_py = os.path.join(root, "_compact_lock")
+    with open(lock_py, "w") as f:
+        f.write('{"run_id": "our-run"}')
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    lock = jvm_path(root + "/_compact_lock")
+    fs = _FaultyFS(
+        lock.getFileSystem(spark._jsc.hadoopConfiguration()), "delete"
+    )
+
+    jobs._capture_release_owned(spark, fs, jvm_path, lock, "our-run")
+    assert not os.path.exists(lock_py), "lock path must be vacated"
+    assert os.listdir(root) == ["_compact_lock.release.our-run"], (
+        "failed delete leaves exactly the inert orphaned capture"
+    )

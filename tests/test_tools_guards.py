@@ -143,3 +143,43 @@ def test_bench_ratios_reads_driver_wrapper_shape(tmp_path, monkeypatch, capsys):
         br.main()
     assert e.value.code == 0
     assert '"n": 1' in capsys.readouterr().out
+
+
+def test_bench_ratios_reports_excluded_unratioable_rows(
+    tmp_path, monkeypatch, capsys
+):
+    """A query present on BOTH sides but unratioable — an errored
+    (negative) bench time or a non-positive baseline row — must appear
+    in the 'excluded' output, not silently vanish from every list: a
+    dropped errored query would otherwise read as a clean pass."""
+    import json as _json
+
+    import pytest
+
+    br = _load("bench_ratios")
+    (tmp_path / "BASELINE.md").write_text(
+        "| q_ok | 0.1 | 1.00 | 2026-08-14 | note |\n"
+        "| q_errored | 0.1 | 1.00 | 2026-08-14 | note |\n"
+        "| q_zero_base | 0.1 | 0.00 | 2026-08-14 | note |\n"
+    )
+    bench = tmp_path / "bench.json"
+    bench.write_text(_json.dumps({"queries": {
+        "q_ok": 0.9,
+        "q_errored": -1.0,     # the error sentinel
+        "q_zero_base": 1.0,    # fine bench time, unratioable baseline
+    }}))
+    monkeypatch.setattr(br, "REPO", str(tmp_path))
+    monkeypatch.setattr("sys.argv", ["bench_ratios.py", str(bench)])
+    with pytest.raises(SystemExit) as e:
+        br.main()
+    assert e.value.code == 0  # exit still gates on over-2x only
+    out = capsys.readouterr().out
+    assert "EXCLUDED" in out
+    payload = _json.loads(out.strip().splitlines()[-1])
+    assert payload["n"] == 1
+    assert sorted(payload["excluded"]) == ["q_errored", "q_zero_base"]
+    assert payload["excluded"]["q_errored"] == {
+        "baseline": 1.0, "bench": -1.0,
+    }
+    assert payload["missing_in_bench"] == []
+    assert payload["missing_in_baseline"] == []

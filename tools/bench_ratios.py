@@ -15,7 +15,11 @@ Usage:
 
 Prints a human summary plus one machine-readable JSON line:
 ``{"n": ..., "median": ..., "over_2x": {...}, "over_1p5x": {...},
-"missing_in_bench": [...], "missing_in_baseline": [...]}``.
+"missing_in_bench": [...], "missing_in_baseline": [...],
+"excluded": {...}}`` — ``excluded`` lists queries present on both
+sides but dropped from the ratio set (errored/negative bench time or
+a non-positive baseline row), so an errored run can never read as a
+clean pass.
 
 Exit status: 1 if any query reads over 2x (so a round-end script can
 gate on it), else 0.  Protocol reminder: an over-2x row from a full
@@ -84,6 +88,15 @@ def main() -> None:
     ratios = {
         n: bench[n] / base[n] for n in common if base[n] > 0 and bench[n] >= 0
     }
+    # Queries present on BOTH sides but unratioable (zero/negative
+    # baseline row, or a negative bench time — the error sentinel) must
+    # stay visible: an errored query silently dropped from every list
+    # would read as a clean pass, violating the no-silent-caps rule.
+    excluded = {
+        n: {"baseline": base[n], "bench": bench[n]}
+        for n in common
+        if n not in ratios
+    }
     if not ratios:
         sys.exit("no comparable (positive-baseline, non-errored) queries")
     over2 = {n: round(r, 2) for n, r in ratios.items() if r > 2.0}
@@ -108,6 +121,9 @@ def main() -> None:
     if missing_base:
         print(f"in bench source but not in BASELINE ({len(missing_base)}): "
               f"{missing_base[:10]}{'...' if len(missing_base) > 10 else ''}")
+    if excluded:
+        print(f"EXCLUDED from ratios — errored bench time or non-positive "
+              f"baseline row ({len(excluded)}): {excluded}")
     if over2:
         print("over-2x present: re-measure min-of-3 on a quiet host "
               "(tools/bench_targeted.py) and check BASELINE.md's noise "
@@ -119,6 +135,7 @@ def main() -> None:
         "over_1p5x": over15,
         "missing_in_bench": missing_bench,
         "missing_in_baseline": missing_base,
+        "excluded": excluded,
     }, sort_keys=True))
     sys.exit(1 if over2 else 0)
 
