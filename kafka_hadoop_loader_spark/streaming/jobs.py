@@ -1067,8 +1067,11 @@ def _reclaim_stale_lock(fs, jvm_path, lock, lock_ttl_sec, run_id) -> bool:
     Assumes rename preserves the file's own mtime (POSIX and HDFS
     both do); a store that refreshed mtime on rename would only make
     stale locks look fresh here — refusal and restore, never a double
-    admission, so the failure direction is safe.  Returns True iff
-    THIS run captured the genuinely stale lock.
+    admission, so the failure direction is safe.  The same doctrine
+    covers a capture whose stat FAILS outright: staleness unproven ->
+    restore and report lost (round 13; deleting on an age=inf guess
+    was the one path that failed toward double admission).  Returns
+    True iff THIS run captured the provenly stale lock.
     """
     import time
 
@@ -1084,6 +1087,7 @@ def _reclaim_stale_lock(fs, jvm_path, lock, lock_ttl_sec, run_id) -> bool:
             time.time() * 1000.0
             - fs.getFileStatus(tomb).getModificationTime()
         ) / 1000.0
+        proven_stale = age_sec > lock_ttl_sec
     except Exception:
         # UNSTATTABLE capture: we cannot prove it stale, and deleting
         # it on faith is the one outcome that fails toward DOUBLE
@@ -1092,8 +1096,8 @@ def _reclaim_stale_lock(fs, jvm_path, lock, lock_ttl_sec, run_id) -> bool:
         # fresh-capture path: rename it back and report the reclaim
         # lost — worst case the genuinely stale lock survives one more
         # TTL probe.
-        age_sec = -1.0
-    if age_sec > lock_ttl_sec:
+        proven_stale = False
+    if proven_stale:
         try:
             fs.delete(tomb, False)
         except Exception:
