@@ -291,6 +291,13 @@ def _minhash_pairs(d: DataFrame, sf_dir: str) -> DataFrame:
     bands = mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+    # the band table IS the LSH index (the knn_lsh:buckets analogue) and
+    # the self-join below references it twice: persist it like the
+    # shingle table above, so the 64-minhash signature pass runs once
+    # per (site, sf_dir) instead of twice per consumer run (r13: zero
+    # exchange reuse in the plan audit; 6 registered queries share this
+    # cascade).
+    bands = managed_persist(f"minhash:bands:{sf_dir}", bands)
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -553,6 +560,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= F.floor((1 - t) * F.col("sz")) + 1)
         .select("doc_id", "sz", "g", "rn")
+        # the PPJoin prefix index is self-joined (a x b) below: one LAZY
+        # cut runs the df-rank window pipeline once instead of twice
+        # (r13 plan audit: zero exchange reuse).
+        .localCheckpoint(eager=False)
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -772,7 +783,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.shiftleft(F.lit(1).cast("long"), bit),
             ).otherwise(0)
         )
-    sigs = votes.select("doc_id", sig.alias("sig"))
+    # the chunk table below self-joins (a x b), so without a cut the
+    # whole shingle -> dictionary-hash -> 60-sum vote pipeline executes
+    # TWICE (zero ReusedExchange in the r13 plan audit; measured ~2x on
+    # the signature build).  One LAZY lineage cut (no action) runs it
+    # once — the star_contract discipline.
+    sigs = votes.select("doc_id", sig.alias("sig")).localCheckpoint(
+        eager=False
+    )
 
     chunk_mask = (1 << _SIM_CHUNK_BITS) - 1
     chunks = sigs.select(
@@ -1807,16 +1825,13 @@ def dedup_lsh_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NB: _shingle_hashes returns md5-hashed shingles already? No — it
     # returns hashed shingle arrays; the portable re-hash below keys on
     # those values as strings, which DuckDB replays from the raw grams.
+    # _shingle_grams evaluates split() once per row (the 7x trap its
+    # docstring warns about — the previous inline transform here
+    # re-evaluated the split inside every lambda call) and is already
+    # per-doc-distinct, so explode needs no global .distinct() pass.
     ex = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 2),"
-                " i -> concat_ws(' ', split(text, ' ')[i-1],"
-                " split(text, ' ')[i], split(text, ' ')[i+1]))"
-            )
-        ).alias("shingle"),
-    ).where(F.size(F.split("text", " ")) >= 3).distinct()
+        "doc_id", F.explode(_shingle_grams(F.col("text"))).alias("shingle")
+    )
     hk = managed_persist(
         f"dedup_lsh_frontier:mh:{sf_dir}",
         ex.groupBy("doc_id").agg(

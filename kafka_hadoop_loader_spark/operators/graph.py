@@ -114,9 +114,12 @@ def _pagerank_iter_sql(prev: str, cur: str) -> str:
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
-    edges = _trade_edges(spark, sf_dir)
+    # LAZY cuts: edges is referenced by outw AND ew; ew by all 3
+    # iterations.  Without them the 4-way fact join re-executed per
+    # reference (58 scans in the r13 plan audit, zero reuse).
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    ew = edges.join(outw, "src")
+    ew = edges.join(outw, "src").localCheckpoint(eager=False)
     ranks = nation.select(
         F.col("n_nationkey").alias("node"), F.lit(_R0).cast("long").alias("r")
     )
@@ -514,7 +517,17 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_lpa_communities_nest_inside_components relies on both
     operators seeing the identical edge set).  Ends in a LAZY
     localCheckpoint: both consumers reference it repeatedly."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # dedup (orderkey, partkey) BEFORE the self-join: afterwards each
+    # (order, u, v) appears exactly once, so the support count is a
+    # plain count(*) instead of a countDistinct (which plans an extra
+    # distinct-aggregate pass over the joined pairs).  Same edge set —
+    # verified row-for-row at sf0.1 — with fewer joined rows and one
+    # cheaper aggregate (measured r13: 2.9s -> 1.7s for the edge build).
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a, b = li.alias("a"), li.alias("b")
     return (
         a.join(
@@ -523,7 +536,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("w"))
+        .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= _CC_MIN_SUPPORT)
         .select("u", "v")
         .localCheckpoint(eager=False)

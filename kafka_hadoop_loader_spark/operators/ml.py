@@ -121,7 +121,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (F.col("dim0") + 1).alias("dim"),
         (F.round(F.col("val").cast("double") * _SCALE).cast("long") + _OFFSET).alias("v"),
-    )
+    ).localCheckpoint(eager=False)  # 5 references: seeds-join + 2x assign + 2x update
     seeds = (
         emb.select("vec_id")
         .orderBy("vec_id")
@@ -154,6 +154,10 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist2"))
         )
         wv = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+        # assign and cent are each referenced exactly once per round, so
+        # no cuts here (r13: cutting them hid the centroid broadcast
+        # from the plan and bought nothing — only longv is multiply
+        # referenced).
         assign = (
             dist.withColumn("rn", F.row_number().over(wv))
             .where(F.col("rn") == 1)
@@ -278,7 +282,7 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (F.col("dim0") + 1).cast("bigint").alias("dim"),
         F.round(F.col("x").cast("double") * _PCA_XS).cast("bigint").alias("xq"),
-    )
+    ).localCheckpoint(eager=False)  # 7 references (v0 + 2 per round)
     v = longv.select("dim").distinct().select(
         "dim", F.lit(_PCA_VS).cast("bigint").alias("v")
     )
@@ -307,6 +311,12 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dim",
                 f"CAST({_tdiv_sql('w', 'd', 'DIV')} AS BIGINT) AS v",
             )
+            # each iterate is referenced by BOTH the next round (s and w
+            # branches) and the final 3-way join — without a cut round 1
+            # re-executes ~5x and the unrolled plan carried 116 scans /
+            # 170 Exchanges with zero reuse (r13 plan audit).  A LAZY
+            # localCheckpoint per round executes each round exactly once.
+            .localCheckpoint(eager=False)
         )
         iterates.append(v)
     v1, v2, v3 = iterates
@@ -1084,12 +1094,18 @@ def _lr_fit(spark: SparkSession, sf_dir: str):
         )
         .otherwise(0.0)
         .alias("y"),
-    )
+    ).localCheckpoint(eager=False)
+    # base feeds the init-distinct, every Gauss-Newton step AND the
+    # caller's scoring join (5+ references); each step's betas is inside
+    # the next step's broadcast subtree.  Without cuts the orders x
+    # customer join re-executed per reference (20 scans, zero reuse in
+    # the r13 plan audit).  LAZY cuts (no action) execute the join once
+    # and each 5-row step exactly once.
     betas = base.select("segment").distinct().select(
         "segment", F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
     )
     for _ in range(3):
-        betas = _lr_step(base, betas)
+        betas = _lr_step(base, betas).localCheckpoint(eager=False)
     return base, betas
 
 
@@ -1269,11 +1285,19 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 4
     )
-    base = o.join(c, o.o_custkey == c.c_custkey).select(
-        F.col("c_mktsegment").alias("segment"),
-        "o_orderkey",
-        F.col("o_totalprice").alias("y"),
-        bucket.alias("bucket"),
+    # spread (1-file scan serialized the 150k md5 bucket draws) + LAZY
+    # cut: base feeds model, calibration AND test — without the cut the
+    # join + md5 pass executed three times (r13 plan audit).
+    o = spread(o, "o_orderkey")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            F.col("o_totalprice").alias("y"),
+            bucket.alias("bucket"),
+        )
+        .localCheckpoint(eager=False)
     )
     model = (
         base.where(F.col("bucket") < 2)

@@ -2102,18 +2102,15 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_nd", F.col("canon") & F.col("near_drop").isNull()
     )
     # decontamination vs the benchmark slice (doc_id % 97 == 0)
-    ws = F.split("text", " ")
-    g3 = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(ws, i),
-            F.element_at(ws, i + 1),
-            F.element_at(ws, i + 2),
-        ),
-    )
-    grams = full.where(F.size(ws) >= 3).select(
-        "doc_id", F.explode(F.array_distinct(g3)).alias("g3")
+    # slice+arrays_zip shape: split() evaluates once per row; the
+    # previous sequence+element_at transform re-evaluated the split
+    # subtree inside every lambda call (the _shingle_hashes 7x trap).
+    # Same distinct gram strings; <3-word docs yield an empty array and
+    # are dropped by the explode, matching the old size() filter.
+    from kafka_hadoop_loader_spark.operators.dedup import _shingle_grams
+
+    grams = full.select(
+        "doc_id", F.explode(_shingle_grams(F.col("text"))).alias("g3")
     )
     bench = grams.where(F.col("doc_id") % 97 == 0).select("g3").distinct()
     contam = (
@@ -2136,7 +2133,11 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = flags.withColumn(
         "split",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
-    )
+    # the finished per-doc flag table feeds TWO aggregates (the stage
+    # funnel and the packing shards): one LAZY cut executes the whole
+    # quality/dedup/decontam cascade once instead of twice (r13 plan
+    # audit: zero exchange reuse across the two consumers).
+    ).localCheckpoint(eager=False)
 
     one = lambda c: F.sum(c.cast("bigint"))  # noqa: E731
     tok = lambda c: F.coalesce(  # noqa: E731

@@ -744,20 +744,23 @@ _MRR_COMPONENT = _bm25_component("tf", "df")
 def retrieval_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_hadoop_loader_spark.catalog import managed_persist
 
-    d = table(spark, sf_dir, "documents")
+    from kafka_hadoop_loader_spark.catalog import spread
+
+    # spread (1-file fixture scan) + slice/arrays_zip bigram shape (the
+    # _shingle_hashes 7x trap: the old per-element element_at form
+    # re-evaluated the split inside every lambda call).  Build-side
+    # only: tf below is memoized, so this trims the one-time build.
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     w = F.split("text", " ")
+    n = F.size(w)
+    z = F.arrays_zip(F.slice(w, 1, n - 1), F.slice(w, 2, n - 1))
     toks = (
-        d.where(F.size(w) >= 2)
+        d.where(n >= 2)
         .select(
             "doc_id",
-            (F.size(w) - 1).cast("bigint").alias("dl"),
+            (n - 1).cast("bigint").alias("dl"),
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(w, i), F.element_at(w, i + 1)
-                    ),
-                )
+                F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"]))
             ).alias("term"),
         )
     )

@@ -928,7 +928,11 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cid", "m", "dim")
         .agg(F.expr("CAST(SUM(v) AS BIGINT) div COUNT(*)").alias("c"))
     )
-    d2 = assign(cent1)
+    # d2 feeds BOTH the code table and the query distance table: one
+    # LAZY cut runs the second assignment pass (the widest aggregate in
+    # the operator) once instead of twice (r13 plan audit: zero
+    # exchange reuse between the two consumers).
+    d2 = assign(cent1).localCheckpoint(eager=False)
     codes = d2.where(F.col("rn") == 1).select("vec_id", "m", "cid")
     qd = d2.where(F.col("vec_id") < _PQ_NQ).select(
         F.col("vec_id").alias("query_id"), "m", "cid", "dist2"
@@ -1096,8 +1100,14 @@ def _recall_branch(method: str) -> str:
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_hadoop_loader_spark.registry import REGISTRY
 
-    exact = REGISTRY["knn_cosine_bruteforce"].fn(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+    # the exact ground-truth table is joined against BOTH audited
+    # methods: one LAZY cut runs the brute-force pass once instead of
+    # twice (r13 plan audit: zero exchange reuse between the branches).
+    exact = (
+        REGISTRY["knn_cosine_bruteforce"]
+        .fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
     out = None
     for method in ("lsh", "ivf"):

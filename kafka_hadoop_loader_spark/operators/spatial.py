@@ -373,8 +373,16 @@ def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(dist2 <= _DB_EPS2)
         .select(F.col("k").alias("ka"), "kb")
+        # referenced by ncnt, core_edges AND border: one LAZY cut runs
+        # the 3x3-cell neighbor join once instead of three times (the
+        # r13 plan audit showed the grid join duplicated per consumer).
+        .localCheckpoint(eager=False)
     )
     ncnt = pairs.groupBy("ka").agg(F.count(F.lit(1)).alias("nn"))
+    # NOT cut: core is a cheap aggregate over the (cut) pairs table, and
+    # cutting it replaces known-small size stats with an opaque
+    # ExistingRDD, degrading the downstream join planning (measured r13:
+    # pairs-only 8.6s vs pairs+core 10.6s at sf0.1).
     core = ncnt.where(F.col("nn") + 1 >= _DB_MINPTS).select(
         F.col("ka").alias("k")
     )
@@ -388,6 +396,8 @@ def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     labels, cert = star_contract_certified(core_edges, _DB_ROUNDS)
+    # NOT cut for the same stats reason; labels is already cut inside
+    # star_contract_certified, so re-deriving cc per consumer is cheap.
     cc = core.join(labels, core.k == labels.node, "left").select(
         "k", F.coalesce(F.col("comp"), F.col("k")).alias("cluster_id")
     )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_hadoop_loader_spark.catalog import table
+from kafka_hadoop_loader_spark.catalog import spread, table
 from kafka_hadoop_loader_spark.plans.ranking import two_phase_rank
 from kafka_hadoop_loader_spark.registry import register
 
@@ -1374,9 +1374,17 @@ _POIS_CASE_SQL = (
     unchanged.""",
 )
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    # spread BEFORE the x32 explode + per-(row, replicate) md5: the
+    # fixture table is one parquet file -> one scan partition, which
+    # serialized ~5s of hash CPU onto a single core (measured r13:
+    # 5.5s -> 0.5s for the exploded hash stage once spread).  The
+    # point-mean branch reuses the same spread scan.
+    o = spread(
+        table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ),
+        "k",
     )
     drawn = o.select(
         "k",

@@ -656,17 +656,25 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     B ~ 1e9, c1 ~ 1e8 for 'the' -> 4e17, still in range).""",
 )
 def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # spread: the fixture is one parquet file -> one scan partition,
+    # serializing the bigram explode onto a single core (the
+    # stats_bootstrap_ci finding).
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     w = F.split("text", " ")
+    n = F.size(w)
+    # slice+arrays_zip: split() evaluates once per row; the previous
+    # sequence+element_at transform re-evaluated the split subtree in
+    # every lambda call (the _shingle_hashes 7x trap, 2 evals per
+    # bigram).  Same (w1, w2) pairs in the same positional order.
+    z = F.arrays_zip(F.slice(w, 1, n - 1), F.slice(w, 2, n - 1))
     bg = (
-        d.where(F.size(w) >= 2)
+        d.where(n >= 2)
         .select(
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 1),
-                    lambda i: F.struct(
-                        F.element_at(w, i).alias("w1"),
-                        F.element_at(w, i + 1).alias("w2"),
+                    z,
+                    lambda s: F.struct(
+                        s["0"].alias("w1"), s["1"].alias("w2")
                     ),
                 )
             ).alias("p")

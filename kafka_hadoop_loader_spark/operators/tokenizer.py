@@ -129,19 +129,30 @@ def _learn_merged_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = words.withColumn(
         "seq", F.regexp_replace(F.col("word"), "(.)", r"|$1|")
-    )
+    # each round references the current vocab table TWICE (pair count +
+    # merge apply), so without cuts round N re-executes every earlier
+    # round per reference (zero exchange reuse, r13 plan audit).  One
+    # LAZY cut per round — and one on the initial word table — runs
+    # each round exactly once; the vocab table is |vocab|-sized.
+    ).localCheckpoint(eager=False)
     for _ in range(_ROUNDS):
         syms = F.split(F.expr("trim(BOTH '|' FROM seq)"), r"\|\|")
+        nsym = F.size(syms)
+        # slice+arrays_zip: the seq split evaluates once per row, not
+        # once per element_at inside the lambda (the _shingle_hashes
+        # trap).  Same adjacent (a, b) pairs.
+        z = F.arrays_zip(
+            F.slice(syms, 1, nsym - 1), F.slice(syms, 2, nsym - 1)
+        )
         pairs = (
-            w.where(F.size(syms) >= 2)
+            w.where(nsym >= 2)
             .select(
                 "cnt",
                 F.explode(
                     F.transform(
-                        F.sequence(F.lit(1), F.size(syms) - 1),
-                        lambda i: F.struct(
-                            F.element_at(syms, i).alias("a"),
-                            F.element_at(syms, i + 1).alias("b"),
+                        z,
+                        lambda s: F.struct(
+                            s["0"].alias("a"), s["1"].alias("b")
                         ),
                     )
                 ).alias("pr"),
@@ -150,12 +161,16 @@ def _learn_merged_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("cnt").alias("pair_cnt"))
         )
         top = pairs.orderBy(F.col("pair_cnt").desc(), "a", "b").limit(1).select("a", "b")
-        w = w.join(F.broadcast(top)).select(
-            "word",
-            "cnt",
-            F.expr(
-                "replace(seq, '|' || a || '||' || b || '|', '|' || a || b || '|')"
-            ).alias("seq"),
+        w = (
+            w.join(F.broadcast(top))
+            .select(
+                "word",
+                "cnt",
+                F.expr(
+                    "replace(seq, '|' || a || '||' || b || '|', '|' || a || b || '|')"
+                ).alias("seq"),
+            )
+            .localCheckpoint(eager=False)
         )
     return w
 

@@ -525,6 +525,24 @@ def test_query_construction_runs_no_spark_jobs(spark):
         "kmeans_seed_farthest",
         "ml_isotonic_calibration",
         "orders_abc_classification",
+        # r13 optimization round: lineage cuts added to the iterative /
+        # self-joining operators whose unrolled plans re-executed shared
+        # subtrees (zero ReusedExchange in the r13 plan audit; see
+        # OPTIMIZATION_r13.md for the per-operator measurements)
+        "dedup_simhash",
+        "pca_power_component",
+        "ml_logreg_rational",
+        "ml_calibration_ece",
+        "kmeans_embeddings",
+        "graph_pagerank",
+        "pipeline_corpus_build",
+        "dedup_ngram_jaccard",
+        "knn_pq_adc",
+        "ann_pq_recall_audit",
+        "bpe_train_merges",
+        "bpe_encode_corpus",
+        "tokenizer_fertility",
+        "conformal_interval_coverage",
     }
     load_tables(spark, SF_DIR)  # warm the schema cache
     sc = spark.sparkContext

@@ -106,6 +106,13 @@ def main() -> int:
         "graph_link_prediction", "kmeans_seed_farthest",
         "ml_isotonic_calibration",
         "orders_abc_classification",
+        # r13 lineage cuts (see OPTIMIZATION_r13.md)
+        "dedup_simhash", "pca_power_component", "ml_logreg_rational",
+        "ml_calibration_ece", "kmeans_embeddings", "graph_pagerank",
+        "pipeline_corpus_build", "dedup_ngram_jaccard",
+        "knn_pq_adc", "ann_pq_recall_audit",
+        "bpe_train_merges", "bpe_encode_corpus", "tokenizer_fertility",
+        "conformal_interval_coverage",
     }
     sc = spark.sparkContext
     failures = []
