@@ -362,14 +362,30 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_quantity"
     )
-    wr = Window.partitionBy("l_returnflag", "l_linestatus").orderBy("l_quantity")
+    # Collapse to the (group, distinct quantity) DOMAIN before ranking:
+    # the exact type-1 selection "value at sorted position k" equals
+    # MIN(v | cumulative count >= k), so the windows run over ~|domain|
+    # rows per group instead of row_number()-sorting every lineitem row
+    # (guide §2.3 aggregate-before-shuffle; same rewrite as
+    # quantiles_approx_envelope, results proven hash-identical).
+    dom = li.groupBy("l_returnflag", "l_linestatus", "l_quantity").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wc = (
+        Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     wn = Window.partitionBy("l_returnflag", "l_linestatus")
-    r = li.select(
+    r = dom.select(
         "l_returnflag",
         "l_linestatus",
         "l_quantity",
-        F.row_number().over(wr).cast("long").alias("rn"),
-        F.count("*").over(wn).cast("long").alias("n"),
+        F.sum("c").over(wc).cast("long").alias("cw"),
+        F.sum("c").over(wn).cast("long").alias("n"),
+    )
+    sel = lambda k: F.min(  # noqa: E731
+        F.expr(f"CASE WHEN cw >= {k} THEN l_quantity END")
     )
     return (
         r.groupBy(
@@ -378,10 +394,10 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.max("n").alias("n"),
-            F.max(F.expr("CASE WHEN rn = (n * 1 + 3) DIV 4 THEN l_quantity END")).alias("p25"),
-            F.max(F.expr("CASE WHEN rn = (n * 2 + 3) DIV 4 THEN l_quantity END")).alias("p50"),
-            F.max(F.expr("CASE WHEN rn = (n * 3 + 3) DIV 4 THEN l_quantity END")).alias("p75"),
-            F.max(F.expr("CASE WHEN rn = n THEN l_quantity END")).alias("p100"),
+            sel("(n * 1 + 3) DIV 4").alias("p25"),
+            sel("(n * 2 + 3) DIV 4").alias("p50"),
+            sel("(n * 3 + 3) DIV 4").alias("p75"),
+            F.max("l_quantity").alias("p100"),
         )
         .orderBy("returnflag", "linestatus")
     )
@@ -699,10 +715,18 @@ _BK_MIN_SUP = 3
 )
 def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    items = li.select(
-        "l_orderkey", (F.col("l_partkey") % 100).alias("part_bucket")
-    ).distinct()
-    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    # LAZY cut: items feeds the support aggregate, BOTH self-join sides
+    # and the scalar total — without it the distinct pass executed 4x
+    # (r13 plan audit: zero exchange reuse).  n_orders reads the distinct
+    # items table (same distinct orderkey set as the raw scan).
+    items = (
+        li.select(
+            "l_orderkey", (F.col("l_partkey") % 100).alias("part_bucket")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     sup = items.groupBy("part_bucket").agg(F.count("*").alias("n_orders_with"))
     a, b = items.alias("a"), items.alias("b")
     pairs = (
@@ -1121,23 +1145,41 @@ def quantiles_approx_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_quantity"
     )
-    wr = Window.partitionBy("l_returnflag", "l_linestatus").orderBy("l_quantity")
+    # Collapse to the (group, distinct quantity) DOMAIN before ranking
+    # (the agg_weighted_median shape): the exact rank-k selection over
+    # sorted rows equals MIN(v | cumulative count >= k) over the domain,
+    # so the two windows run over ~|domain| rows per group instead of
+    # row_number()-sorting every lineitem row (guide §2.3
+    # aggregate-before-shuffle; r13: the window pass dominated this
+    # query).  percentile_approx keeps its row-grain input via its own
+    # map-side-combining aggregate — no row ever crosses a window.
+    dom = li.groupBy("l_returnflag", "l_linestatus", "l_quantity").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wc = (
+        Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     wn = Window.partitionBy("l_returnflag", "l_linestatus")
-    r = li.select(
+    r = dom.select(
         "l_returnflag",
         "l_linestatus",
         "l_quantity",
-        F.row_number().over(wr).cast("long").alias("rn"),
-        F.count("*").over(wn).cast("long").alias("n"),
+        F.sum("c").over(wc).cast("long").alias("cw"),
+        F.sum("c").over(wn).cast("long").alias("n"),
     )
     def bound(pct: int, alias: str) -> F.Column:
-        return F.max(
+        # smallest value whose cumulative count reaches rank
+        # GREATEST(ceil(n*pct/100), 1) — identical to the row-grain
+        # "value at row_number == k" on sorted duplicates.
+        return F.min(
             F.expr(
-                f"CASE WHEN rn = GREATEST((n * {pct} + 99) DIV 100, 1)"
+                f"CASE WHEN cw >= GREATEST((n * {pct} + 99) DIV 100, 1)"
                 " THEN l_quantity END"
             )
         ).alias(alias)
-    agg = (
+    bounds = (
         r.groupBy(
             F.col("l_returnflag").alias("returnflag"),
             F.col("l_linestatus").alias("linestatus"),
@@ -1150,11 +1192,17 @@ def quantiles_approx_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             bound(52, "p50_hi"),
             bound(73, "p75_lo"),
             bound(77, "p75_hi"),
-            F.percentile_approx(
-                "l_quantity", [0.25, 0.5, 0.75], 10000
-            ).alias("ap"),
         )
     )
+    ap = li.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias(
+            "ap"
+        )
+    )
+    agg = bounds.join(ap, ["returnflag", "linestatus"])
     return (
         agg.select(
             "returnflag",

@@ -48,12 +48,23 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+import weakref
+
+_CONFIGURED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def configure_runtime(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session.
 
     Idempotent and cheap; called from catalog loading so the engine works
-    on the driver's session, not only on ``get_spark()``'s.
+    on the driver's session, not only on ``get_spark()``'s.  Memoized per
+    session object (a WeakSet, so a collected session can never alias a
+    new one): table() calls this on EVERY table reference, and the ~8
+    conf.set py4j round-trips were a fixed tax on each of the suite's
+    thousands of plan constructions (r13 measurement hygiene).
     """
+    if spark in _CONFIGURED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -62,6 +73,10 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
             # gracefully (only nanosAsLong is load-bearing, and only for
             # the events table).
             pass
+    try:
+        _CONFIGURED.add(spark)
+    except TypeError:
+        pass  # un-weakref-able session stand-ins (tests) just reconfigure
     return spark
 
 

@@ -543,6 +543,7 @@ def test_query_construction_runs_no_spark_jobs(spark):
         "bpe_encode_corpus",
         "tokenizer_fertility",
         "conformal_interval_coverage",
+        "basket_part_affinity",
     }
     load_tables(spark, SF_DIR)  # warm the schema cache
     sc = spark.sparkContext

@@ -112,7 +112,7 @@ def main() -> int:
         "pipeline_corpus_build", "dedup_ngram_jaccard",
         "knn_pq_adc", "ann_pq_recall_audit",
         "bpe_train_merges", "bpe_encode_corpus", "tokenizer_fertility",
-        "conformal_interval_coverage",
+        "conformal_interval_coverage", "basket_part_affinity",
     }
     sc = spark.sparkContext
     failures = []
