@@ -547,7 +547,14 @@ def _star_round(e: DataFrame) -> DataFrame:
     """One large-star + small-star phase over canonical (u < v) pairs,
     ending in a LAZY localCheckpoint lineage cut (no action)."""
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # large star: m = min(N(u) ∪ {u}); emit (m, v) for v > u
+    # large star: m = min(N(u) ∪ {u}); emit (m, v) for v > u.  NO
+    # mid-phase distinct (r13): the small-star window MIN below is
+    # duplicate-insensitive and the round-final distinct dedupes, so the
+    # round's edge set is identical (proven row-for-row on all three
+    # consumers) with one less Exchange per round; the undeduped row
+    # count stays <= |e| (one emit per canonical input edge), so no
+    # growth risk at scale.  m <= u < v keeps canonical order even for
+    # the duplicate rows.
     ls = (
         sym.withColumn(
             "m",
@@ -555,7 +562,6 @@ def _star_round(e: DataFrame) -> DataFrame:
         )
         .where(F.col("v") > F.col("u"))
         .select(F.col("m").alias("u"), "v")
-        .distinct()
     )
     # small star over canonical (u < v): group by the high node v,
     # m = min(low neighbors); emit (m, x) for x in N(v) ∪ {v}, x ≠ m

@@ -746,6 +746,41 @@ _PQ_SHORT = 25  # ADC shortlist size fed to the exact re-rank
 _PQ_SCALE, _PQ_OFFSET = 10_000, 100_000  # ml.py's non-negative exact grid
 
 
+def _pq_packed_views(emb: DataFrame, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The PQ grid as PACKED ARRAYS (r13 rewrite of the dim-grain long
+    view): ``vecl`` = (vec_id, v[64]) whole scaled vectors, ``packed`` =
+    (vec_id, m, sub[_PQ_SUB]) per-subspace slices.  Same scaled-BIGINT
+    values as the oracle's ``longv`` CTE — only the layout differs: one
+    row per (vector, subspace) instead of per (vector, dim), so every
+    distance is an in-row integer fold instead of a 64-way-exploded
+    join + hash aggregate (8x fewer rows through every PQ exchange).
+    Both views are managed-persisted per (site, sf_dir): the index the
+    build-once/serve-many semantic shares between knn_pq_adc and
+    ann_pq_recall_audit."""
+    scal = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * _PQ_SCALE).cast("long")
+        + F.lit(_PQ_OFFSET),
+    )
+    vecl = managed_persist(
+        f"knn_pq_adc:vecl:{sf_dir}", emb.select("vec_id", scal.alias("v"))
+    )
+    packed = vecl.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.struct(
+                    m.cast("bigint").alias("m"),
+                    F.slice("v", m * _PQ_SUB + 1, F.lit(_PQ_SUB)).alias("sub"),
+                ),
+            )
+        ).alias("_e"),
+    ).select("vec_id", "_e.m", "_e.sub")
+    packed = managed_persist(f"knn_pq_adc:packed:{sf_dir}", packed)
+    return vecl, packed
+
+
 @register(
     "knn_pq_adc",
     oracle=f"""
@@ -858,31 +893,21 @@ _PQ_SCALE, _PQ_OFFSET = 10_000, 100_000  # ml.py's non-negative exact grid
     scaled integer grid every distance, assignment, codebook update,
     and ADC sum is exact BIGINT math, so the whole index AND the
     search results hash-match the oracle — a property float PQ cannot
-    offer.  Plan: codebooks ({_PQ_M * _PQ_K * _PQ_SUB} rows) broadcast;
-    per-vector encode is a map-side-combining aggregate; ADC joins the
-    broadcast {_PQ_NQ * _PQ_M * _PQ_K}-row query table against codes.
-    At 10^9 vectors the codes table is the only big operand — which is
-    the entire point of PQ.""",
+    offer.  Plan (r13 packed-array form — see _pq_packed_views): the
+    corpus is scanned as (vec, subspace, sub[{_PQ_SUB}]) array rows;
+    codebooks ({_PQ_M * _PQ_K} array rows) broadcast into an in-row
+    integer-L2 fold, argmin per (vec, subspace) is a hash-agg
+    MIN(struct) — no exploded distance aggregate, no sort+window per
+    assignment pass; ADC joins the broadcast
+    {_PQ_NQ * _PQ_M * _PQ_K}-row query table against codes.  At 10^9
+    vectors the codes table is the only big operand — which is the
+    entire point of PQ.""",
 )
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = spread(table(spark, sf_dir, "embeddings"))
-    longv = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d0", "val")
-    ).select(
-        "vec_id",
-        (F.col("d0") + 1).alias("dim"),
-        F.floor(F.col("d0") / _PQ_SUB).cast("bigint").alias("m"),
-        (
-            F.round(F.col("val").cast("double") * _PQ_SCALE).cast("long")
-            + _PQ_OFFSET
-        ).alias("v"),
-    )
-    # five consumers derive from the long view (seeds' centroids, two
-    # assignment passes, both re-rank sides) — persist so the explode
-    # runs once, the same discipline as the LSH/IVF indexes
-    longv = managed_persist(f"knn_pq_adc:longv:{sf_dir}", longv)
+    vecl, packed = _pq_packed_views(emb, sf_dir)
     seeds = (
         emb.select("vec_id")
         .orderBy("vec_id")
@@ -902,38 +927,72 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cid"),
         )
     )
-    cent0 = seeds.join(longv, "vec_id").select("cid", "m", "dim", F.col("v").alias("c"))
+    cent0 = seeds.join(packed, "vec_id").select(
+        "cid", "m", F.col("sub").alias("c")
+    )
+
+    # dist2 = exact integer L2 over one subspace, computed IN-ROW over
+    # the packed sub-vector arrays (r13 rewrite): the dim-grain form
+    # joined the 64x-exploded long view against K centroids per dim —
+    # an n*64*K-row hash aggregate plus a (vec, m)-window per assignment
+    # pass.  Packed, the join is (n*M rows) x K on the subspace id and
+    # the sum over the _PQ_SUB dims is a zip_with/aggregate fold, so no
+    # post-join aggregate exists at all and the argmin below is a
+    # hash-agg MIN(struct), not a sort+window (guide §2.3/§2.4: 8x
+    # fewer rows through the exchange, two Sorts and one Exchange per
+    # pass removed; results proven row-identical vs the dim-grain form
+    # and the unchanged oracle).
+    _sub_dist2 = F.aggregate(
+        F.zip_with("sub", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
     def assign(cent: DataFrame) -> DataFrame:
-        d = (
-            longv.alias("l")
-            .join(F.broadcast(cent).alias("c"), F.col("l.dim") == F.col("c.dim"))
-            .groupBy(
-                F.col("l.vec_id").alias("vec_id"),
-                F.col("c.m").alias("m"),
-                F.col("c.cid").alias("cid"),
-            )
-            .agg(
-                F.sum(
-                    (F.col("l.v") - F.col("c.c")) * (F.col("l.v") - F.col("c.c"))
-                ).alias("dist2")
-            )
+        return packed.join(F.broadcast(cent), "m").select(
+            "vec_id", "m", "cid", _sub_dist2.alias("dist2")
         )
-        w = Window.partitionBy("vec_id", "m").orderBy("dist2", "cid")
-        return d.withColumn("rn", F.row_number().over(w))
 
-    a1 = assign(cent0).where(F.col("rn") == 1).select("vec_id", "m", "cid")
+    # MIN(struct(dist2, cid)) == the row_number()=1 row under ORDER BY
+    # (dist2, cid): struct comparison is lexicographic on the same key.
+    _best = F.min(F.struct("dist2", "cid"))
+    a1 = (
+        assign(cent0)
+        .groupBy("vec_id", "m")
+        .agg(_best.alias("b"))
+        .select("vec_id", "m", F.col("b.cid").alias("cid"))
+    )
+    # centroid update: per-position integer mean via _PQ_SUB parallel
+    # SUM accumulators on the packed arrays (map-side combinable; no
+    # explode, no per-dim shuffle), re-packed to an array for the next
+    # broadcast.  SUM/COUNT/div identical to the dim-grain oracle.
     cent1 = (
-        a1.join(longv, ["vec_id", "m"])
-        .groupBy("cid", "m", "dim")
-        .agg(F.expr("CAST(SUM(v) AS BIGINT) div COUNT(*)").alias("c"))
+        a1.join(packed, ["vec_id", "m"])
+        .groupBy("cid", "m")
+        .agg(
+            *[
+                F.expr(
+                    f"CAST(SUM(element_at(sub, {i + 1})) AS BIGINT)"
+                    " div COUNT(*)"
+                ).alias(f"_c{i}")
+                for i in range(_PQ_SUB)
+            ]
+        )
+        .select(
+            "cid",
+            "m",
+            F.array(*[F.col(f"_c{i}") for i in range(_PQ_SUB)]).alias("c"),
+        )
     )
     # d2 feeds BOTH the code table and the query distance table: one
-    # LAZY cut runs the second assignment pass (the widest aggregate in
-    # the operator) once instead of twice (r13 plan audit: zero
-    # exchange reuse between the two consumers).
+    # LAZY cut runs the second assignment pass once instead of twice
+    # (r13 plan audit: zero exchange reuse between the two consumers).
     d2 = assign(cent1).localCheckpoint(eager=False)
-    codes = d2.where(F.col("rn") == 1).select("vec_id", "m", "cid")
+    codes = (
+        d2.groupBy("vec_id", "m")
+        .agg(_best.alias("b"))
+        .select("vec_id", "m", F.col("b.cid").alias("cid"))
+    )
     qd = d2.where(F.col("vec_id") < _PQ_NQ).select(
         F.col("vec_id").alias("query_id"), "m", "cid", "dist2"
     )
@@ -949,21 +1008,27 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("arnk") <= _PQ_SHORT)
         .select("query_id", "neighbor_id", "adc_dist2")
     )
-    ql = longv.select(
-        F.col("vec_id").alias("query_id"), "dim", F.col("v").alias("qv")
-    )
-    cl = longv.select(
-        F.col("vec_id").alias("neighbor_id"), "dim", F.col("v").alias("cv")
+    # exact re-rank on WHOLE packed vectors: broadcast the (shortlist x
+    # query-vector) table — Q*_PQ_SHORT rows — against the corpus vector
+    # view and fold the 64-dim integer L2 in-row: one row per scored
+    # pair instead of 64, and the grouped SUM disappears (same rewrite
+    # rationale as the assignment passes; SUM order is irrelevant on
+    # exact integers).
+    qv = vecl.where(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("_qv")
     )
     exact = (
-        F.broadcast(shortlist)
-        .join(ql, "query_id")
-        .join(cl, ["neighbor_id", "dim"])
-        .groupBy("query_id", "neighbor_id", "adc_dist2")
-        .agg(
-            F.sum(
-                (F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))
-            ).alias("dist2")
+        vecl.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("_cv"))
+        .join(F.broadcast(shortlist.join(qv, "query_id")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist2",
+            F.aggregate(
+                F.zip_with("_qv", "_cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
         )
     )
     w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
@@ -1600,8 +1665,10 @@ _REG["ann_ivf_probe_frontier"] = _dc.replace(
 
     The oracle nests knn_pq_adc's full registered oracle as a CTE
     (late-bound at import), so audit and audited cannot drift; the
-    ground-truth arm shares the managed-persist long view with the
-    index build (build once, audit free).
+    ground-truth arm shares the managed-persist packed-vector view
+    with the index build (build once, audit free) and scores corpus x
+    broadcast-queries at vector grain with an in-row integer-L2 fold
+    (r13: n*Q rows instead of the dim-grain n*64*Q hash aggregate).
 
     Scale: ground truth is the documented broadcast-bounded-query-
     batch shape ({_PQ_NQ} queries x corpus, the same class as
@@ -1623,36 +1690,27 @@ def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     emb = spread(table(spark, sf_dir, "embeddings"))
-    longv = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d0", "val")
-    ).select(
-        "vec_id",
-        (F.col("d0") + 1).alias("dim"),
-        F.floor(F.col("d0") / _PQ_SUB).cast("bigint").alias("m"),
-        (
-            F.round(F.col("val").cast("double") * _PQ_SCALE).cast("long")
-            + _PQ_OFFSET
-        ).alias("v"),
-    )
-    longv = managed_persist(f"knn_pq_adc:longv:{sf_dir}", longv)
-    q = longv.where(F.col("vec_id") < _PQ_NQ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("dim").alias("qdim"),
-        F.col("v").alias("qv"),
+    # ground truth on the WHOLE packed vectors (shared managed-persist
+    # view with the audited index): corpus x broadcast-queries at
+    # VECTOR grain with an in-row integer-L2 fold — n*Q rows total
+    # instead of the dim-grain join's n*64*Q rows through a hash
+    # aggregate (r13 rewrite; same scaled-BIGINT math as the oracle's
+    # lv2 CTE, results proven hash-identical).
+    vecl, _ = _pq_packed_views(emb, sf_dir)
+    q = vecl.where(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("_qv")
     )
     truth_d = (
-        longv.join(
-            F.broadcast(q),
-            (F.col("dim") == F.col("qdim"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(
-            F.sum(
-                (F.col("qv") - F.col("v")) * (F.col("qv") - F.col("v"))
-            )
-            .cast("bigint")
-            .alias("dist2")
+        vecl.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("v", "_qv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
         )
     )
     w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
