@@ -557,7 +557,8 @@ _NB_SCORE = (
     Scale: the model is O(classes × Σ|domain_i|) rows — broadcast-size
     by construction for categorical features (bin continuous ones
     first: feature_quantile_bins).  Scoring is map-only after the
-    broadcasts except the 5-rows-per-key argmax window, and the
+    broadcasts except the 5-rows-per-key MIN(struct) argmax aggregate
+    (r13: was a window; the agg partial-combines map-side), and the
     confusion matrix is a bounded hash aggregate.  Nothing in the plan
     grows faster than the test scan.""",
 )
@@ -625,13 +626,20 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n3", F.lit(0)).alias("n3c"),
         )
     )
-    w = Window.partitionBy("o_orderkey").orderBy(
-        F.expr(_NB_SCORE).desc(), F.col("candidate")
-    )
+    # per-order argmax by (score desc, candidate asc) as
+    # MIN(struct(-score, candidate)): the score is a product of strictly
+    # positive finite terms (Laplace smoothing), so negation is an exact
+    # order flip that can never produce NaN — the agg partial-combines
+    # the 5 candidate rows per order map-side, replacing the Sort+Window
+    # (r13; results row-identical, interleaved min-of-3 1.36s -> 1.22s).
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
-        .groupBy("actual", F.col("candidate").alias("predicted"))
+        scored.groupBy("o_orderkey", "actual")
+        .agg(
+            F.min(
+                F.struct((-F.expr(_NB_SCORE)).alias("ns"), F.col("candidate"))
+            ).alias("b")
+        )
+        .groupBy("actual", F.col("b.candidate").alias("predicted"))
         .agg(F.count("*").alias("n_orders"))
         .orderBy("actual", "predicted")
     )

@@ -938,26 +938,28 @@ def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shot_id"),
     )
-    ws = Window.partitionBy("doc_id", "shot_id").orderBy(
-        F.col("energy_scaled").desc(), "frame_id"
-    )
-    wn = Window.partitionBy("doc_id", "shot_id")
-    ranked = shots.select(
-        "doc_id",
-        "shot_id",
-        "frame_id",
-        "energy_scaled",
-        F.row_number().over(ws).alias("r"),
-        F.count("*").over(wn).cast("bigint").alias("n_frames"),
-    )
+    # keyframe argmax by (energy desc, frame_id asc) as MAX(struct);
+    # n_frames folds into the same hash aggregate — drops the per-shot
+    # Sort and both Window nodes, and the doc_id partitioning from the
+    # shot windows already satisfies the (doc_id, shot_id) grouping so
+    # no new exchange appears (r13; results row-identical, interleaved
+    # min-of-3 0.84s -> 0.80s).
     return (
-        ranked.where(F.col("r") == 1)
+        shots.groupBy("doc_id", "shot_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.max(
+                F.struct(
+                    F.col("energy_scaled"), (-F.col("frame_id")).alias("nf")
+                )
+            ).alias("b"),
+        )
         .select(
             "doc_id",
             "shot_id",
             "n_frames",
-            F.col("frame_id").alias("keyframe_id"),
-            F.col("energy_scaled").alias("keyframe_energy"),
+            (-F.col("b.nf")).alias("keyframe_id"),
+            F.col("b.energy_scaled").alias("keyframe_energy"),
         )
         .orderBy("doc_id", "shot_id")
     )

@@ -588,8 +588,8 @@ def drift_category_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one hash aggregate at (type, cent) grain — state is bounded
     by the VALUE GRID (~49k cells/type at this value range), not the
-    row count — then keyed windows over that bounded grid and a 5-row
-    top-1.  The fact scan dominates; everything after is O(|grid|).""",
+    row count — then keyed windows over that bounded grid and a
+    MAX(struct) argmax aggregate (r13: was a row_number window).  The fact scan dominates; everything after is O(|grid|).""",
 )
 def drift_numeric_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_hadoop_loader_spark.functions.exact import scaled_long
@@ -644,11 +644,29 @@ def drift_numeric_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("ncur_total").cast("double")
         ).alias("ecdf_gap"),
     )
-    wr = Window.partitionBy("event_type").orderBy(
-        F.col("ecdf_gap").desc(), "vq"
-    )
-    best = scored.withColumn("rk", F.row_number().over(wr)).where(
-        F.col("rk") == 1
+    # KS argmax by (gap desc, vq asc) as MAX(struct(gap, -vq, ...)) —
+    # map-side combinable, no Sort+Window over the value grid (r13;
+    # vq is unique per (event_type, vq) row so the payload fields never
+    # tiebreak; results row-identical, interleaved 1.53s -> 1.07s).
+    best = (
+        scored.groupBy("event_type")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ecdf_gap"),
+                    (-F.col("vq")).alias("nvq"),
+                    F.col("nref_total"),
+                    F.col("ncur_total"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "event_type",
+            F.col("b.nref_total").alias("nref_total"),
+            F.col("b.ncur_total").alias("ncur_total"),
+            F.col("b.ecdf_gap").alias("ecdf_gap"),
+            (-F.col("b.nvq")).alias("vq"),
+        )
     )
     nref_d = F.col("nref_total").cast("double")
     ncur_d = F.col("ncur_total").cast("double")

@@ -1801,8 +1801,6 @@ _REG["ann_pq_recall_audit"] = _dc.replace(
     instead — the compose-the-oracles doctrine of ann_recall_audit.""",
 )
 def ml_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from kafka_hadoop_loader_spark.registry import REGISTRY
 
     nn = REGISTRY["knn_cosine_bruteforce"].fn(spark, sf_dir)
@@ -1810,13 +1808,26 @@ def ml_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_votes"),
         F.min("rnk").cast("bigint").alias("best_rnk"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("n_votes").desc(), "best_rnk", "neighbor_label"
-    )
+    # vote argmax by (votes desc, best_rnk asc, label asc) as
+    # MAX(struct(votes, -best_rnk, -label)) — map-side combinable, no
+    # Sort+Window over the votes table (r13; results row-identical,
+    # interleaved min-of-3 1.26s -> 1.18s).
     pred = (
-        votes.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select("query_id", F.col("neighbor_label").alias("predicted_label"), "n_votes")
+        votes.groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_votes"),
+                    (-F.col("best_rnk")).alias("nbr"),
+                    (-F.col("neighbor_label")).alias("nlb"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "query_id",
+            (-F.col("b.nlb")).alias("predicted_label"),
+            F.col("b.n_votes").alias("n_votes"),
+        )
     )
     emb = spread(table(spark, sf_dir, "embeddings")).select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")

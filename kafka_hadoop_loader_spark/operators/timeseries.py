@@ -1828,7 +1828,7 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one hash aggregate at (type, hour) grain, windows
     partitioned by type over a calendar-bounded spine, a per-type
-    top-1.  Works unchanged on any keyed count series; at 100 TB the
+    MAX(struct) argmax aggregate (r13: was a row_number window).  Works unchanged on any keyed count series; at 100 TB the
     fact aggregate dominates.""",
 )
 def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1872,11 +1872,34 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cum.where(F.col("i") < F.col("n")).withColumn(
         "s_abs", F.abs(F.col("n") * F.col("pre") - F.col("i") * F.col("tot"))
     )
-    wbest = Window.partitionBy("event_type").orderBy(
-        F.col("s_abs").desc(), "hidx"
-    )
-    best = scored.withColumn("rk", F.row_number().over(wbest)).where(
-        F.col("rk") == 1
+    # changepoint argmax by (s_abs desc, hidx asc) as
+    # MAX(struct(s_abs, -hidx, <payload>)): hidx is unique per group so
+    # the payload fields never tiebreak; the agg rides the event_type
+    # partitioning the cum windows established — no Sort, no new
+    # exchange (r13; results row-identical, interleaved 0.72s -> 0.62s).
+    best = (
+        scored.groupBy("event_type")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("s_abs"),
+                    (-F.col("hidx")).alias("nh"),
+                    F.col("pre"),
+                    F.col("i"),
+                    F.col("tot"),
+                    F.col("n"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "event_type",
+            (-F.col("b.nh")).alias("hidx"),
+            F.col("b.s_abs").alias("s_abs"),
+            F.col("b.pre").alias("pre"),
+            F.col("b.i").alias("i"),
+            F.col("b.tot").alias("tot"),
+            F.col("b.n").alias("n"),
+        )
     )
     return best.select(
         "event_type",
