@@ -1054,10 +1054,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "dl", (F.col("pos0") + 1).cast("bigint").alias("pos"), "g"
     )
     grams = managed_persist(f"substring_spans:grams:{sf_dir}", grams)
+    # "appears in >1 document" as MIN(doc_id) != MAX(doc_id) — exactly
+    # countDistinct(doc_id) > 1, but min/max partial-combine map-side in
+    # ONE aggregation pass where countDistinct plans a two-phase
+    # distinct (an extra exchange of the full grams table); r13
+    # interleaved min-of-3 4.20s -> 2.02s, results row-identical.
     dup = (
         grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") != F.col("mx"))
         .select("g")
     )
     marked = grams.join(dup, "g").select("doc_id", "dl", "pos")

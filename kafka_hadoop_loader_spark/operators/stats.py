@@ -2097,8 +2097,10 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-period medians are selected on the bounded VALUE
     DOMAINS (distinct order counts; distinct dollar totals), never on
     customer-grain windows — the same domain-grain convention as
-    agg_weighted_median; the migration join is customer-keyed
-    hash-join of two O(|customers|) sides.""",
+    agg_weighted_median; the period-to-period pairing is one
+    customer-keyed conditional-aggregate pivot (r13: was a q1 x q2
+    self-join — the pivot needs one exchange instead of two plus the
+    join).""",
 )
 def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_hadoop_loader_spark.catalog import managed_persist
@@ -2173,15 +2175,28 @@ def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("quadrant"),
         )
     )
-    q1 = quad.where(F.col("period") == 1).select(
-        "cust", F.col("quadrant").alias("quadrant_from")
-    )
-    q2 = quad.where(F.col("period") == 2).select(
-        "cust", F.col("quadrant").alias("quadrant_to")
+    # period pivot as ONE conditional aggregate instead of the q1 x q2
+    # self-join: cust appears at most once per period, so inner-join
+    # semantics == both pivot cells non-null — one exchange on cust
+    # replaces two join-input exchanges + the join (r13 interleaved
+    # min-of-3 3.54s -> 2.75s, results row-identical).
+    paired = (
+        quad.groupBy("cust")
+        .agg(
+            F.max(F.when(F.col("period") == 1, F.col("quadrant"))).alias(
+                "quadrant_from"
+            ),
+            F.max(F.when(F.col("period") == 2, F.col("quadrant"))).alias(
+                "quadrant_to"
+            ),
+        )
+        .where(
+            F.col("quadrant_from").isNotNull()
+            & F.col("quadrant_to").isNotNull()
+        )
     )
     return (
-        q1.join(q2, "cust")
-        .groupBy("quadrant_from", "quadrant_to")
+        paired.groupBy("quadrant_from", "quadrant_to")
         .agg(F.count("*").cast("bigint").alias("n_customers"))
         .orderBy("quadrant_from", "quadrant_to")
     )
