@@ -552,16 +552,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.select("doc_id", "sz", F.explode("s").alias("g"))
     gram_df = ex.groupBy("g").agg(F.count("*").alias("df_cnt"))
 
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("df_cnt", "g")
+    # variable-length rarity prefix via ONE hash aggregate:
+    # collect_list + array_sort + slice(floor((1-t)|s|)+1) + posexplode
+    # replaces the df-rank row_number window — same (df, gram) total
+    # order (grams are distinct per doc, so positions are unique), but a
+    # partial-combining aggregate with an in-row sort instead of the
+    # hash-partition + per-bucket sort machinery (r13 interleaved
+    # min-of-3 8.99s -> 7.76s under load; results row-identical).
+    plen = (F.floor((1 - t) * F.col("sz")) + 1).cast("int")
     prefix = (
         ex.join(gram_df, "g")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= F.floor((1 - t) * F.col("sz")) + 1)
-        .select("doc_id", "sz", "g", "rn")
+        .groupBy("doc_id", "sz")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("df_cnt", "g"))),
+                F.lit(1),
+                plen,
+            ).alias("arr")
+        )
+        .select("doc_id", "sz", F.posexplode("arr").alias("p0", "sgl"))
+        .select(
+            "doc_id",
+            "sz",
+            F.col("sgl.g").alias("g"),
+            (F.col("p0") + 1).alias("rn"),
+        )
         # the PPJoin prefix index is self-joined (a x b) below: one LAZY
-        # cut runs the df-rank window pipeline once instead of twice
+        # cut runs the prefix pipeline once instead of twice
         # (r13 plan audit: zero exchange reuse).
         .localCheckpoint(eager=False)
     )
@@ -1191,8 +1208,6 @@ _CONT_PROBES = 2  # rarest-shingle probes per doc (miss prob <= (1-t)^k = 4%)
     corpus, three different candidate geometries, all never-all-pairs.""",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     sh = (
         d.select("doc_id", _shingle_grams(F.col("text")).alias("grams"))
@@ -1202,12 +1217,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.select("doc_id", "sz", F.explode("grams").alias("g"))
     ex = managed_persist(f"containment:postings:{sf_dir}", ex)
     dfg = ex.groupBy("g").agg(F.count("*").alias("df_cnt"))
-    w = Window.partitionBy("doc_id").orderBy("df_cnt", "g")
+    # k rarest probes via collect_list + array_sort + slice(k) — one
+    # partial-combining hash aggregate instead of the df-rank
+    # row_number window's hash-partition + per-bucket sort (grams are
+    # distinct per doc so the (df, gram) order is unambiguous; r13
+    # interleaved min-of-3 4.11s -> 2.96s, results row-identical).
     probes = (
         ex.join(dfg, "g")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _CONT_PROBES)
-        .select("doc_id", "g")
+        .groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("df_cnt", "g"))),
+                1,
+                _CONT_PROBES,
+            ).alias("arr")
+        )
+        .select("doc_id", F.explode("arr").alias("sgl"))
+        .select("doc_id", F.col("sgl.g").alias("g"))
     )
     cand = (
         probes.alias("p")
