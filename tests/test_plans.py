@@ -626,3 +626,20 @@ def test_no_session_zone_timestamp_outputs(spark):
         f"session-zone timestamp outputs (cast to timestamp_ntz or date): "
         f"{offenders}"
     )
+
+
+def test_argmin_rewrites_are_window_free(spark):
+    """r13 waves 5-8 replaced rn==1 / rarity-prefix row_number windows
+    with MIN/MAX(struct) or collect-sort-slice aggregates (map-side
+    combinable, no per-bucket sort).  These plans must stay Window-free
+    end to end — a reintroduced window is a scale regression the bench
+    may not notice at sf0.1."""
+    for name in (
+        "ml_naive_bayes",
+        "kmeans_seed_farthest",
+        "dedup_containment",
+        "dedup_ngram_jaccard",
+    ):
+        plan = _plan(spark, name)
+        assert "Window" not in plan, f"{name} reintroduced a Window node"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
