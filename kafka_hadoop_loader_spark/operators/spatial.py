@@ -388,12 +388,19 @@ def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = core.select(F.col("k").alias("ka")).withColumn("_ca", F.lit(1))
     cb = core.select(F.col("k").alias("kb")).withColumn("_cb", F.lit(1))
+    # No distinct: `pairs` carries no duplicate (ka, kb) rows by
+    # construction — a qualifying pair has cell delta <= 1 on both axes,
+    # so exactly ONE of kb's 9 replicas lands in ka's cell (the join
+    # condition pins (dx, dy) = cell_a - cell_b uniquely) — and the
+    # ka < kb filter keeps one orientation, so the edge list is already
+    # unique.  The distinct planned exchange-free (the kb-join's
+    # partitioning satisfied it) but still hash-deduped EVERY core edge
+    # for nothing; removal proven row-identical at sf0.001/sf0.01 (r13).
     core_edges = (
         pairs.join(ca, "ka")
         .join(cb, "kb")
         .where(F.col("ka") < F.col("kb"))
         .select(F.col("ka").alias("u"), F.col("kb").alias("v"))
-        .distinct()
     )
     labels, cert = star_contract_certified(core_edges, _DB_ROUNDS)
     # NOT cut for the same stats reason; labels is already cut inside
