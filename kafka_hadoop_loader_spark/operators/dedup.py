@@ -759,24 +759,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = d.select(
         "doc_id", _shingle_grams(F.col("text")).alias("g")
     ).where(F.size("g") > 0)
-    ex = th.select("doc_id", F.explode("g").alias("gram"))
-    # md5+conv is ~3x the cost of xxhash64, so hash each DISTINCT gram
-    # once and join the dictionary back over the (doc, gram) pairs
-    # instead of hashing every occurrence.  NO broadcast hint: unigram
-    # vocabularies obey Heaps' law (~O(sqrt(tokens))), but 3-word shingle
-    # TYPES grow near-linearly on web corpora, so an unconditional
-    # broadcast of the dictionary is a 100 TB OOM.  The distinct() above
-    # gives AQE an exact runtime size, so it picks broadcast when the
-    # dictionary fits (this fixture, and any bounded vocabulary) and a
-    # shuffle join — memory-safe, never an OOM — when it doesn't.  If
-    # the shuffle ever dominates, the documented fallback is to drop the
-    # dictionary and hash inline per occurrence: pure map-side CPU,
-    # zero memory risk, same hv values.
-    gh = ex.select("gram").distinct().select(
-        "gram",
-        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("hv"),
+    # Hash each gram IN-ROW (md5 inside a transform over the shingle
+    # array) and explode longs only: pure map-side CPU that fuses into
+    # the scan — no gram string ever crosses an exchange.  This was the
+    # documented fallback of the earlier distinct-dictionary form (hash
+    # each DISTINCT gram once, join the dictionary back): that form
+    # saves ~10x md5 calls on this corpus (260k occurrences / 27k
+    # distinct grams at sf0.1) but pays two string shuffles (the
+    # distinct + the dictionary join), and measured SLOWER — 3.77s vs
+    # 2.55s interleaved min-of-3 (r13 wave 10).  At 100 TB the trade
+    # only improves: the in-row form is embarrassingly parallel with
+    # zero memory risk, while shingle TYPES grow near-linearly on web
+    # corpora and make the dictionary an ever-larger shuffle.
+    hv = F.transform(
+        F.col("g"),
+        lambda gram: F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long"),
     )
-    ex = ex.join(gh, "gram").select("doc_id", "hv")
+    ex = th.select("doc_id", F.explode(hv).alias("hv"))
     # explode + one hash aggregate with 60 conditional sums: one pass over
     # (doc, shingle) pairs with map-side partial aggregation -- much faster
     # than 60 sequential array folds (measured ~20s -> ~2s at sf0.1), and
@@ -843,8 +842,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_id_b"),
             ham.alias("hamming"),
         )
-        .distinct()
+        # hamming filter BEFORE the distinct (they commute: hamming is a
+        # function of the pair): the dedup pass then hashes only the
+        # <= _SIM_MAX_HAM survivors instead of every chunk-collision row
+        # (most collisions are far pairs — r13 wave 10, part of the
+        # 3.77s -> 2.30s interleaved win with the in-row gram hash).
         .where(F.col("hamming") <= _SIM_MAX_HAM)
+        .distinct()
         .orderBy("doc_id_a", "doc_id_b")
     )
 
