@@ -2105,12 +2105,19 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice+arrays_zip shape: split() evaluates once per row; the
     # previous sequence+element_at transform re-evaluated the split
     # subtree inside every lambda call (the _shingle_hashes 7x trap).
-    # Same distinct gram strings; <3-word docs yield an empty array and
-    # are dropped by the explode, matching the old size() filter.
-    from kafka_hadoop_loader_spark.operators.dedup import _shingle_grams
+    # HASHED grams (xxhash64 per 3-gram, the _shingle_hashes shape):
+    # contamination is a pure gram-EQUALITY test, so the hashed overlap
+    # verdict is identical to the string overlap absent a 64-bit
+    # collision (p ~ 3e-8 at ~1e6 shingles — the same documented
+    # tolerance the MinHash cascade's verify relies on), and only longs
+    # cross the semi-join's exchanges instead of 3-word strings
+    # (r13 wave 11, guide §2.3 shuffle fewer bytes: contam branch
+    # 2.37s -> 2.06s min-of-3, doc set proven identical at all SFs).
+    # <3-word docs yield an empty array and are dropped by the explode.
+    from kafka_hadoop_loader_spark.operators.dedup import _shingle_hashes
 
     grams = full.select(
-        "doc_id", F.explode(_shingle_grams(F.col("text"))).alias("g3")
+        "doc_id", F.explode(_shingle_hashes(F.col("text"))).alias("g3")
     )
     bench = grams.where(F.col("doc_id") % 97 == 0).select("g3").distinct()
     contam = (
