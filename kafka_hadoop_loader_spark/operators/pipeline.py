@@ -89,10 +89,20 @@ _PHASH_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"))
     w = F.split("text", " ")
-    bigr = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-    )
+    # slice+arrays_zip bigrams, PROJECTED ONCE: the previous
+    # sequence+element_at transform re-evaluated the split subtree
+    # inside every lambda call (the _shingle_hashes 7x trap), and the
+    # bigram array expression appeared in four output columns — four
+    # rebuilds per row (HOF lambdas get no common-subexpression
+    # elimination).  Building the array once as a column and deriving
+    # all five stats from the column reference measured 1.11s -> 0.74s
+    # interleaved min-of-3 at sf0.1 (r13 wave 12); arrays identical, so
+    # every downstream stat is bit-identical.
+    nw = F.size(w)
+    zb = F.arrays_zip(F.slice(w, 1, nw - 1), F.slice(w, 2, nw - 1))
+    bigr_arr = F.transform(zb, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+    base = d.where(nw >= 2).select("doc_id", bigr_arr.alias("bigr"))
+    bigr = F.col("bigr")
     srt = F.sort_array(bigr)
     # max adjacent-run length over the sorted array: state = (prev, run, best)
     top = F.aggregate(
@@ -118,7 +128,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.size(bigr).cast("bigint")
     dist = F.size(F.array_distinct(bigr)).cast("bigint")
     return (
-        d.where(F.size(w) >= 2)
+        base
         .select(
             "doc_id",
             total.alias("n_bigrams"),
@@ -256,20 +266,17 @@ def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     skips only because the strings are the parity-checkable form.""",
 )
 def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_hadoop_loader_spark.operators.dedup import _shingle_grams
+
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    w = F.split("text", " ")
-    g3 = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(w, i),
-            F.element_at(w, i + 1),
-            F.element_at(w, i + 2),
-        ),
-    )
-    grams = (
-        d.where(F.size(w) >= 3)
-        .select("doc_id", F.explode(F.array_distinct(g3)).alias("g3"))
+    # _shingle_grams is the slice+arrays_zip form: split evaluates once
+    # per row instead of once per element inside the lambda (the
+    # _shingle_hashes 7x trap; r13 wave 12).  Same distinct gram
+    # STRINGS — this operator deliberately keeps the parity-checkable
+    # string grams (see doc); <3-word docs yield an empty array and are
+    # dropped by the explode, matching the old size() filter.
+    grams = d.select(
+        "doc_id", F.explode(_shingle_grams(F.col("text"))).alias("g3")
     )
     bench = grams.where(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("bench_id"), "g3"
@@ -829,18 +836,17 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     alldocs = table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    g3 = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(ws, i),
-            F.element_at(ws, i + 1),
-            F.element_at(ws, i + 2),
-        ),
-    )
-    grams = spread(alldocs, "doc_id").where(F.size(ws) >= 3).select(
-        "doc_id", F.explode(F.array_distinct(g3)).alias("g3")
+    # HASHED grams in the slice+arrays_zip shape (_shingle_hashes):
+    # contamination here is a pure gram-equality semi-join feeding a
+    # boolean flag, so longs cross the exchanges instead of 3-word
+    # strings, and the split evaluates once per row instead of once per
+    # element (the 7x trap) — same rewrite as pipeline_corpus_build
+    # (r13 waves 11-12), same documented 64-bit collision tolerance.
+    # <3-word docs yield an empty array and are dropped by the explode.
+    from kafka_hadoop_loader_spark.operators.dedup import _shingle_hashes
+
+    grams = spread(alldocs, "doc_id").select(
+        "doc_id", F.explode(_shingle_hashes(F.col("text"))).alias("g3")
     )
     bench = grams.where(F.col("doc_id") % 97 == 0).select("g3").distinct()
     contam = (

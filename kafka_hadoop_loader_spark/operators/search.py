@@ -254,11 +254,18 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split("text", " ")
 
     def skip_pairs(dist: int):
+        # slice+arrays_zip: the split evaluates once per row, not once
+        # per element inside the lambda (the _shingle_hashes 7x trap;
+        # r13 wave 12, pairs proven identical at sf0.001/sf0.01).
+        n = F.size(w)
+        z = F.arrays_zip(
+            F.slice(w, 1, n - dist), F.slice(w, F.lit(1 + dist), n - dist)
+        )
         return F.transform(
-            F.sequence(F.lit(1), F.size(w) - dist),
-            lambda i: F.struct(
-                F.least(F.element_at(w, i), F.element_at(w, i + dist)).alias("tok_a"),
-                F.greatest(F.element_at(w, i), F.element_at(w, i + dist)).alias("tok_b"),
+            z,
+            lambda s: F.struct(
+                F.least(s["0"], s["1"]).alias("tok_a"),
+                F.greatest(s["0"], s["1"]).alias("tok_b"),
             ),
         )
 

@@ -840,26 +840,16 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_hadoop_loader_spark.catalog import managed_persist
 
+    from kafka_hadoop_loader_spark.operators.dedup import _shingle_grams
+
     d = table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    grams = (
-        d.where(F.size(w) >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(w) - 2),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at(w, i),
-                            F.element_at(w, i + 1),
-                            F.element_at(w, i + 2),
-                        ),
-                    )
-                )
-            ).alias("g"),
-        )
+    # _shingle_grams (slice+arrays_zip): split evaluates once per row,
+    # not once per element inside the lambda (the _shingle_hashes 7x
+    # trap; r13 wave 12).  Same distinct gram strings; <3-word docs
+    # yield an empty array and are dropped by the explode, matching the
+    # old size() filter.
+    grams = d.select(
+        "doc_id", F.explode(_shingle_grams(F.col("text"))).alias("g")
     )
     # grams feeds the first-seen aggregate AND the join back
     grams = managed_persist(f"text_ngram_novelty:grams:{sf_dir}", grams)
