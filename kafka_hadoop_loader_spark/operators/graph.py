@@ -543,9 +543,30 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _star_round(e: DataFrame) -> DataFrame:
+def _star_round(e: DataFrame, dedupe: bool = True) -> DataFrame:
     """One large-star + small-star phase over canonical (u < v) pairs,
-    ending in a LAZY localCheckpoint lineage cut (no action)."""
+    ending in a LAZY localCheckpoint lineage cut (no action).
+
+    The body lives in ``_star_round_body`` so its PRE-checkpoint plan
+    can be audited (the checkpoint cuts the SQL plan, hiding the round
+    from the registered query's explain — plans/r14 captures the body).
+
+    ``dedupe=False`` skips the round-final ``.distinct()`` — legal ONLY
+    when every consumer of the round's output is duplicate-insensitive
+    (``_star_labels``' groupBy-MIN, or another ``_star_round``, whose
+    window MINs ignore duplicates and whose own distinct re-dedupes).
+    Mid-contraction rounds MUST dedupe: each round can emit up to 2x
+    its input rows (the small-star explode), so skipping the distinct
+    on every round would compound row growth 2^rounds; skipping it on
+    a terminal round bounds the blowup at 2x — and at fixpoint (where
+    the terminal rounds run, given the consumers' headroom counts) the
+    emit is already duplicate-free, so the skipped distinct was an
+    Exchange + two HashAggregates over the |nodes|-sized star edge set
+    deduping nothing (guide §2.4)."""
+    return _star_round_body(e, dedupe).localCheckpoint(eager=False)
+
+
+def _star_round_body(e: DataFrame, dedupe: bool = True) -> DataFrame:
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # large star: m = min(N(u) ∪ {u}); emit (m, v) for v > u.  NO
     # mid-phase distinct (r13): the small-star window MIN below is
@@ -565,14 +586,15 @@ def _star_round(e: DataFrame) -> DataFrame:
     )
     # small star over canonical (u < v): group by the high node v,
     # m = min(low neighbors); emit (m, x) for x in N(v) ∪ {v}, x ≠ m
-    return (
+    ss = (
         ls.withColumn("m", F.min("u").over(Window.partitionBy("v")))
         .select("m", F.explode(F.array(F.col("u"), F.col("v"))).alias("x"))
         .where(F.col("x") != F.col("m"))
         .select(F.col("m").alias("u"), F.col("x").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
     )
+    if dedupe:
+        ss = ss.distinct()
+    return ss
 
 
 def _star_labels(e: DataFrame) -> DataFrame:
@@ -596,10 +618,12 @@ def star_contract(edges: DataFrame, rounds: int) -> DataFrame:
     responsible for a round count that covers its graph (pytest pins
     both against ground truth).  Every round cuts lineage with a LAZY
     localCheckpoint (no action): without it the 2-references-per-round
-    lineage re-executes round i 2^(rounds-i) times."""
+    lineage re-executes round i 2^(rounds-i) times.  The FINAL round
+    skips its distinct: its only consumer is _star_labels' groupBy-MIN
+    (see _star_round's dedupe contract)."""
     e = edges.localCheckpoint(eager=False)
-    for _ in range(rounds):
-        e = _star_round(e)
+    for i in range(rounds):
+        e = _star_round(e, dedupe=i < rounds - 1)
     return _star_labels(e)
 
 
@@ -621,12 +645,22 @@ def star_contract_certified(
     turns into ``converged = false`` — a value-level mismatch against
     the oracle's ``TRUE`` — instead of silently identical-but-wrong
     labels on both sides.  Still zero driver-side actions; cost is one
-    extra round over an at-fixpoint (hence tiny) edge set."""
+    extra round over an at-fixpoint (hence tiny) edge set.
+
+    The final regular round and the certificate round both skip their
+    round-final distinct (see _star_round's dedupe contract): the final
+    round feeds only duplicate-insensitive consumers (_star_labels'
+    groupBy-MIN twice, and the certificate round's window MINs), and
+    the certificate round feeds only _star_labels — so the two skipped
+    distincts each remove an Exchange + two HashAggregates over the
+    near-final |nodes|-sized star edge set without changing a single
+    label (proven row-identical on all three consumers' fixtures and
+    on the fuzz-parity generated topologies)."""
     e = edges.localCheckpoint(eager=False)
-    for _ in range(rounds):
-        e = _star_round(e)
+    for i in range(rounds):
+        e = _star_round(e, dedupe=i < rounds - 1)
     labels = _star_labels(e).localCheckpoint(eager=False)
-    after = _star_labels(_star_round(e))
+    after = _star_labels(_star_round(e, dedupe=False))
     cert = (
         labels.alias("a")
         .join(after.alias("b"), F.col("a.node") == F.col("b.node"), "full")

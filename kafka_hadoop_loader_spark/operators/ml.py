@@ -784,21 +784,42 @@ def ml_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "negr"
         ),
     )
-    wr = Window.partitionBy("feature").orderBy(F.expr(_GINI), F.col("threshold"))
-    return (
-        cand.select(
-            "feature",
-            "threshold",
-            "nl",
-            "posl",
-            "nr",
-            "posr",
-            F.expr(_GINI).alias("gini"),
-            F.row_number().over(wr).cast("bigint").alias("rnk"),
-        )
-        .where(F.col("rnk") <= 5)
-        .orderBy("feature", "rnk")
+    # top-5 per feature via slice(array_sort(collect_list), 1, 5) — the
+    # wave-8 rewrite applied to the rnk<=5 window: (gini, threshold) is
+    # a total order within a feature (thresholds are the distinct grid
+    # values, so ties on gini break uniquely), hence the sorted array's
+    # first five structs ARE the window's rnk 1..5 rows, but from a
+    # map-side-combinable aggregate instead of a second hash-partition +
+    # per-bucket sort pass over the candidate grid (guide §2.3/§2.4).
+    scored = cand.select(
+        "feature", "threshold", "nl", "posl", "nr", "posr",
+        F.expr(_GINI).alias("gini"),
     )
+    top = (
+        scored.groupBy("feature")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("gini", "threshold", "nl", "posl", "nr", "posr")
+                    )
+                ),
+                1,
+                5,
+            ).alias("top")
+        )
+        .select("feature", F.posexplode("top").alias("p0", "s"))
+    )
+    return top.select(
+        "feature",
+        F.col("s.threshold").alias("threshold"),
+        F.col("s.nl").alias("nl"),
+        F.col("s.posl").alias("posl"),
+        F.col("s.nr").alias("nr"),
+        F.col("s.posr").alias("posr"),
+        F.col("s.gini").alias("gini"),
+        (F.col("p0") + 1).cast("bigint").alias("rnk"),
+    ).orderBy("feature", "rnk")
 
 
 # --- Leave-one-out target encoding -------------------------------------

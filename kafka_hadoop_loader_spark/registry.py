@@ -71,8 +71,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # and therefore always sorts to the front — the round-1..7 "new ops
 # first" behavior falls out as a special case.
 #
-# The tuple below is the round-13 window: the 50 stalest names —
-# the 14 round-6 names plus 36 round-7 names
+# The tuple below is the round-14 window: the 50 stalest names —
+# the 14 round-7 names plus 36 round-8 names
 # (latest driver-green round ascending, name ascending).
 # tests/test_driver_window.py recomputes this ordering from the
 # committed CORRECTNESS_r*.json artifacts and fails if the tuple
@@ -80,58 +80,58 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # round's artifact.  Pure presentation order — names, fns, and oracles
 # are unchanged.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- latest driver green: round 6 (14 names, name order) --
-    "orders_reorder_cycle",
-    "orders_survival_km",
-    "pipeline_dataset_card",
-    "quality_benford_audit",
-    "rank_distributed",
-    "resample_interpolate",
-    "scd_temporal_join",
-    "sketch_kmv_setops",
-    "spatial_dbscan_grid",
-    "spatial_geohash",
-    "stats_bootstrap_ci",
-    "text_readability",
-    "tokenizer_fertility",
-    "ts_acf",
-    # -- latest driver green: round 7 (36 names, name order) --
-    "agg_argminmax",
-    "agg_bitmap_presence",
-    "agg_collect",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_filtered_bool",
-    "agg_grouping_id",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_histogram",
-    "agg_median",
-    "agg_pivot",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "agg_salted_twophase",
-    "agg_share_reused_exchange",
-    "agg_stats_exact",
-    "agg_unpivot",
-    "agg_weighted_median",
-    "ann_pq_recall_audit",
-    "approx_distinct",
-    "dedup_lsh_frontier",
-    "dedup_source_contamination",
-    "drift_embedding_centroid",
-    "forecast_backtest_mase",
-    "graph_assortativity",
-    "merge_upsert",
-    "ml_confusion_matrix",
-    "ml_knn_label_eval",
-    "ml_pr_curve",
-    "ml_ridge_regression",
-    "multimodal_keyframe_select",
-    "multimodal_phash_dedup",
-    "orders_abc_classification",
-    "orders_basket_size_dist",
-    "orders_fulfillment_latency",
+    # -- latest driver green: round 7 (14 names, name order) --
+    "orders_segment_migration",
+    "pipeline_corpus_build",
+    "privacy_release_gate",
+    "retrieval_mrr_audit",
+    "sample_importance_reweight",
+    "scan_binary_files",
+    "stats_theil_sen",
+    "t_closeness_audit",
+    "text_langid_confusion",
+    "text_ngram_novelty",
+    "ts_anomaly_seasonal",
+    "ts_decompose_classical",
+    "window_range_trailing",
+    "window_rolling_median",
+    # -- latest driver green: round 8 (36 names, name order) --
+    "decontaminate_ngram",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_near_prefix",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "embedding_label_centroid_dist",
+    "embedding_norms",
+    "events_hourly",
+    "filter_in_like",
+    "filter_pushdown",
+    "fn_array",
+    "fn_datetime",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_string",
+    "join_anti",
+    "join_asof",
+    "join_broadcast",
+    "join_bucketed_colocated",
+    "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_left_outer",
+    "join_range",
+    "join_right_outer",
+    "join_semi",
+    "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
+    "knn_cosine_lsh",
+    "mix_weighted_sources",
+    "multimodal_decode",
 )
 
 

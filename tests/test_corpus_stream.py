@@ -10,9 +10,16 @@ import json
 import os
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kafka_hadoop_loader_spark.streaming import jobs
+
+# Multi-minute robustness pass: excluded from the default (driver-capped)
+# run; `pytest -m slow` runs it (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 # 24 distinct 6-char words: passes every quality threshold (n_tok=24,
 # avg token len ~7 incl. separators, TTR=1.0, zero stopwords)

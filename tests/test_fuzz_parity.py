@@ -19,6 +19,11 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# Multi-minute robustness pass: excluded from the default (driver-capped)
+# run; `pytest -m slow` runs it (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 # ---- value/table strategies ------------------------------------------
 
 _keys = st.integers(min_value=-3, max_value=3)

@@ -4,6 +4,8 @@ pushdown reaches the scan, dims broadcast, hot paths stay JVM-side.
 
 from __future__ import annotations
 
+import pytest
+
 from kafka_hadoop_loader_spark import registry
 from tests.conftest import SF_DIR
 
@@ -14,6 +16,33 @@ def _plan(spark, name: str) -> str:
     from kafka_hadoop_loader_spark.plans.inspect import formatted_plan
 
     return formatted_plan(REG[name].fn(spark, SF_DIR))
+
+
+@pytest.fixture(scope="module")
+def registry_audit(spark):
+    """ONE construction pass over every registered query: build the
+    DataFrame inside a per-name job group (so build-time Spark jobs are
+    counted), then capture its formatted plan and output schema.  The
+    registry-wide audit tests below all read this cache — previously
+    each of them re-built all 314 plans itself (~80-100 s apiece, the
+    single biggest cost in the suite; the r13 driver pytest run hit its
+    time cap).  Returns {name: (plan_text, schema_fields, n_build_jobs)}."""
+    from kafka_hadoop_loader_spark.catalog import load_tables
+    from kafka_hadoop_loader_spark.plans.inspect import formatted_plan
+
+    load_tables(spark, SF_DIR)  # warm the schema cache (footer jobs)
+    sc = spark.sparkContext
+    out = {}
+    for name, q in REG.items():
+        group = f"build-audit:{name}"
+        sc.setJobGroup(group, name)
+        try:
+            df = q.fn(spark, SF_DIR)
+        finally:
+            sc.setJobGroup(None, None)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        out[name] = (formatted_plan(df), df.schema.fields, n_jobs)
+    return out
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -181,12 +210,11 @@ def test_tpch_size_estimate_joins_broadcast(spark):
         )
 
 
-def test_no_cartesian_product_anywhere(spark):
+def test_no_cartesian_product_anywhere(spark, registry_audit):
     """No registered query may plan a CartesianProduct: the explicit
     cross joins are all broadcast-side-tiny by construction and must
     stay BroadcastNestedLoop; everything else must be keyed."""
-    for name in REG:
-        plan = _plan(spark, name)
+    for name, (plan, _schema, _jobs) in registry_audit.items():
         assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
     """The bucketed co-located join must read bucket-to-bucket: no
     Exchange and no Sort anywhere on the join's input sides (the only
@@ -384,7 +412,7 @@ def test_pq_codebooks_and_queries_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_no_row_python_anywhere(spark):
+def test_no_row_python_anywhere(spark, registry_audit):
     """Registry-wide policy sweep: no operator may fall back to
     row-at-a-time Python evaluation (BatchEvalPython).  Python-touching
     tiers must be Arrow-batched (ArrowEvalPython / FlatMapGroupsInPandas
@@ -393,10 +421,9 @@ def test_no_row_python_anywhere(spark):
     plain @udtf API."""
     allowed_row_python = {"udtf_python_api"}
     offenders = []
-    for name in REG:
+    for name, (plan, _schema, _jobs) in registry_audit.items():
         if name in allowed_row_python:
             continue
-        plan = _plan(spark, name)
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-Python fallback in: {offenders}"
@@ -475,7 +502,7 @@ def test_no_unpartitioned_window_in_rewritten_rank_operators(spark):
     assert not bad, f"unpartitioned windows: {bad}"
 
 
-def test_query_construction_runs_no_spark_jobs(spark):
+def test_query_construction_runs_no_spark_jobs(spark, registry_audit):
     """Standing build-action audit (round-4 verdict item 8): calling
     ``queries()[name](spark, sf_dir)`` must CONSTRUCT a plan, not run
     it — a Spark job during construction is a driver round-trip that
@@ -485,10 +512,9 @@ def test_query_construction_runs_no_spark_jobs(spark):
 
     Schema discovery is warmed first: catalog.table caches each fixture
     schema once per (sf_dir, table); the warmup pays those footer jobs
-    so queries are charged only for their own actions.
+    so queries are charged only for their own actions.  Job counts come
+    from the registry_audit fixture's single construction pass.
     """
-    from kafka_hadoop_loader_spark.catalog import load_tables
-
     # deliberate build-time work, each class documented in its module:
     materializers = {
         # DDL/file setup: write a table/files first, query them after
@@ -545,21 +571,12 @@ def test_query_construction_runs_no_spark_jobs(spark):
         "conformal_interval_coverage",
         "basket_part_affinity",
     }
-    load_tables(spark, SF_DIR)  # warm the schema cache
-    sc = spark.sparkContext
     offenders = {}
-    for name, q in REG.items():
+    for name, (_plan_text, _schema, n_jobs) in registry_audit.items():
         if name in materializers:
             continue
-        group = f"build-audit:{name}"
-        sc.setJobGroup(group, name)
-        try:
-            q.fn(spark, SF_DIR)
-        finally:
-            sc.setJobGroup(None, None)
-        ids = sc.statusTracker().getJobIdsForGroup(group)
-        if ids:
-            offenders[name] = len(ids)
+        if n_jobs:
+            offenders[name] = n_jobs
     assert not offenders, (
         f"Spark jobs ran during query construction: {offenders}; either "
         "remove the build-time action or document the query as a "
@@ -604,7 +621,7 @@ def test_runtime_bloom_filter_join_injects(spark):
             spark.conf.set(k, v)
 
 
-def test_no_session_zone_timestamp_outputs(spark):
+def test_no_session_zone_timestamp_outputs(spark, registry_audit):
     """No registered query may OUTPUT a TimestampType (session-zone LTZ)
     column: the driver collects values on a vanilla session whose zone
     is whatever the host says, so an LTZ output renders differently
@@ -612,13 +629,12 @@ def test_no_session_zone_timestamp_outputs(spark):
     (zone-free) DuckDB oracle — exactly the latent agg_unpivot bug the
     round-6 non-UTC driver_sim sweep caught (date_trunc silently
     coerces NTZ -> LTZ; cast back per the batch_windows convention).
-    Building the schema needs no job, so this audits all queries
-    cheaply."""
+    Schemas come from the registry_audit fixture's single construction
+    pass."""
     from pyspark.sql.types import TimestampType
 
     offenders = {}
-    for name, q in REG.items():
-        fields = q.fn(spark, SF_DIR).schema.fields
+    for name, (_plan_text, fields, _jobs) in registry_audit.items():
         ltz = [f.name for f in fields if isinstance(f.dataType, TimestampType)]
         if ltz:
             offenders[name] = ltz

@@ -183,3 +183,66 @@ def test_bench_ratios_reports_excluded_unratioable_rows(
     }
     assert payload["missing_in_bench"] == []
     assert payload["missing_in_baseline"] == []
+
+
+def test_memoized_index_set_is_frozen():
+    """The managed_persist/managed_lookup site-key inventory is FROZEN
+    (r13 verdict item 8; protocol in bench.py's docstring): a new site
+    moves work out of the bench's min-of-3 into pass 1, so adding one
+    requires updating this list AND appending the one-line
+    justification to bench.py's memoized-index protocol note."""
+    import re
+
+    frozen = {
+        "containment:postings",
+        "cooccur_pmi:pair_counts",
+        "dedup_clusters:labels",
+        "dedup_lsh_frontier:cand{r}",
+        "dedup_lsh_frontier:mh",
+        "dedup_lsh_frontier:verified",
+        "doc_sparse_cosine:weights",
+        "forecast_backtest_mase:daily",
+        "graph_assortativity:sym",
+        "knn_ivf:assign",
+        "knn_lsh:buckets",
+        "knn_pq_adc:packed",
+        "knn_pq_adc:vecl",
+        "minhash:bands",
+        "minhash:shingles",
+        "ml_confusion_matrix:pred",
+        "multimodal_phash_dedup:hashes",
+        "ngram_jaccard:shingles",
+        "orders_segment_migration:per",
+        "retrieval_mrr_audit:tf",
+        "substring_spans:grams",
+        "t_closeness_audit:cell",
+        "text_ngram_novelty:grams",
+        "ts_decompose_classical:det",
+        "ts_decompose_classical:hourly",
+    }
+    pkg = os.path.join(_REPO, "kafka_hadoop_loader_spark")
+    found = set()
+    pat = re.compile(
+        r'managed_(?:persist|lookup)\(\s*f"([^"]+):\{sf_dir\}"', re.S
+    )
+    for root, _dirs, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            src = open(os.path.join(root, fname)).read()
+            calls = len(
+                re.findall(r"(?<!def )managed_(?:persist|lookup)\(", src)
+            )
+            keys = pat.findall(src)
+            # every call site must use the f"prefix:{sf_dir}" key shape
+            # (or this inventory can't see it)
+            assert calls == len(keys), (
+                f"{fname}: {calls} managed_persist/lookup calls but only "
+                f"{len(keys)} parseable f\"...:{{sf_dir}}\" keys"
+            )
+            found.update(keys)
+    assert found == frozen, (
+        f"memoized-index set changed: added={sorted(found - frozen)} "
+        f"removed={sorted(frozen - found)} — see bench.py's frozen-set "
+        "protocol note before touching this list"
+    )

@@ -1,4 +1,5 @@
-"""Capture .explain("formatted") for named queries to plans/r13/<name>_<tag>.txt.
+"""Capture .explain("formatted") for named queries to
+plans/$SPARK_GRAFT_PLANS_DIR (default r14)/<name>_<tag>.txt.
 
     python tools/capture_plans.py <tag> name [name...]
 
@@ -31,7 +32,9 @@ def main() -> None:
         raise SystemExit(f"unknown queries: {unknown}")
     spark = get_spark("capture-plans", master="local[4]")
     spark.sparkContext.setLogLevel("ERROR")
-    outdir = os.path.join(REPO, "plans", "r13")
+    outdir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14")
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = reg[name].fn(spark, sf_dir)
