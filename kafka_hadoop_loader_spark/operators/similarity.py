@@ -1182,8 +1182,15 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
             )
         )
+        # both sides are Q x K rows (~hundreds), but the checkpointed
+        # exact side and the windowed approx side have no size stats, so
+        # the planner falls back to SortMergeJoin with an Exchange+Sort
+        # on EACH side per method (r14 before-plan: 4 such exchanges).
+        # An explicit broadcast of the approx side (guide §3.1) makes
+        # each hits join a BroadcastHashJoin — the exact side is never
+        # shuffled and the per-branch Exchange/Sort pairs disappear.
         j = exact.join(
-            ap,
+            F.broadcast(ap),
             (F.col("query_id") == F.col("aq"))
             & (F.col("neighbor_id") == F.col("an")),
             "left",
@@ -1720,8 +1727,13 @@ def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     hits = (
+        # same shape as ann_recall_audit's hits join: both sides are
+        # Q x K rows but stats-free, so the planner falls back to a
+        # SortMergeJoin with an Exchange+Sort per side; broadcasting
+        # the audited side (guide §3.1) keeps the truth side unshuffled
+        # (measured A/B in OPTIMIZATION_r14.md wave 2).
         truth.join(
-            pq,
+            F.broadcast(pq),
             (F.col("query_id") == F.col("aq"))
             & (F.col("neighbor_id") == F.col("an")),
             "left",
