@@ -1565,8 +1565,11 @@ def ann_ivf_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hits = (
+        # exact is the bounded Q x K ground-truth table; broadcast it so
+        # the per-nprobe topk side never shuffles (same stats-free SMJ
+        # fallback as the recall audits' hits joins — guide §3.1)
         topk.join(
-            exact,
+            F.broadcast(exact),
             (F.col("query_id") == F.col("eq"))
             & (F.col("neighbor_id") == F.col("en")),
             "left",

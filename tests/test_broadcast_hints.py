@@ -133,11 +133,16 @@ ALLOWED = {
     # bounded query sides (vec_id < N_QUERIES), codebooks, literal grids
     "operators/similarity.py": {
         "_ivf_assign.cent": 1,
+        "ann_ivf_probe_frontier.exact": 1,
         "ann_ivf_probe_frontier.hits": 1,
         "ann_ivf_probe_frontier.nps": 1,
         "ann_ivf_probe_frontier.nv": 1,
         "ann_matryoshka_recall.q": 1,
+        # r14: audited Q x K answer tables broadcast into the recall
+        # hits joins (bounded: N_QUERIES x top-K rows by construction)
+        "ann_pq_recall_audit.pq": 1,
         "ann_pq_recall_audit.q": 1,
+        "ann_recall_audit.ap": 1,
         "assign.cent": 1,
         "embedding_label_centroid_dist.cent": 1,
         "knn_cosine_blocked.q": 1,
