@@ -1934,18 +1934,27 @@ def dedup_lsh_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"dedup_lsh_frontier:verified:{sf_dir}",
         cand[2].join(sa, "a").join(sb, "b").where(jac >= 0.5).select("a", "b"),
     )
+    # ONE aggregate per config for (n_candidates, n_verified): a left
+    # join against the verified pair set (unique (a,b) rows, so the
+    # join multiplicity is 1) counts both in a single pass —
+    # count(*) = candidates, count(match marker) = verified — instead
+    # of two separate aggregates per config; n_truth is one shared
+    # 1-row aggregate instead of one per config (r14; plan subtrees
+    # per config 3 -> 2, same values by construction).
+    vmark = verified.withColumn("_v", F.lit(1))
+    nt = verified.agg(F.count("*").cast("bigint").alias("n_truth"))
     rows = []
     for b, r, p in _LSHF_CFGS:
-        nc = cand[r].agg(F.count("*").cast("bigint").alias("n_candidates"))
-        nv = (
+        cnts = (
             cand[r]
-            .join(verified, ["a", "b"])
-            .agg(F.count("*").cast("bigint").alias("n_verified"))
+            .join(vmark, ["a", "b"], "left")
+            .agg(
+                F.count("*").cast("bigint").alias("n_candidates"),
+                F.count("_v").cast("bigint").alias("n_verified"),
+            )
         )
-        nt = verified.agg(F.count("*").cast("bigint").alias("n_truth"))
         rows.append(
-            nc.crossJoin(nv)
-            .crossJoin(nt)
+            cnts.crossJoin(nt)
             .select(
                 F.lit(b).cast("bigint").alias("n_bands"),
                 F.lit(r).cast("bigint").alias("rows_per_band"),
